@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory: one place for the engine's Spark tuning so Verify,
+  * Bench, and tests agree.
+  *
+  * - shuffle partitions sized to the local core count (not the 200
+  *   default — on a real cluster this is cores×2-3, set per deploy);
+  * - AQE on: runtime coalescing + skew-join splitting are the 100 TB
+  *   safety nets for skewed aggregation keys;
+  * - UTC session time zone for oracle parity;
+  * - `nanosAsLong` set once here, not as a hidden per-read side effect
+  *   (the `events` table is Parquet INT64 TIMESTAMP(NANOS), which Spark
+  *   otherwise rejects; it reads as nanosecond bigint).
+  */
+object Sessions {
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Workaround for a Catalyst constraint-rewrite NoSuchElementException
+      // (UnionBase.rewriteConstraints) when unioning localCheckpoint'ed
+      // levels whose projections alias one source attribute twice (the
+      // closure build's ancestor/descendant columns). Optimizer-only
+      // feature; disabling does not change results.
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
