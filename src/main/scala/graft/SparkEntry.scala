@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    TutorialQueries.all ++ HierarchyQueries.all
+    TutorialQueries.all ++ HierarchyQueries.all ++ CoreQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** The relational operator surface (SURVEY.md §2.2-2.7) exercised on
+  * the TPC-H-ish tables, each with a DuckDB oracle.
+  *
+  * Numeric parity discipline (see QueryDef scaladoc): exact decimal
+  * aggregation, DOUBLE only at the end; divisions in double after;
+  * counts BIGINT; deterministic ORDER BY everywhere.
+  *
+  * Scale notes per query are in each entry's comment; the common rules:
+  * dims (region/nation/part/customer) broadcast, fact-side shuffles
+  * only for aggregation keys, filters/pruning pushed to the parquet
+  * scan by Catalyst.
+  */
+object CoreQueries {
+
+  private val dec18_2 = DecimalType(18, 2)
+  private val dec12_2 = DecimalType(12, 2)
+  private val dec4_2 = DecimalType(4, 2)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- q01: TPC-H Q1-shaped pricing summary (A1 A3 A7 P7 O2) ----
+    // One shuffle (groupBy); filter + column pruning reach the scan.
+    QueryDef("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1999-12-31'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val ep = col("l_extendedprice").cast(dec12_2)
+      val disc = (lit(1) - col("l_discount")).cast(dec4_2)
+      val tax = (lit(1) + col("l_tax")).cast(dec4_2)
+      Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) <= lit(java.sql.Date.valueOf("1999-12-31")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec18_2)).cast("double").as("sum_qty"),
+          sum(ep).cast("double").as("sum_base_price"),
+          sum(ep * disc).cast("double").as("sum_disc_price"),
+          sum(ep * disc * tax).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- q02: filter + projection + top-k (P1 P3 P4 O1 O4) ----
+    // Sort+limit plans as TakeOrderedAndProject — no full sort at scale.
+    QueryDef("q02_filter_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          // dates travel as ISO strings: parquet date32 vs DuckDB DATE
+          // compare type-ambiguously through pandas
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // ---- q03: CASE WHEN bucketing (P5 P8) ----
+    QueryDef("q03_case_buckets",
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS price_bucket,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY price_bucket""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("price_bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large"))
+        .groupBy("price_bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec18_2)).cast("double").as("sum_price"))
+        .orderBy("price_bucket")
+    },
+
+    // ---- q04: broadcast dim join + agg (J1) ----
+    QueryDef("q04_join_agg",
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(col("l_quantity").cast(dec18_2)).cast("double").as("sum_qty"),
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+
+    // ---- q05: star-schema multi-join (J1-J4 shape) ----
+    // lineitem⋈orders shuffles on the key; customer/nation/region broadcast.
+    QueryDef("q05_star_join",
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(col("l_extendedprice").cast(dec12_2) *
+            (lit(1) - col("l_discount")).cast(dec4_2)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // ---- q06: left-semi join / IN-subquery (P6 J7) ----
+    QueryDef("q06_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- q07: left-anti join / NOT EXISTS ----
+    QueryDef("q07_anti_join",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // ---- q08: ROLLUP + GROUPING outside the hierarchy module (A4 A5) ----
+    QueryDef("q08_rollup_region",
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal,
+        |  COUNT(*) AS n_customers,
+        |  CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+        |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation
+        |FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("c_acctbal").cast(dec12_2)).cast("double").as("sum_acctbal"),
+          count(lit(1)).as("n_customers"),
+          grouping(col("r_name")).cast("int").as("g_region"),
+          grouping(col("n_name")).cast("int").as("g_nation"))
+        .orderBy(col("g_region"), col("g_nation"),
+          col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    // ---- q09: partitioned window ranking (W2) ----
+    QueryDef("q09_window_rank",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // ---- q10: exact distinct aggregation (A2) ----
+    QueryDef("q10_distinct_agg",
+      """SELECT c_nationkey,
+        |  COUNT(DISTINCT c_mktsegment) AS n_segments,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy("c_nationkey")
+        .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+          count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(dec12_2)).cast("double").as("sum_acctbal"))
+        .orderBy("c_nationkey")
+    },
+
+    // ---- q11: uncorrelated scalar subquery (J5) ----
+    // Spark shape: single-row aggregate cross-joined (broadcast) into the
+    // filter — the distributed equivalent of a scalar subquery.
+    QueryDef("q11_scalar_subquery",
+      """SELECT COUNT(*) AS n_above,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val avgDf = orders.agg(
+        (sum(col("o_totalprice").cast(dec18_2)).cast("double") / count(lit(1)))
+          .as("avg_price"))
+      orders.crossJoin(broadcast(avgDf))
+        .filter(col("o_totalprice") > lit(1.5) * col("avg_price"))
+        .agg(count(lit(1)).as("n_above"),
+          sum(col("o_totalprice").cast(dec18_2)).cast("double").as("sum_above"))
+    },
+
+    // ---- q12: UNION / INTERSECT / EXCEPT (O5 O6) ----
+    QueryDef("q12_set_ops",
+      """SELECT o_custkey FROM (
+        |  SELECT * FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    UNION
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        |  EXCEPT
+        |  SELECT * FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'))
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val a = orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val b = orders.filter(col("o_orderpriority") === "2-HIGH").select("o_custkey")
+      a.union(b).distinct().except(a.intersect(b)).orderBy("o_custkey")
+    },
+
+    // ---- q13: SELECT * EXCLUDE ≡ .drop (P2) ----
+    QueryDef("q13_exclude_cols",
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).drop("c_acctbal").orderBy("c_custkey")
+    },
+
+    // ---- q14: string functions (F1 F2 F3) ----
+    QueryDef("q14_string_funcs",
+      """SELECT n_nationkey,
+        |  lpad('-', (n_nationkey % 5) * 2, '-') || upper(n_name) AS indented_name,
+        |  replace(n_name, '_', '-') AS dashed_name,
+        |  substring(n_name, 1, 3) AS name3,
+        |  CAST(length(n_name) AS BIGINT) AS name_len
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      Tables.nation(s, dir).select(
+        col("n_nationkey"),
+        concat(expr("lpad('-', (n_nationkey % 5) * 2, '-')"),
+          upper(col("n_name"))).as("indented_name"),
+        regexp_replace(col("n_name"), "_", "-").as("dashed_name"),
+        substring(col("n_name"), 1, 3).as("name3"),
+        length(col("n_name")).cast("long").as("name_len"))
+        .orderBy("n_nationkey")
+    },
+
+    // ---- q15: date truncation + monthly aggregation (F5) ----
+    QueryDef("q15_monthly_revenue",
+      """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("order_month",
+          date_format(trunc(to_date(col("o_orderdate")), "month"), "yyyy-MM-dd"))
+        .groupBy("order_month")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec18_2)).cast("double").as("revenue"))
+        .orderBy("order_month")
+    },
+
+    // ---- q16: struct/array construction + 1-based access (F6 F7 F8 F9) ----
+    // The Spark side genuinely builds the struct path and extracts from
+    // it; the oracle states the equivalent flat result.
+    QueryDef("q16_struct_array",
+      """SELECT n_nationkey, r_name AS region_name, n_name AS nation_name,
+        |  CAST(2 AS INTEGER) AS path_len, CAST(NULL AS VARCHAR) AS beyond_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val joined = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      val path = array_append(
+        array(struct(col("r_name").as("nm"), lit("region").as("kind"))),
+        struct(col("n_name").as("nm"), lit("nation").as("kind")))
+      joined.select(
+        col("n_nationkey"),
+        element_at(path, 1).getField("nm").as("region_name"),
+        element_at(path, 2).getField("nm").as("nation_name"),
+        size(path).as("path_len"),
+        try_element_at(path, lit(3)).getField("nm").as("beyond_name"))
+        .orderBy("n_nationkey")
+    },
+
+    // ---- q19: global window / deterministic global ordering (W1 O3) ----
+    QueryDef("q19_global_rownum",
+      """SELECT n_name, CAST(ROW_NUMBER() OVER (ORDER BY n_name ASC NULLS LAST) AS BIGINT) AS sort_order
+        |FROM nation ORDER BY sort_order""".stripMargin) { (s, dir) =>
+      Tables.nation(s, dir)
+        .withColumn("sort_order",
+          row_number().over(Window.orderBy(col("n_name").asc_nulls_last)).cast("long"))
+        .select("n_name", "sort_order")
+        .orderBy("sort_order")
+    })
+}
