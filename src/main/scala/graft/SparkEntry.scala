@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    TutorialQueries.all ++ HierarchyQueries.all ++ CoreQueries.all
+    TutorialQueries.all ++ HierarchyQueries.all ++ CoreQueries.all ++
+      TextQueries.all ++ SimilarityQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

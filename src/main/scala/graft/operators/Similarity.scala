@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scores are computed on QUANTIZED integer components
+  * (floor(x*1000) as bigint): exact, summation-order-independent, and
+  * therefore reproducible across engines and partitionings — IEEE
+  * double summation is neither. The quantized dot of unit-ish vectors
+  * keeps 3 significant digits per component, plenty for ranking.
+  *
+  * Scale path: brute-force top-k is the correctness baseline (one
+  * broadcast of the query vector, no shuffle until the final top-k);
+  * the LSH variant buckets by random-hyperplane sign bits so candidate
+  * generation is a bucket-key equi-join — never a cartesian product.
+  */
+object Similarity {
+
+  /** Quantized dot product of two array<float> columns. */
+  def qdot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(y AS DOUBLE)*1000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+  /** Quantized squared norm. */
+  def qnorm2(a: String): Column = qdot(a, a)
+
+  /** Brute-force top-k by quantized dot against the embedding of
+    * `queryId`. The single-row query side is broadcast; ORDER+LIMIT
+    * plans as TakeOrderedAndProject (per-partition top-k, no full sort).
+    */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("score", qdot(vecCol, "qv"))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed) for
+    * sign-bit LSH. dims×planes doubles, embedded as literals.
+    */
+  private def hyperplanes(planes: Int, dims: Int): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(planes)(Array.fill(dims)(rnd.nextGaussian()))
+  }
+
+  /** Add an LSH bucket column: one sign bit per hyperplane. */
+  def withLshBucket(emb: DataFrame, planes: Int = 12, dims: Int = 64,
+      vecCol: String = "embedding"): DataFrame = {
+    val hs = hyperplanes(planes, dims)
+    val bits = hs.zipWithIndex.map { case (h, i) =>
+      val lits = h.map(v => f"CAST($v%.17g AS DOUBLE)").mkString("array(", ", ", ")")
+      s"IF(aggregate(zip_with($vecCol, $lits, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0, shiftleft(1, $i), 0)"
+    }
+    emb.withColumn("lsh_bucket", expr(bits.mkString("(", " + ", ")")))
+  }
+
+  /** LSH-accelerated top-k: exact quantized ranking, but only within
+    * the query's hyperplane bucket. The plan is a broadcast equi-join
+    * on the bucket key (asserted no-cartesian in tests); recall trades
+    * off with `planes`.
+    */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, planes: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = withLshBucket(emb, planes)
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), col("lsh_bucket"))
+    bucketed.join(broadcast(q), Seq("lsh_bucket"))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("score", qdot(vecCol, "qv"))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Near-duplicate pairs by quantized cosine within label blocks.
+    * Blocking keeps candidate generation linear-ish (each block joins
+    * only with itself); cosine is derived in double from exact
+    * quantized integers, so it is engine-reproducible.
+    */
+  def blockedCosinePairs(emb: DataFrame, minCosBp: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockCol: String = "label"): DataFrame = {
+    val withNorm = emb.withColumn("n2", qnorm2(vecCol))
+    val a = withNorm.select(col(blockCol), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"), col("n2").as("a_n2"))
+    val b = withNorm.select(col(blockCol), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"), col("n2").as("b_n2"))
+    a.join(b, Seq(blockCol))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("dot", qdot("a_vec", "b_vec"))
+      .withColumn("cos_bp", expr(
+        "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(b_n2 AS DOUBLE)))) AS BIGINT)"))
+      .where(col("cos_bp") >= minCosBp)
+      .select(col(blockCol), col("a_id"), col("b_id"), col("cos_bp"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Similarity-search queries over `embeddings` (array<float>, 64-dim).
+  * Scores use quantized integer arithmetic (see Similarity scaladoc)
+  * so the brute-force baseline is oracle-checkable bit-for-bit.
+  */
+object SimilarityQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- brute-force exact top-k (correctness baseline) ----
+    QueryDef("s1_ann_bruteforce",
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |    p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS score
+        |FROM embeddings e CROSS JOIN q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id LIMIT 50""".stripMargin) { (s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryId = 0L, k = 50)
+    },
+
+    // ---- LSH-bucketed top-k (scale path; Spark-native, rows-only) ----
+    // 4 hyperplanes → 16 buckets (~n/16 candidates per bucket); more
+    // planes = faster + lower recall. Tuned so a 500-vector corpus
+    // still yields a full top-10.
+    QueryDef.noOracle("s2_ann_lsh") { (s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10, planes = 4)
+    },
+
+    // ---- blocked quantized-cosine near-dup pairs ----
+    QueryDef("s3_embedding_pairs",
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS n2
+        |  FROM embeddings
+        |)
+        |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |  CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT) AS cos_bp
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT) >= 2500
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Similarity.blockedCosinePairs(Tables.embeddings(s, dir), minCosBp = 2500)
+        .orderBy("a_id", "b_id")
+    })
+}

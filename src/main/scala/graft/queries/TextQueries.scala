@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+
+/** Text-analysis + deduplication queries over `documents`
+  * (LLM-training-data pipeline operators; BASELINE.json north star).
+  * Oracle-checked where the computation is engine-portable; the
+  * xxhash64-based ops (minhash/simhash) are Spark-native and get
+  * rows-only checks plus ScalaTest ground-truth specs.
+  */
+object TextQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup groups (hash-keyed, no all-pairs) ----
+    QueryDef("d1_dedup_exact",
+      """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir))
+        .select("fp", "doc_id", "n_copies")
+        .orderBy("doc_id")
+    },
+
+    // ---- document fingerprinting ----
+    QueryDef("d2_fingerprint",
+      """SELECT doc_id, md5(text) AS fp_full, md5(substr(text, 1, 64)) AS fp_prefix,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("fp_full"),
+        md5(substring(col("text"), 1, 64)).as("fp_prefix"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality-score text statistics ----
+    QueryDef("d3_text_stats",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+        |  CAST(floor(10000.0 * (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / greatest(length(text), 1)) AS BIGINT) AS punct_bp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+          .cast("long").as("n_spaces"),
+        TextOps.tokenCount("text").as("n_tokens"),
+        expr("CAST(floor(10000.0 * (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', ''))) / greatest(length(text), 1)) AS BIGINT)")
+          .as("punct_bp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- stopword-signal language ID (deterministic heuristic) ----
+    QueryDef("d4_lang_id",
+      """SELECT doc_id, lang,
+        |  CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS cnt_en,
+        |  CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT) AS cnt_fr,
+        |  CAST((length(text) - length(replace(text, ' el ', ''))) / 4 AS BIGINT) AS cnt_es,
+        |  CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS BIGINT) AS cnt_de,
+        |  CASE WHEN (length(text) - length(replace(text, ' the ', ''))) / 5 >= (length(text) - length(replace(text, ' le ', ''))) / 4
+        |            AND (length(text) - length(replace(text, ' the ', ''))) / 5 >= (length(text) - length(replace(text, ' el ', ''))) / 4
+        |            AND (length(text) - length(replace(text, ' the ', ''))) / 5 >= (length(text) - length(replace(text, ' der ', ''))) / 5 THEN 'en'
+        |       WHEN (length(text) - length(replace(text, ' le ', ''))) / 4 >= (length(text) - length(replace(text, ' el ', ''))) / 4
+        |            AND (length(text) - length(replace(text, ' le ', ''))) / 4 >= (length(text) - length(replace(text, ' der ', ''))) / 5 THEN 'fr'
+        |       WHEN (length(text) - length(replace(text, ' el ', ''))) / 4 >= (length(text) - length(replace(text, ' der ', ''))) / 5 THEN 'es'
+        |       ELSE 'de' END AS predicted_lang
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val en = TextOps.occurrences("text", " the ")
+      val fr = TextOps.occurrences("text", " le ")
+      val es = TextOps.occurrences("text", " el ")
+      val de = TextOps.occurrences("text", " der ")
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        en.as("cnt_en"), fr.as("cnt_fr"), es.as("cnt_es"), de.as("cnt_de"),
+        when(en >= fr && en >= es && en >= de, "en")
+          .when(fr >= es && fr >= de, "fr")
+          .when(es >= de, "es")
+          .otherwise("de").as("predicted_lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---- token counting (total + distinct + type/token ratio) ----
+    QueryDef("d5_token_count",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(floor(10000.0 * len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        |       / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) AS BIGINT) AS ttr_bp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount("text").as("n_tokens"),
+        TextOps.distinctTokenCount("text").as("n_distinct_tokens"),
+        expr("CAST(floor(10000.0 * size(array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))) / greatest(size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)), 1)) AS BIGINT)")
+          .as("ttr_bp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- exact n-gram Jaccard near-dup pairs (inverted index + df-cut) ----
+    QueryDef("d6_ngram_jaccard_pairs",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh) t WHERE df <= 50
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT p.a_id, p.b_id, p.common, sa.sz AS a_sz, sb.sz AS b_sz,
+        |  CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) AS jaccard
+        |FROM pairs p JOIN sizes sa ON p.a_id = sa.doc_id JOIN sizes sb ON p.b_id = sb.doc_id
+        |WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), minJaccard = 0.6, maxDf = 50)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- MinHash/LSH near-dup candidates (Spark-native hashes; rows-only) ----
+    QueryDef.noOracle("d7_minhash_pairs") { (s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), minEst = 0.5)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- SimHash near-dups (Spark-native hashes; rows-only) ----
+    QueryDef.noOracle("d8_simhash_pairs") { (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 4)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- multimodal metadata over the binary payload column ----
+    QueryDef("m1_multimodal_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  octet_length(encode(text)) // 256 + 1 AS frame_count,
+        |  md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.withPayload(Tables.documents(s, dir))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          (octet_length(col("payload")).cast("long") / 256).cast("long")
+            .as("frame_count_raw"),
+          md5(col("text")).as("fp"))
+        .withColumn("frame_count", col("frame_count_raw") + 1)
+        .drop("frame_count_raw")
+        .select("doc_id", "n_bytes", "frame_count", "fp")
+        .orderBy("doc_id")
+    })
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming shapes for the `events` stream: the same
+  * aggregations EventQueries runs in batch, expressed incrementally.
+  *
+  * - `hourlyCounts`: watermarked event-time tumbling windows — state
+  *   store bounded by the watermark, late rows beyond it dropped.
+  * - `sessionize`: custom gap-based session state via
+  *   flatMapGroupsWithState (the stateful-operator surface) with
+  *   processing-time timeout as the state-GC path.
+  *
+  * Input contract: a streaming DataFrame with (event_id long, ts long
+  * nanoseconds, user_id long, event_type string, value double) — i.e.
+  * `spark.readStream` over the events schema, or a MemoryStream in
+  * tests.
+  */
+object EventStream {
+
+  /** Event-time tumbling 1h counts per event_type with a 30min
+    * watermark. Output mode append (closed windows only).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "30 minutes")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n_events"), col("approx_users"))
+
+  case class Ev(event_id: Long, ts: Long, user_id: Long)
+  case class EvT(event_id: Long, ts: Long, user_id: Long,
+      ets: java.sql.Timestamp)
+  case class SessionState(startTs: Long, lastTs: Long, n: Long)
+  case class SessionOut(user_id: Long, start_ts: Long, n_events: Long,
+      duration_s: Long, closed: Boolean)
+
+  /** Gap-based sessionization (default 30min inactivity closes a
+    * session). A session closes either inline (a later event of the
+    * same user past the gap) or via EVENT-TIME timeout once the
+    * watermark passes the gap — so per-user state is O(1) and GC'd by
+    * watermark progress, the 100 TB-safe stateful shape. (Processing-
+    * time timeouts would keep scheduling batches and never drain.)
+    */
+  def sessionize(events: Dataset[Ev], gapNs: Long = 1800L * 1000 * 1000 * 1000)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapNs / 1000000L
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "30 minutes")
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[EvT], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.startTs, s.n,
+              (s.lastTs - s.startTs) / 1000000000L, closed = true))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts - s.lastTs <= gapNs =>
+                  cur = Some(s.copy(lastTs = e.ts, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.startTs, s.n,
+                    (s.lastTs - s.startTs) / 1000000000L, closed = true)
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs / 1000000L + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

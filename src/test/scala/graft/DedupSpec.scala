@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base.replace("tonight", "at dawn")), // near dup of 1
+    (4L, "completely different content about spark query engines and columnar formats"),
+    (5L, "yet another unrelated short text")).toDF("doc_id", "text")
+
+  test("exact dedup groups duplicates under min doc_id") {
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length == 4) // 5 docs, one exact-dup pair
+    val dupGroup = g.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("minhash LSH finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.minhashPairs(docs, minEst = 0.5)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L || a == 5L })
+  }
+
+  test("minhash est_jaccard is 1.0 for identical docs") {
+    val p = Dedup.minhashPairs(docs, minEst = 0.5)
+      .filter(col("a_id") === 1 && col("b_id") === 2).collect().head
+    assert(p.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("simhash pairs: identical docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 4).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")), r.getAs[Int]("hamming"))).toMap
+    assert(pairs((1L, 2L)) == 0)
+  }
+
+  test("ngram jaccard: exact dup pair scores 1.0, computed sizes correct") {
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5, maxDf = 50)
+    val p12 = pairs.filter(col("a_id") === 1 && col("b_id") === 2).collect().head
+    assert(p12.getAs[Double]("jaccard") == 1.0)
+    assert(p12.getAs[Long]("a_sz") == p12.getAs[Long]("common"))
+  }
+
+  test("near-dup pipeline finds real near-dups in testdata") {
+    val docs001 = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = Dedup.minhashPairs(docs001, minEst = 0.5).count()
+    assert(n > 0, "sf0.001 documents contain near-dups the pipeline must find")
+  }
+}

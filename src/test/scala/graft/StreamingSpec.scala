@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val H = 3600L * 1000 * 1000 * 1000 // 1h in ns
+
+  test("hourly windowed counts over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.hourlyCounts(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      // two events in hour 0, one in hour 1, then a late-hour event to
+      // push the watermark past hour 1 so both windows close
+      mem.addData((1L, 10L * 60 * 1000000000L, 1L, "click", 1.0),
+        (2L, 20L * 60 * 1000000000L, 2L, "click", 2.0),
+        (3L, H + 10L * 60 * 1000000000L, 1L, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData((4L, 3 * H, 3L, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly_out")
+        .select("w_start", "event_type", "n_events").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(out.contains((0L, "click", 2L)))
+      assert(out.contains((3600L, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Ev]
+    val q = EventStream.sessionize(mem.toDS(), gapNs = 1800L * 1000000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // user 7: two events 10min apart (one session), then one 2h later
+      // (closes the first session). Base offset keeps event times off
+      // epoch 0 — a row at exactly the initial watermark is dropped.
+      val B = 100 * H
+      mem.addData(EventStream.Ev(1, B, 7L), EventStream.Ev(2, B + 600L * 1000000000L, 7L))
+      q.processAllAvailable()
+      mem.addData(EventStream.Ev(3, B + 2 * H, 7L))
+      q.processAllAvailable()
+      val out = spark.table("sessions_out")
+        .select("user_id", "n_events", "duration_s", "closed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(out.contains((7L, 2L, 600L, true)))
+    } finally q.stop()
+  }
+}
