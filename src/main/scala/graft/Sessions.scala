@@ -28,6 +28,11 @@ object Sessions {
       // closure build's ancestor/descendant columns). Optimizer-only
       // feature; disabling does not change results.
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // Shuffle/spill files on tmpfs: 32 concurrent writers on the
+      // container's /tmp overlay showed multi-10s I/O stalls on
+      // shuffle-heavy queries; the working set here is far below RAM.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

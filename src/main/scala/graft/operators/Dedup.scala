@@ -22,24 +22,50 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Per-doc MinHash signature + LSH band keys. */
+  /** Per-doc MinHash signature + LSH band keys.
+    *
+    * Shape: explode shingles → `perms` codegen'd xxhash64 projections →
+    * groupBy(doc) with min aggregates. The hash computation stays inside
+    * WholeStageCodegen (higher-order-function folds are interpreted and
+    * measured ~10× slower), and the aggregation's map-side partial min
+    * shrinks the shuffle to `perms` longs per doc — the shape that
+    * holds at 100 TB.
+    */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", perms: Int = 32): DataFrame =
-    docs
-      .withColumn("shingles", TextOps.shingles(textCol))
-      .withColumn("sig", TextOps.minhashSignature("shingles", perms))
-      .withColumn("bands", TextOps.bandKeys("sig"))
+      idCol: String = "doc_id", perms: Int = 64, shingleK: Int = 7,
+      bands: Int = 8): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      explode(TextOps.shingles(textCol, shingleK)).as("g"))
+    val mins = (0 until perms).map(j => min(xxhash64(col("g"), lit(j))).as(s"mh_$j"))
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .withColumn("sig", array((0 until perms).map(j => col(s"mh_$j")): _*))
+      .withColumn("bands", TextOps.bandKeys("sig", bands, perms / bands))
       .select(col(idCol), col("sig"), col("bands"))
+  }
 
   /** MinHash/LSH near-dup candidate pairs with estimated Jaccard ≥
     * `minEst`. Candidates come ONLY from band-bucket self-joins (docs
     * sharing at least one band hash); the estimated similarity is then
     * exact arithmetic on the signatures (k agreeing / perms).
     */
+  /** Band sizing note: with bands of r rows, a pair sharing estimated
+    * Jaccard s collides on a band with probability s^r. The corpus here
+    * has high *background* similarity (shared vocabulary), so r must be
+    * large enough that random pairs (s≈0.3-0.5) almost never collide
+    * while near-dups (s≥0.8) almost always do: r=8 ⇒ 0.4^8≈7e-4 vs
+    * 0.9^8≈0.43 per band (×8 bands ⇒ 99% recall). r=4 was measured to
+    * generate ~40% of ALL pairs as candidates on this corpus — an
+    * accidental all-pairs.
+    */
   def minhashPairs(docs: DataFrame, minEst: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id",
-      perms: Int = 32): DataFrame = {
-    val sigs = minhashSignatures(docs, textCol, idCol, perms)
+      perms: Int = 64): DataFrame = {
+    // Materialize signatures once: the explode + self-join otherwise
+    // re-inlines the signature expressions into every band branch —
+    // measured ~10× slowdown. At production scale this intermediate is
+    // a persisted signature table.
+    val sigs = minhashSignatures(docs, textCol, idCol, perms).localCheckpoint(true)
     val banded = sigs
       .select(col(idCol), col("sig"), explode(col("bands")).as("b"))
       .select(col(idCol), col("sig"),
@@ -57,10 +83,28 @@ object Dedup {
       .select("a_id", "b_id", "est_jaccard")
   }
 
-  /** Per-doc 64-bit SimHash + 16-bit blocking bands. */
+  /** Per-doc 64-bit SimHash + 16-bit blocking bands.
+    *
+    * Same explode→codegen→aggregate shape as minhashSignatures: one
+    * token-hash column, 64 conditional-sum vote aggregates (map-side
+    * combined), sign → bit reassembly after the groupBy. Docs with zero
+    * tokens keep an all-zero simhash via explode_outer.
+    */
   def simhashes(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val base = docs.withColumn("simhash", TextOps.simhash(textCol))
+    val tokens = docs.select(col(idCol),
+      explode_outer(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("t"))
+      .withColumn("h", when(col("t").isNotNull, xxhash64(col("t"))))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("h").isNull, 0)
+        .when(expr(s"(shiftright(h, $b) & 1) = 1"), 1)
+        .otherwise(-1)).as(s"v_$b")
+    }
+    val bits = (0 until 64)
+      .map(b => s"IF(v_$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))")
+    val base = tokens.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .withColumn("simhash", expr(bits.mkString("(", " + ", ")")))
     TextOps.simhashBands("simhash").foldLeft(base) {
       case (df, (name, c)) => df.withColumn(name, c)
     }.select(col(idCol) +: col("simhash") +:
@@ -73,7 +117,8 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 16,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = simhashes(docs, textCol, idCol)
+    // Materialized for the same re-inlining reason as minhashPairs.
+    val sh = simhashes(docs, textCol, idCol).localCheckpoint(true)
     val banded = sh.select(col(idCol), col("simhash"),
       explode(expr("array(named_struct('band', 0, 'bv', band_0), named_struct('band', 1, 'bv', band_1), named_struct('band', 2, 'bv', band_2), named_struct('band', 3, 'bv', band_3))")).as("b"))
       .select(col(idCol), col("simhash"),

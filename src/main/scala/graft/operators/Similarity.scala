@@ -77,10 +77,11 @@ object Similarity {
       .limit(k)
   }
 
-  /** Near-duplicate pairs by quantized cosine within label blocks.
-    * Blocking keeps candidate generation linear-ish (each block joins
-    * only with itself); cosine is derived in double from exact
-    * quantized integers, so it is engine-reproducible.
+  /** All-pairs-within-block cosine. O(Σ block²) — only viable when
+    * blocks are bounded; the scale path is [[lshCosinePairs]], which
+    * adds a hyperplane bucket to the block key so candidate counts stay
+    * near-linear. Cosine is derived in double from exact quantized
+    * integers, so it is engine-reproducible.
     */
   def blockedCosinePairs(emb: DataFrame, minCosBp: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -97,5 +98,20 @@ object Similarity {
         "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(b_n2 AS DOUBLE)))) AS BIGINT)"))
       .where(col("cos_bp") >= minCosBp)
       .select(col(blockCol), col("a_id"), col("b_id"), col("cos_bp"))
+  }
+
+  /** Scale path for near-dup pairs: block on (label × LSH bucket) so
+    * each block is ~n/(labels·2^planes) vectors and the pairwise work
+    * stays near-linear in n. High-cosine pairs land in the same bucket
+    * with probability (1 - θ/π)^planes — recall trades off with
+    * `planes`, exactly the MinHash-band trade-off in Dedup.
+    */
+  def lshCosinePairs(emb: DataFrame, minCosBp: Int, planes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockCol: String = "label"): DataFrame = {
+    val bucketed = withLshBucket(emb, planes)
+      .withColumn("block", concat_ws("_", col(blockCol), col("lsh_bucket")))
+    blockedCosinePairs(bucketed, minCosBp, idCol, vecCol, "block")
+      .drop("block")
   }
 }

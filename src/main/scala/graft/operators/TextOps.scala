@@ -34,16 +34,6 @@ object TextOps {
     expr(s"CAST((length($text) - length(replace($text, '$needle', ''))) / $n AS BIGINT)")
   }
 
-  /** MinHash signature: array of `perms` minimum xxhash64 values over
-    * the shingle set. One pass per permutation over the shingle array,
-    * all inside codegen; no shuffle.
-    */
-  def minhashSignature(shinglesCol: String, perms: Int = 32): Column = {
-    val mins = (0 until perms)
-      .map(j => s"array_min(transform($shinglesCol, x -> xxhash64(x, ${j}L)))")
-    expr(s"array(${mins.mkString(", ")})")
-  }
-
   /** LSH band keys from a minhash signature: hash of each `rows`-sized
     * slice, tagged with the band index. Docs sharing any band key are
     * near-dup candidates (band-bucket join — never all-pairs).
@@ -61,21 +51,6 @@ object TextOps {
     */
   def estJaccard(sigA: String, sigB: String, perms: Int = 32): Column =
     expr(s"CAST(aggregate(zip_with($sigA, $sigB, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) AS DOUBLE) / $perms.0")
-
-  /** 64-bit SimHash over a token-hash array: per-bit ±1 vote summed
-    * across tokens, sign → bit. Expression-only fold.
-    */
-  def simhash(text: String): Column = {
-    val votes =
-      s"""aggregate(
-         |  transform(regexp_extract_all(lower($text), '[a-z0-9]+', 0), t -> xxhash64(t)),
-         |  array_repeat(0, 64),
-         |  (acc, h) -> zip_with(acc, sequence(0, 63), (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1)))""".stripMargin
-    expr(
-      s"""aggregate(
-         |  zip_with($votes, sequence(0, 63), (v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-         |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
-  }
 
   /** 16-bit SimHash band values for hamming-bucket blocking. */
   def simhashBands(simhashCol: String): Seq[(String, Column)] =

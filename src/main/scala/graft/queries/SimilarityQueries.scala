@@ -34,11 +34,15 @@ object SimilarityQueries {
     },
 
     // ---- blocked quantized-cosine near-dup pairs ----
+    // Bounded slice (vec_id < 2000) keeps the within-block pairwise
+    // work O(1) at any sf — this query demonstrates exact blocked
+    // semantics for the oracle; the unbounded scale path is
+    // s4_ann_lsh_pairs (LSH-bucketed blocks).
     QueryDef("s3_embedding_pairs",
       """WITH e AS (
         |  SELECT vec_id, label, embedding,
         |    CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS n2
-        |  FROM embeddings
+        |  FROM embeddings WHERE vec_id < 2000
         |)
         |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
         |  CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -49,7 +53,19 @@ object SimilarityQueries {
         |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS DOUBLE)
         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT) >= 2500
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      Similarity.blockedCosinePairs(Tables.embeddings(s, dir), minCosBp = 2500)
+      Similarity.blockedCosinePairs(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 2000), minCosBp = 2500)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- LSH-bucketed near-dup pairs (unbounded scale path; rows-only) ----
+    // Bucket count adapts to corpus size so blocks stay ~50-100 vectors:
+    // more planes on bigger corpora = same per-block cost, lower recall.
+    QueryDef.noOracle("s4_ann_lsh_pairs") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.count()
+      val planes = math.max(2, (math.log(n / 500.0) / math.log(2)).ceil.toInt + 2)
+      Similarity.lshCosinePairs(emb, minCosBp = 2000, planes = planes)
         .orderBy("a_id", "b_id")
     })
 }
