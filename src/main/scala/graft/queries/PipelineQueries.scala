@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.sources.{Constraints, Tables}
+
+/** Composed pipelines: constraint-validation suite (SURVEY §1.3) and
+  * an end-to-end training-corpus filter chaining dedup + language ID +
+  * quality thresholds — the shape an LLM data pipeline actually runs.
+  */
+object PipelineQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- declarative constraint suite over the star schema ----
+    // One row per constraint with its violation count; the oracle
+    // recomputes each count relationally. All zeros on sane data, but
+    // the *counts* are compared, so broken data would also match.
+    QueryDef("v1_constraint_checks",
+      """SELECT * FROM (
+        |  SELECT 'customer_pk' AS constraint_name,
+        |         (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1) t) AS violations
+        |  UNION ALL
+        |  SELECT 'orders_fk_customer',
+        |         (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |            AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'nation_fk_region',
+        |         (SELECT COUNT(*) FROM nation n WHERE n.n_regionkey IS NOT NULL
+        |            AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        |  UNION ALL
+        |  SELECT 'lineitem_notnull',
+        |         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL OR l_quantity IS NULL)
+        |) ORDER BY constraint_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val checks = Seq(
+        ("customer_pk",
+          Constraints.primaryKeyViolations(Tables.customer(s, dir), "c_custkey")),
+        ("orders_fk_customer",
+          Constraints.foreignKeyOrphans(Tables.orders(s, dir), "o_custkey",
+            Tables.customer(s, dir), "c_custkey")),
+        ("nation_fk_region",
+          Constraints.foreignKeyOrphans(Tables.nation(s, dir), "n_regionkey",
+            Tables.region(s, dir), "r_regionkey")),
+        ("lineitem_notnull",
+          Constraints.notNullViolations(Tables.lineitem(s, dir),
+            "l_orderkey", "l_quantity")))
+      checks.toDF("constraint_name", "violations").orderBy("constraint_name")
+    },
+
+    // ---- end-to-end corpus filter: dedup ∘ lang-ID ∘ quality gates ----
+    QueryDef("p1_corpus_filter",
+      """WITH dedup AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), scored AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+        |    CAST(floor(10000.0 * (length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g'))) / greatest(length(d.text), 1)) AS BIGINT) AS punct_bp,
+        |    CAST((length(d.text) - length(replace(d.text, ' the ', ''))) / 5 AS BIGINT) AS cnt_en
+        |  FROM documents d JOIN dedup k ON d.doc_id = k.doc_id
+        |)
+        |SELECT doc_id, lang, n_tokens, punct_bp
+        |FROM scored
+        |WHERE n_tokens BETWEEN 20 AND 100000 AND punct_bp < 1500 AND cnt_en >= 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val survivors = docs.groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      docs.join(survivors, Seq("doc_id"))
+        .select(
+          col("doc_id"), col("lang"),
+          TextOps.tokenCount("text").as("n_tokens"),
+          expr("CAST(floor(10000.0 * (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', ''))) / greatest(length(text), 1)) AS BIGINT)")
+            .as("punct_bp"),
+          TextOps.occurrences("text", " the ").as("cnt_en"))
+        .where(col("n_tokens").between(20, 100000) &&
+          col("punct_bp") < 1500 && col("cnt_en") >= 1)
+        .select("doc_id", "lang", "n_tokens", "punct_bp")
+        .orderBy("doc_id")
+    })
+}

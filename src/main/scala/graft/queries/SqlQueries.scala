@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The declared-SQL surface: the same semantics as the DataFrame-built
+  * queries, expressed through `spark.sql` — including Spark 4.x native
+  * `WITH RECURSIVE` for the dimension build (the reference's own
+  * formulation, aggregation_example.sql:88-166). h5's oracle is
+  * byte-for-byte the h1 oracle: both engines run a recursive CTE and
+  * must agree.
+  */
+object SqlQueries {
+
+  /** Spark-dialect twin of HierarchyQueries.nodesSql (STRING casts;
+    * everything else is shared ANSI SQL).
+    */
+  private val sparkDimSql =
+    """WITH RECURSIVE nodes AS (
+      |  SELECT CAST('ROOT' AS STRING) AS node_natural_key, CAST('All Regions' AS STRING) AS node_name, CAST('Total' AS STRING) AS level_name, CAST(NULL AS STRING) AS parent_natural_key
+      |  UNION ALL
+      |  SELECT 'R' || lpad(CAST(r_regionkey AS STRING), 2, '0'), r_name, 'Region', 'ROOT' FROM region
+      |  UNION ALL
+      |  SELECT 'N' || lpad(CAST(n_nationkey AS STRING), 3, '0'), n_name, 'Nation', 'R' || lpad(CAST(n_regionkey AS STRING), 2, '0') FROM nation
+      |), nodes_temp AS (
+      |  SELECT n.*,
+      |         (n.parent_natural_key IS NULL) AS is_root,
+      |         (n.node_natural_key NOT IN (SELECT parent_natural_key FROM nodes WHERE parent_natural_key IS NOT NULL)) AS is_leaf
+      |  FROM nodes n
+      |), walk AS (
+      |  SELECT node_natural_key, node_name, level_name, parent_natural_key, is_root, is_leaf,
+      |         1 AS level_number,
+      |         lpad(node_natural_key, 12, '0') AS path_key,
+      |         node_natural_key AS level_1_node_natural_key, node_name AS level_1_node_name, level_name AS level_1_level_name,
+      |         CAST(NULL AS STRING) AS level_2_node_natural_key, CAST(NULL AS STRING) AS level_2_node_name, CAST(NULL AS STRING) AS level_2_level_name,
+      |         CAST(NULL AS STRING) AS level_3_node_natural_key, CAST(NULL AS STRING) AS level_3_node_name, CAST(NULL AS STRING) AS level_3_level_name
+      |    FROM nodes_temp WHERE parent_natural_key IS NULL
+      |  UNION ALL
+      |  SELECT c.node_natural_key, c.node_name, c.level_name, c.parent_natural_key, c.is_root, c.is_leaf,
+      |         p.level_number + 1,
+      |         p.path_key || '/' || lpad(c.node_natural_key, 12, '0'),
+      |         p.level_1_node_natural_key, p.level_1_node_name, p.level_1_level_name,
+      |         CASE WHEN p.level_number + 1 = 2 THEN c.node_natural_key ELSE p.level_2_node_natural_key END,
+      |         CASE WHEN p.level_number + 1 = 2 THEN c.node_name ELSE p.level_2_node_name END,
+      |         CASE WHEN p.level_number + 1 = 2 THEN c.level_name ELSE p.level_2_level_name END,
+      |         CASE WHEN p.level_number + 1 = 3 THEN c.node_natural_key ELSE p.level_3_node_natural_key END,
+      |         CASE WHEN p.level_number + 1 = 3 THEN c.node_name ELSE p.level_3_node_name END,
+      |         CASE WHEN p.level_number + 1 = 3 THEN c.level_name ELSE p.level_3_level_name END
+      |    FROM nodes_temp c JOIN walk p ON c.parent_natural_key = p.node_natural_key
+      |), dim AS (
+      |  SELECT w.*, CAST(ROW_NUMBER() OVER (ORDER BY path_key ASC) AS BIGINT) AS node_sort_order FROM walk w
+      |)
+      |SELECT node_natural_key, node_name, level_name, level_number, is_root, is_leaf, node_sort_order,
+      |       level_1_node_natural_key, level_1_node_name, level_1_level_name,
+      |       level_2_node_natural_key, level_2_node_name, level_2_level_name,
+      |       level_3_node_natural_key, level_3_node_name, level_3_level_name
+      |FROM dim ORDER BY node_sort_order""".stripMargin
+
+  /** DuckDB-dialect equivalent (same text as the h1 oracle, VARCHAR
+    * casts), regenerated here so the two files stay independent.
+    */
+  private val duckDimSql = sparkDimSql.replace(" AS STRING)", " AS VARCHAR)")
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("h5_reporting_dim_sql", duckDimSql) { (s, dir) =>
+      Tables.region(s, dir).createOrReplaceTempView("region")
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      s.sql(sparkDimSql)
+    },
+
+    // Non-recursive CTE + window through pure SQL (SURVEY C1/W2).
+    QueryDef("h6_sql_cte_topn",
+      """WITH nation_counts AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_customers,
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        |  FROM customer GROUP BY c_nationkey
+        |)
+        |SELECT * FROM (
+        |  SELECT nc.*, CAST(ROW_NUMBER() OVER (ORDER BY nc.sum_acctbal DESC, nc.c_nationkey) AS BIGINT) AS rnk
+        |  FROM nation_counts nc) t
+        |WHERE rnk <= 10 ORDER BY rnk""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(
+        """WITH nation_counts AS (
+          |  SELECT c_nationkey, COUNT(*) AS n_customers,
+          |         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+          |  FROM customer GROUP BY c_nationkey
+          |)
+          |SELECT * FROM (
+          |  SELECT nc.*, CAST(ROW_NUMBER() OVER (ORDER BY nc.sum_acctbal DESC, nc.c_nationkey) AS BIGINT) AS rnk
+          |  FROM nation_counts nc) t
+          |WHERE rnk <= 10 ORDER BY rnk""".stripMargin)
+    })
+}

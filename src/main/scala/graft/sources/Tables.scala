@@ -28,6 +28,7 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(all.contains(name), s"unknown table: $name (expected one of ${all.mkString(", ")})")
     if (name == "events") configureNanos(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
