@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression: quantized dot product of two
+  * `array<float>` vectors — Σ floor(xᵢ·1000)·floor(yᵢ·1000) as BIGINT.
+  *
+  * This is the engine's similarity-score primitive (see
+  * operators/Similarity): exact integer arithmetic, so the result is
+  * independent of summation order and identical across engines — the
+  * property that makes similarity results oracle-checkable.
+  *
+  * Implemented as a real `Expression` with `doGenCode` (a tight
+  * primitive loop inside WholeStageCodegen) rather than the equivalent
+  * `aggregate(zip_with(...))` higher-order fold, which Spark evaluates
+  * interpreted with per-element allocations — measured ~10× slower on
+  * the ANN hot path. Null elements count as 0.
+  */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"qdot expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "qdot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        acc += math.floor(x.getFloat(i).toDouble * 1000.0).toLong *
+          math.floor(y.getFloat(i).toDouble * 1000.0).toLong
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (long) java.lang.Math.floor((double) $a.getFloat($i) * 1000.0)
+         |          * (long) java.lang.Math.floor((double) $b.getFloat($i) * 1000.0);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedDot {
+
+  private[functions] val info =
+    new ExpressionInfo(classOf[QuantizedDot].getName, "qdot")
+
+  private[functions] def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"qdot expects 2 arguments, got ${exprs.length}")
+    QuantizedDot(exprs.head, exprs(1))
+  }
+
+  /** Idempotent per-session registration so `expr("qdot(a, b)")`
+    * resolves regardless of how the session was built.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("qdot", builder, "built-in")
+}
+
+/** SparkSessionExtensions entry point — the injection path for
+  * sessions built with `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((FunctionIdentifier("qdot"), QuantizedDot.info,
+      QuantizedDot.builder))
+}

@@ -18,12 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantized dot product of two array<float> columns. */
-  def qdot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(y AS DOUBLE)*1000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+  /** Quantized dot product of two array<float> columns — the native
+    * codegen expression (graft.functions.QuantizedDot). Callers must
+    * route DataFrames through an operator below (which registers the
+    * function on the frame's session) or call QuantizedDot.register.
+    */
+  def qdot(a: String, b: String): Column = expr(s"qdot($a, $b)")
 
   /** Quantized squared norm. */
   def qnorm2(a: String): Column = qdot(a, a)
+
+  private def registered(df: DataFrame): DataFrame = {
+    graft.functions.QuantizedDot.register(df.sparkSession)
+    df
+  }
 
   /** Brute-force top-k by quantized dot against the embedding of
     * `queryId`. The single-row query side is broadcast; ORDER+LIMIT
@@ -31,8 +39,9 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
-    emb.crossJoin(broadcast(q))
+    val reg = registered(emb)
+    val q = reg.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    reg.crossJoin(broadcast(q))
       .filter(col(idCol) =!= queryId)
       .withColumn("score", qdot(vecCol, "qv"))
       .select(col(idCol), col("score"))
@@ -66,7 +75,7 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, planes: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketed = withLshBucket(emb, planes)
+    val bucketed = withLshBucket(registered(emb), planes)
     val q = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("qv"), col("lsh_bucket"))
     bucketed.join(broadcast(q), Seq("lsh_bucket"))
@@ -86,7 +95,7 @@ object Similarity {
   def blockedCosinePairs(emb: DataFrame, minCosBp: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       blockCol: String = "label"): DataFrame = {
-    val withNorm = emb.withColumn("n2", qnorm2(vecCol))
+    val withNorm = registered(emb).withColumn("n2", qnorm2(vecCol))
     val a = withNorm.select(col(blockCol), col(idCol).as("a_id"),
       col(vecCol).as("a_vec"), col("n2").as("a_n2"))
     val b = withNorm.select(col(blockCol), col(idCol).as("b_id"),
