@@ -38,14 +38,17 @@ object CoreQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM lineitem
-        |WHERE CAST(l_shipdate AS DATE) <= DATE '1999-12-31'
+        |WHERE l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
       val ep = col("l_extendedprice").cast(dec12_2)
       val disc = (lit(1) - col("l_discount")).cast(dec4_2)
       val tax = (lit(1) + col("l_tax")).cast(dec4_2)
       Tables.lineitem(s, dir)
-        .filter(to_date(col("l_shipdate")) <= lit(java.sql.Date.valueOf("1999-12-31")))
+        // raw-column comparison (≡ to_date(l_shipdate) <= 1999-12-31) so
+        // the predicate pushes to the parquet scan; a to_date() wrapper
+        // would block pushdown
+        .filter(col("l_shipdate") < lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast(dec18_2)).cast("double").as("sum_qty"),
