@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Skew
+import graft.sources.Tables
+
+/** Workload breadth + skew-resilience: TPC-H-shaped reporting queries
+  * and the salted two-stage aggregation (oracle = the plain aggregate,
+  * because salting must be result-identical).
+  */
+object ScaleQueries {
+
+  private val dec12_2 = DecimalType(12, 2)
+  private val dec18_2 = DecimalType(18, 2)
+  private val dec4_2 = DecimalType(4, 2)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- TPC-H Q3 shape: shipping priority ----
+    QueryDef("q17_shipping_priority",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date, o_orderpriority
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val cutoff = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > cutoff)
+        .join(Tables.orders(s, dir).filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast(dec12_2) *
+          (lit(1) - col("l_discount")).cast(dec4_2)).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    },
+
+    // ---- TPC-H Q18 shape: large-volume customers (HAVING) ----
+    QueryDef("q18_big_spenders",
+      """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 1500000
+        |ORDER BY total_spend DESC, c_custkey LIMIT 50""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec18_2)).as("spend_dec"))
+        .where(col("spend_dec") > 1500000)
+        .select(col("c_custkey"), col("c_name"), col("n_orders"),
+          col("spend_dec").cast("double").as("total_spend"))
+        .orderBy(col("total_spend").desc, col("c_custkey"))
+        .limit(50)
+    },
+
+    // ---- salted two-stage aggregation (skew path) ----
+    // The oracle is the PLAIN aggregate: salting must be exactly
+    // result-preserving or it is wrong.
+    QueryDef("q21_salted_agg",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n_rows,
+        |  MIN(value) AS min_value,
+        |  MAX(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Skew.saltedSumCount(Tables.events(s, dir), Seq("event_type"), "value")
+        .select("event_type", "sum_value", "n_rows", "min_value", "max_value")
+        .orderBy("event_type")
+    })
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+import graft.sources.Tables
+
+/** Scale-mechanism tests: bucketed co-located joins, salting
+  * equivalence, streaming from a real file source.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // spark.sql.warehouse.dir is static — bucketed tables land in the
+    // session's default warehouse; drop them when done
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.lineitem(spark, dir).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, dir).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    try {
+      // hint("merge") pins a SortMergeJoin (AQE would broadcast these
+      // tiny tables and hide the property under test)
+      val joined = spark.table("li_b").hint("merge")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      joined.collect() // force execution through AQE
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketed co-located join: scans read bucketed, and there is no
+      // exchange on either JOIN key (the group-by's own exchange on
+      // o_orderpriority is expected and unrelated)
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"expected shuffle-free bucketed join:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
+  test("salted aggregation is exactly result-equal to the plain aggregate") {
+    val ev = Tables.events(spark, dir)
+    val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val plain = ev.groupBy("event_type")
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("streaming from a parquet file source produces the batch answer") {
+    val ev = Tables.events(spark, dir)
+    // file streaming sources need a directory, not a single file
+    val streamDir = Files.createTempDirectory("graft_stream")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .parquet(streamDir.toString)
+    val q = graft.streaming.EventStream.hourlyCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("file_hourly").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; all but the
+      // final hour(s) of the fixed dataset are closed
+      val streamed = spark.table("file_hourly").count()
+      val batchWindows = ev
+        .withColumn("hb", expr("ts div 3600000000000")).select("hb").distinct().count()
+      assert(streamed >= batchWindows - 2 && streamed > 0,
+        s"streamed=$streamed batchWindows=$batchWindows")
+    } finally q.stop()
+  }
+}
