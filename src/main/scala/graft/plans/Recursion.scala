@@ -10,13 +10,17 @@ import org.apache.spark.sql.DataFrame
   * (anchor → step → union until the frontier is empty), while every
   * join/projection executes distributed on the cluster.
   *
-  * Scale posture (100 TB): each level is `localCheckpoint`ed eagerly so
-  * the logical plan/lineage stays O(1) per level instead of O(depth²)
-  * (the classic iterative-join pitfall) and each frontier is computed
-  * exactly once. The per-level `isEmpty` termination check is a cheap
-  * action (first-row-only). Hierarchy depth is bounded and small in
-  * practice (≤ tens), so the sequential loop is not a bottleneck; the
-  * data-parallel work inside each step scales with the cluster.
+  * Scale posture (100 TB): lineage is truncated with `localCheckpoint`
+  * every `checkpointInterval` levels, so plan size is bounded by the
+  * interval instead of growing O(depth) (the classic iterative-join
+  * pitfall). Within an interval the per-level `isEmpty` check and the
+  * final union may recompute the un-checkpointed suffix of the join
+  * chain — a deliberate trade-off: hierarchies are shallow (≤ tens of
+  * levels), and a materialization job per level would cost more than
+  * the bounded recompute. Set `checkpointInterval = 1` for
+  * compute-each-level-exactly-once semantics on expensive steps. The
+  * sequential loop is driver-side control flow only; the data-parallel
+  * work inside each step scales with the cluster.
   */
 object Recursion {
 

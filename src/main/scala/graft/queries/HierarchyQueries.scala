@@ -40,6 +40,8 @@ object HierarchyQueries {
       |  SELECT node_natural_key, node_name, level_name, parent_natural_key, is_root, is_leaf,
       |         1 AS level_number,
       |         lpad(node_natural_key, 12, '0') AS path_key,
+      |         [{node_id: node_natural_key, node_natural_key: node_natural_key, node_name: node_name, level_name: level_name,
+      |           parent_node_id: parent_natural_key, is_root: is_root, is_leaf: is_leaf, level_number: 1}] AS jpath,
       |         node_natural_key AS level_1_node_natural_key, node_name AS level_1_node_name, level_name AS level_1_level_name,
       |         CAST(NULL AS VARCHAR) AS level_2_node_natural_key, CAST(NULL AS VARCHAR) AS level_2_node_name, CAST(NULL AS VARCHAR) AS level_2_level_name,
       |         CAST(NULL AS VARCHAR) AS level_3_node_natural_key, CAST(NULL AS VARCHAR) AS level_3_node_name, CAST(NULL AS VARCHAR) AS level_3_level_name
@@ -48,6 +50,9 @@ object HierarchyQueries {
       |  SELECT c.node_natural_key, c.node_name, c.level_name, c.parent_natural_key, c.is_root, c.is_leaf,
       |         p.level_number + 1,
       |         p.path_key || '/' || lpad(c.node_natural_key, 12, '0'),
+      |         array_append(p.jpath,
+      |           {node_id: c.node_natural_key, node_natural_key: c.node_natural_key, node_name: c.node_name, level_name: c.level_name,
+      |            parent_node_id: c.parent_natural_key, is_root: c.is_root, is_leaf: c.is_leaf, level_number: p.level_number + 1}),
       |         p.level_1_node_natural_key, p.level_1_node_name, p.level_1_level_name,
       |         CASE WHEN p.level_number + 1 = 2 THEN c.node_natural_key ELSE p.level_2_node_natural_key END,
       |         CASE WHEN p.level_number + 1 = 2 THEN c.node_name ELSE p.level_2_node_name END,
@@ -149,15 +154,29 @@ object HierarchyQueries {
       |       COUNT(*) AS count_of_fact_records""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
+    // node_json / node_json_path (reference aggregation_example.sql:
+    // 176-184) are compared as canonical JSON text on both sides —
+    // node_id = natural key here, so the structs are fully
+    // deterministic and hash-checkable.
     QueryDef("h1_reporting_dim",
       nodesSql +
         """
           |SELECT node_natural_key, node_name, level_name, level_number, is_root, is_leaf, node_sort_order,
+          |       CAST(to_json({node_id: node_natural_key, node_natural_key: node_natural_key, node_name: node_name, level_name: level_name,
+          |         parent_node_id: parent_natural_key, is_root: is_root, is_leaf: is_leaf, level_number: level_number,
+          |         node_sort_order: node_sort_order}) AS VARCHAR) AS node_json,
+          |       CAST(to_json(jpath) AS VARCHAR) AS node_json_path,
           |       level_1_node_natural_key, level_1_node_name, level_1_level_name,
           |       level_2_node_natural_key, level_2_node_name, level_2_level_name,
           |       level_3_node_natural_key, level_3_node_name, level_3_level_name
           |FROM dim ORDER BY node_sort_order""".stripMargin) { (s, dir) =>
-      reportingDim(s, dir).select(dimOutputCols.map(col): _*).orderBy("node_sort_order")
+      reportingDim(s, dir)
+        .withColumn("node_json",
+          to_json(col("node_json"), Map("ignoreNullFields" -> "false")))
+        .withColumn("node_json_path",
+          to_json(col("node_json_path"), Map("ignoreNullFields" -> "false")))
+        .select((dimOutputCols ++ Seq("node_json", "node_json_path")).map(col): _*)
+        .orderBy("node_sort_order")
     },
 
     QueryDef("h2_closure_dim",

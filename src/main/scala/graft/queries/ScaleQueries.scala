@@ -83,5 +83,15 @@ object ScaleQueries {
       Skew.saltedSumCount(Tables.events(s, dir), Seq("event_type"), "value")
         .select("event_type", "sum_value", "n_rows", "min_value", "max_value")
         .orderBy("event_type")
+    },
+
+    // ---- two-stage exact distinct (non-additive skew path) ----
+    // Same contract as q21: the oracle is the plain COUNT(DISTINCT);
+    // the decomposition must be exactly result-preserving.
+    QueryDef("q22_salted_distinct",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Skew.saltedDistinct(Tables.events(s, dir), Seq("event_type"), "user_id")
+        .orderBy("event_type")
     })
 }

@@ -63,9 +63,39 @@ object SimilarityQueries {
     // more planes on bigger corpora = same per-block cost, lower recall.
     QueryDef.noOracle("s4_ann_lsh_pairs") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val n = emb.count()
+      // Corpus size from the Parquet footer (driver metadata read, no
+      // job) — a full count() action per invocation would be a second
+      // table scan in the hot path.
+      val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
       val planes = math.max(2, (math.log(n / 500.0) / math.log(2)).ceil.toInt + 2)
       Similarity.lshCosinePairs(emb, minCosBp = 2000, planes = planes)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- hash-checked LSH recall contract (OR-amplified) ----
+    // Candidates from 24 independent 2-plane hash tables + exact
+    // quantized-cosine re-rank must reproduce the exact blocked result
+    // (s3) bit-for-bit: the oracle IS the exact computation. Miss
+    // probability per cos≥0.25 pair is (1-(1-θ/π)^2)^24 < 1e-4 — see
+    // Similarity.lshCosinePairsMulti.
+    QueryDef("s5_ann_lsh_recall",
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS n2
+        |  FROM embeddings WHERE vec_id < 2000
+        |)
+        |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |  CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT) AS cos_bp
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT) >= 2500
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Similarity.lshCosinePairsMulti(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
+        minCosBp = 2500, planes = 2, tables = 24)
         .orderBy("a_id", "b_id")
     })
 }

@@ -138,6 +138,37 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- hash-checked MinHash recall contract ----
+    // The exact side (inverted-index Jaccard ≥ 0.8, kept-set sizes ≥ 16)
+    // is recomputed by DuckDB; the oracle asserts recalled = TRUE on
+    // every row, i.e. LSH candidate generation misses NO substantial
+    // near-dup pair. See Dedup.minhashRecall for the band-bound math
+    // and why the size floor excludes df-cut artifacts.
+    QueryDef("d9_minhash_recall",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh) t WHERE df <= 50
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT p.a_id, p.b_id, p.common, sa.sz AS a_sz, sb.sz AS b_sz,
+        |  CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) AS jaccard,
+        |  TRUE AS recalled
+        |FROM pairs p JOIN sizes sa ON p.a_id = sa.doc_id JOIN sizes sb ON p.b_id = sb.doc_id
+        |WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.8
+        |  AND least(sa.sz, sb.sz) >= 16
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Dedup.minhashRecall(Tables.documents(s, dir))
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- multimodal metadata over the binary payload column ----
     QueryDef("m1_multimodal_meta",
       """SELECT doc_id,

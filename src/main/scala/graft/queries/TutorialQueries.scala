@@ -38,6 +38,7 @@ object TutorialQueries {
       |  SELECT node_natural_key, node_name, level_name, parent_natural_key, is_root, is_leaf,
       |         1 AS level_number,
       |         lpad(CAST(node_natural_key AS VARCHAR), 12, '0') AS path_key,
+      |         [{node_natural_key: node_natural_key, node_name: node_name, level_name: level_name, level_number: 1}] AS jpath,
       |         node_natural_key AS level_1_node_natural_key, node_name AS level_1_node_name, level_name AS level_1_level_name,
       |         CAST(NULL AS INTEGER) AS level_2_node_natural_key, CAST(NULL AS VARCHAR) AS level_2_node_name, CAST(NULL AS VARCHAR) AS level_2_level_name,
       |         CAST(NULL AS INTEGER) AS level_3_node_natural_key, CAST(NULL AS VARCHAR) AS level_3_node_name, CAST(NULL AS VARCHAR) AS level_3_level_name
@@ -46,6 +47,7 @@ object TutorialQueries {
       |  SELECT c.node_natural_key, c.node_name, c.level_name, c.parent_natural_key, c.is_root, c.is_leaf,
       |         p.level_number + 1,
       |         p.path_key || '/' || lpad(CAST(c.node_natural_key AS VARCHAR), 12, '0'),
+      |         array_append(p.jpath, {node_natural_key: c.node_natural_key, node_name: c.node_name, level_name: c.level_name, level_number: p.level_number + 1}),
       |         p.level_1_node_natural_key, p.level_1_node_name, p.level_1_level_name,
       |         CASE WHEN p.level_number + 1 = 2 THEN c.node_natural_key ELSE p.level_2_node_natural_key END,
       |         CASE WHEN p.level_number + 1 = 2 THEN c.node_name ELSE p.level_2_node_name END,
@@ -117,15 +119,37 @@ object TutorialQueries {
     "count_of_fact_records" -> count(lit(1)))
 
   val all: Seq[QueryDef] = Seq(
+    // The tutorial's node ids are uuid() defaults (reference
+    // aggregation_example.sql:3-4, SURVEY P9) — non-deterministic by
+    // design — so the struct-parity columns here are the ID-FREE
+    // projections of node_json / node_json_path (the deterministic
+    // fields the reference structs carry beyond the ids); h1 checks
+    // the full structs where ids are natural keys.
     QueryDef("t1_reporting_dim",
       nodesSql +
         """
           |SELECT node_natural_key, node_name, level_name, level_number, is_root, is_leaf, node_sort_order,
+          |       CAST(to_json({node_natural_key: node_natural_key, node_name: node_name, level_name: level_name,
+          |         is_root: is_root, is_leaf: is_leaf, level_number: level_number, node_sort_order: node_sort_order}) AS VARCHAR) AS node_json,
+          |       CAST(to_json(jpath) AS VARCHAR) AS node_json_path,
           |       level_1_node_natural_key, level_1_node_name, level_1_level_name,
           |       level_2_node_natural_key, level_2_node_name, level_2_level_name,
           |       level_3_node_natural_key, level_3_node_name, level_3_level_name
           |FROM dim ORDER BY node_sort_order""".stripMargin) { (s, _) =>
-      reportingDim(s).select(dimOutputCols.map(col): _*).orderBy("node_sort_order")
+      reportingDim(s)
+        .withColumn("node_json", to_json(struct(
+          col("node_natural_key"), col("node_name"), col("level_name"),
+          col("is_root"), col("is_leaf"), col("level_number"),
+          col("node_sort_order")), Map("ignoreNullFields" -> "false")))
+        .withColumn("node_json_path", to_json(
+          transform(col("node_json_path"), p => struct(
+            p.getField("node_natural_key").as("node_natural_key"),
+            p.getField("node_name").as("node_name"),
+            p.getField("level_name").as("level_name"),
+            p.getField("level_number").as("level_number"))),
+          Map("ignoreNullFields" -> "false")))
+        .select((dimOutputCols ++ Seq("node_json", "node_json_path")).map(col): _*)
+        .orderBy("node_sort_order")
     },
 
     QueryDef("t2_closure_dim",

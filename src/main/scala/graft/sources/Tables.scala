@@ -33,6 +33,30 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Exact row count from Parquet footer metadata — a driver-side
+    * metadata read, NO Spark job (vs `df.count()`, which scans). Used
+    * by operators that size tuning knobs (LSH plane counts, IVF
+    * centroid counts) from corpus cardinality: at 100 TB an extra
+    * full-table count action per query invocation is unacceptable.
+    * Handles both a single `.parquet` file and a directory of files.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val statuses =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      else Seq(fs.getFileStatus(p))
+    statuses.map { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
