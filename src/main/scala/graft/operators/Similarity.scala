@@ -93,6 +93,74 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) cell assignments: each vector is assigned to
+    * its nearest centroid by quantized cosine. Centroids are actual
+    * corpus vectors picked by a deterministic id stride (no RNG, no
+    * k-means iterations — reproducible across engines and runs; a
+    * k-means refinement would only move cell boundaries, not the
+    * algorithm shape). Returns (idCol, cell_id).
+    *
+    * Scale shape: centroids are broadcast (K ≪ n); assignment is one
+    * map-side n×K scoring pass + a groupBy(id) argmax — no shuffle of
+    * the vectors themselves beyond the aggregation.
+    */
+  def ivfAssignments(emb: DataFrame, centroidIds: Seq[Long],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val reg = registered(emb)
+    val cents = reg.filter(col(idCol).isin(centroidIds: _*))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cent_vec"),
+        qnorm2(vecCol).as("cent_n2"))
+    reg.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      // cosine vs centroid in double from exact quantized ints;
+      // argmax via struct-max with cell_id as deterministic tiebreak
+      .withColumn("score",
+        expr("CAST(qdot(" + vecCol + ", cent_vec) AS DOUBLE) / sqrt(CAST(cent_n2 AS DOUBLE))"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("score"), (-col("cell_id")).as("neg_cell"))).as("m"))
+      .select(col(idCol), (-col("m.neg_cell")).cast("long").as("cell_id"))
+  }
+
+  /** IVF top-k: score only vectors whose cell is among the query's
+    * `nprobe` closest cells. With nprobe = K this degrades gracefully
+    * to exact brute force; the spec measures the recall/nprobe curve
+    * against [[bruteForceTopK]] ground truth. All probe decisions stay
+    * distributed (tiny windows over K centroid rows) — no driver-side
+    * action before the query's own job.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, centroidIds: Seq[Long],
+      nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val reg = registered(emb)
+    val assign = ivfAssignments(reg, centroidIds, idCol, vecCol)
+    val cents = reg.filter(col(idCol).isin(centroidIds: _*))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cent_vec"),
+        qnorm2(vecCol).as("cent_n2"))
+    val q = reg.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"))
+    // rank the query's cells, keep the nprobe closest
+    val probed = cents.crossJoin(broadcast(q))
+      .withColumn("score",
+        expr("CAST(qdot(cent_vec, qv) AS DOUBLE) / sqrt(CAST(cent_n2 AS DOUBLE))"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("cell_id"))))
+      .where(col("rk") <= nprobe)
+      .select("cell_id")
+    // probed-cell membership: semi-join the (id→cell) table against the
+    // nprobe cell ids, then join back to the vectors on id. The
+    // membership side is ~n·nprobe/K rows — fact-sized at scale, so it
+    // is NOT broadcast; AQE picks the join strategy.
+    reg.join(assign.join(broadcast(probed), Seq("cell_id"), "left_semi"),
+        Seq(idCol))
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("score", qdot(vecCol, "qv"))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs-within-block cosine. O(Σ block²) — only viable when
     * blocks are bounded; the scale path is [[lshCosinePairs]], which
     * adds a hyperplane bucket to the block key so candidate counts stay

@@ -24,6 +24,15 @@ object CoreQueries {
   private val dec12_2 = DecimalType(12, 2)
   private val dec4_2 = DecimalType(4, 2)
 
+  /** orders enriched with geography for the cube/grouping-sets reports:
+    * all three dims broadcast (they stay dim-sized at any sf).
+    */
+  private def cubeBase(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- q01: TPC-H Q1-shaped pricing summary (A1 A3 A7 P7 O2) ----
@@ -314,6 +323,49 @@ object CoreQueries {
         size(path).as("path_len"),
         try_element_at(path, lit(3)).getField("nm").as("beyond_name"))
         .orderBy("n_nationkey")
+    },
+
+    // ---- q24: CUBE over 3 keys = 2^3 grouping sets (A4 generalized) ----
+    // grouping_set_id is Spark's grouping_id bit order (first key =
+    // most significant); the oracle reconstructs the same bitmask from
+    // DuckDB's per-column GROUPING().
+    QueryDef("q24_cube_report",
+      """SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+        |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(4*GROUPING(r_name) + 2*GROUPING(n_name) + GROUPING(o_orderpriority) AS BIGINT) AS grouping_set_id
+        |FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name, o_orderpriority)
+        |ORDER BY grouping_set_id, r_name, n_name, o_orderpriority""".stripMargin) { (s, dir) =>
+      graft.operators.GroupingOps.cubeReport(
+        cubeBase(s, dir), Seq("r_name", "n_name", "o_orderpriority"),
+        Seq("n_orders" -> count(lit(1)),
+          "revenue" -> sum(col("o_totalprice").cast(dec18_2)).cast("double")))
+        .orderBy("grouping_set_id", "r_name", "n_name", "o_orderpriority")
+    },
+
+    // ---- q25: explicit GROUPING SETS — only the requested sets ----
+    QueryDef("q25_grouping_sets",
+      """SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(2*GROUPING(r_name) + GROUPING(o_orderpriority) AS BIGINT) AS grouping_set_id
+        |FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), ())
+        |ORDER BY grouping_set_id, r_name, o_orderpriority""".stripMargin) { (s, dir) =>
+      graft.operators.GroupingOps.groupingSetsReport(
+        cubeBase(s, dir), Seq("r_name", "o_orderpriority"),
+        Seq(Seq(0, 1), Seq(0), Seq()),
+        Seq("n_orders" -> count(lit(1)),
+          "revenue" -> sum(col("o_totalprice").cast(dec18_2)).cast("double")))
+        .orderBy("grouping_set_id", "r_name", "o_orderpriority")
     },
 
     // ---- q19: global window / deterministic global ordering (W1 O3) ----

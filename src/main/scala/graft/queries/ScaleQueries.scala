@@ -85,6 +85,28 @@ object ScaleQueries {
         .orderBy("event_type")
     },
 
+    // ---- partition-pruned scan over a date-partitioned warehouse ----
+    // The Spark side reads orders re-materialized partitionBy(o_month)
+    // and filters on the partition key, so only the 1997 directories
+    // are scanned (PartitionFilters — asserted in ScaleSpec). The
+    // oracle recomputes from the flat table; results must be identical.
+    QueryDef("q23_partition_pruning",
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE)::VARCHAR AS o_month_start,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY o_month_start""".stripMargin) { (s, dir) =>
+      graft.sources.Warehouse.ordersByMonth(s, dir)
+        .filter(col("o_month") >= "1997-01" && col("o_month") <= "1997-12")
+        .groupBy("o_month")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec18_2)).cast("double").as("revenue"))
+        .select(concat(col("o_month"), lit("-01")).as("o_month_start"),
+          col("n_orders"), col("revenue"))
+        .orderBy("o_month_start")
+    },
+
     // ---- two-stage exact distinct (non-additive skew path) ----
     // Same contract as q21: the oracle is the plain COUNT(DISTINCT);
     // the decomposition must be exactly result-preserving.

@@ -72,6 +72,27 @@ object SimilarityQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- IVF ANN: deterministic stride centroids, probe-all oracle ----
+    // At nprobe = K the probed cells are exhaustive BY CONSTRUCTION, so
+    // the result must equal the brute-force top-k exactly — the oracle
+    // checks the full IVF machinery (assignment covers every vector,
+    // probe ranking, candidate union) end to end. The recall/cost curve
+    // at nprobe < K (the production setting) is measured in
+    // SimilaritySpec against the same ground truth.
+    QueryDef("s6_ann_ivf",
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |    p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS score
+        |FROM embeddings e CROSS JOIN q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id LIMIT 50""".stripMargin) { (s, dir) =>
+      val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val cents = (0 until 8).map(i => i * (n / 8))
+      Similarity.ivfTopK(Tables.embeddings(s, dir), queryId = 0L, k = 50,
+        centroidIds = cents, nprobe = 8)
+    },
+
     // ---- hash-checked LSH recall contract (OR-amplified) ----
     // Candidates from 24 independent 2-plane hash tables + exact
     // quantized-cosine re-rank must reproduce the exact blocked result

@@ -33,6 +33,47 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("w_start"),
         col("event_type"), col("n_events"), col("approx_users"))
 
+  /** Exactly-once ingestion dedup: drop event_id duplicates arriving
+    * within the watermark horizon. `dropDuplicatesWithinWatermark`
+    * keys state by event_id only and GCs each key once the watermark
+    * passes its first-seen event time — bounded state, the shape that
+    * survives at-least-once upstream delivery at 100 TB (a plain
+    * `dropDuplicates(event_id)` would grow state forever).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each impression matched with the
+    * same user's clicks that land within `windowMinutes` after it.
+    * Both sides are watermarked and the join condition bounds
+    * click-time relative to impression-time, so each side's buffered
+    * state is evicted once the watermark clears the interval — the
+    * ONLY stream-stream join shape whose state is bounded (an
+    * unconstrained equi-join would buffer both streams forever).
+    */
+  def impressionClickJoin(impressions: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val imp = impressions
+      .withColumn("imp_ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("imp_ets", "1 hour")
+      .select(col("event_id").as("imp_id"), col("user_id"), col("imp_ets"))
+    val clk = clicks
+      .withColumn("clk_ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("clk_ets", "1 hour")
+      .select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+        col("clk_ets"))
+    imp.join(clk,
+      expr(s"""user_id = clk_user AND
+               clk_ets >= imp_ets AND
+               clk_ets <= imp_ets + interval $windowMinutes minutes"""))
+      .select(col("imp_id"), col("clk_id"), col("user_id"),
+        unix_timestamp(col("imp_ets")).as("imp_s"),
+        unix_timestamp(col("clk_ets")).as("clk_s"))
+  }
+
   case class Ev(event_id: Long, ts: Long, user_id: Long)
   case class EvT(event_id: Long, ts: Long, user_id: Long,
       ets: java.sql.Timestamp)

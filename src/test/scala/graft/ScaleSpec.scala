@@ -83,4 +83,29 @@ class ScaleSpec extends AnyFunSuite {
         s"streamed=$streamed batchWindows=$batchWindows")
     } finally q.stop()
   }
+
+  test("partitioned scan prunes partitions (PartitionFilters reach the scan)") {
+    val byMonth = graft.sources.Warehouse.ordersByMonth(spark, dir)
+    val months = byMonth.select("o_month").distinct().count()
+    val filtered = byMonth
+      .filter(col("o_month") >= "1997-01" && col("o_month") <= "1997-12")
+      .groupBy("o_month").count()
+    filtered.collect()
+    val scan = filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters: ["), s"no PartitionFilters:\n$scan")
+    assert(scan.contains("o_month"), s"partition key missing from filters:\n$scan")
+    // the scan's selected partition count must be < all months: the
+    // pruned directories are never opened
+    val selected = "partition count: (\\d+)".r
+      .findFirstMatchIn(filtered.queryExecution.executedPlan.toString)
+    val prunedOk = selected.forall(_.group(1).toInt < months)
+    assert(prunedOk, s"expected < $months partitions selected:\n$scan")
+    // and the query itself answers correctly vs the unpartitioned source
+    val expect = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01")
+      .count()
+    val got = filtered.agg(sum("count")).collect()(0).getLong(0)
+    assert(got == expect, s"partitioned answer $got != flat answer $expect")
+  }
 }

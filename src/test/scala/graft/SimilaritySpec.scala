@@ -56,4 +56,37 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("score")).toMap
     lsh.foreach { case (id, score) => assert(bf(id) == score) }
   }
+
+  test("multi-table LSH pairs reproduce exact blocked pairs (OR-amplified recall)") {
+    val exact = Similarity.blockedCosinePairs(emb, minCosBp = 9000).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("cos_bp"))).toSet
+    val multi = Similarity.lshCosinePairsMulti(emb, minCosBp = 9000,
+      planes = 2, tables = 24).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("cos_bp"))).toSet
+    assert(multi == exact, s"multi=$multi exact=$exact")
+    val plan = Similarity.lshCosinePairsMulti(emb, minCosBp = 9000,
+      planes = 2, tables = 24).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"multi-table candidates must be bucket equi-joins:\n$plan")
+  }
+
+  test("IVF recall rises with nprobe and is exact at nprobe = K") {
+    val real = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = graft.sources.Tables.parquetRowCount(spark,
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val cents = (0 until 8).map(i => i * (n / 8))
+    val truth = Similarity.bruteForceTopK(real, 0L, 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(real, 0L, 50, cents, nprobe)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1); val r4 = recall(4); val r8 = recall(8)
+    assert(r1 >= 0.5, s"recall@1=$r1")
+    assert(r4 >= r1 - 0.02 && r4 >= 0.8, s"recall@4=$r4 (recall@1=$r1)")
+    assert(r8 == 1.0, s"nprobe=K must be exhaustive, recall@8=$r8")
+  }
 }

@@ -57,4 +57,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.contains((7L, 2L, 600L, true)))
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark emits each event_id once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.dedupedEvents(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      val B = 100 * H
+      // duplicate delivery of event 1 in the same batch and again in a
+      // later batch, all within the watermark horizon
+      mem.addData((1L, B, 1L, "click", 1.0), (1L, B, 1L, "click", 1.0),
+        (2L, B + 60L * 1000000000L, 2L, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, B, 1L, "click", 1.0),
+        (3L, B + 120L * 1000000000L, 3L, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val impMem = MemoryStream[(Long, Long, Long)]
+    val clkMem = MemoryStream[(Long, Long, Long)]
+    val imps = impMem.toDF().toDF("event_id", "ts", "user_id")
+    val clks = clkMem.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStream.impressionClickJoin(imps, clks, windowMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("joined_out").start()
+    try {
+      val B = 100 * H
+      val M = 60L * 1000000000L
+      impMem.addData((10L, B, 1L), (11L, B, 2L))
+      // user 1 clicks 10min after impression (match); user 2 clicks 2h
+      // later (outside the interval — no match); user 3 never saw one
+      clkMem.addData((20L, B + 10 * M, 1L), (21L, B + 120 * M, 2L),
+        (22L, B + 5 * M, 3L))
+      q.processAllAvailable()
+      val out = spark.table("joined_out")
+        .select("imp_id", "clk_id", "user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((10L, 20L, 1L)), s"got $out")
+    } finally q.stop()
+  }
 }
