@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -19,12 +19,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // Non-nullable primitives: the typed encoder derives this from the
+  // case class (primitives can't be null — tighter than the old
+  // RDD-path schema, which had to declare everything nullable).
   val featureSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("n_bytes", LongType),
-    StructField("frame_count", LongType),
-    StructField("mean_byte", DoubleType),
-    StructField("features", ArrayType(DoubleType))))
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("frame_count", LongType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false))))
 
   /** STUB decoder: deterministic fake "decode" of a binary payload —
     * 16-bin byte histogram (normalized) standing in for real image/
@@ -52,24 +55,34 @@ object Multimodal {
   def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("payload", col(textCol).cast("binary"))
 
-  /** Per-partition batch decode: binary payloads → typed features.
-    * Runs N-per-partition with zero shuffle; partition sizing is
-    * inherited from the source (at 100 TB: bound partitions via
-    * spark.sql.files.maxPartitionBytes so payload batches fit in
-    * executor memory).
+  case class PayloadIn(doc_id: Long, payload: Array[Byte])
+  case class FeatureOut(doc_id: Long, n_bytes: Long, frame_count: Long,
+      mean_byte: Double, features: Array[Double])
+
+  /** Per-partition batch decode: binary payloads → typed features, as
+    * a TYPED Dataset.mapPartitions (encoder-backed — stays on the
+    * Tungsten serialization path rather than dropping to the RDD API
+    * with driver-supplied Row schemas). The per-PARTITION iterator is
+    * where a real decoder would hoist codec/model init, amortized over
+    * the batch — the same shape `mapInPandas` gives Python. Zero
+    * shuffle; partition sizing inherited from the source (at 100 TB:
+    * bound via spark.sql.files.maxPartitionBytes so payload batches
+    * fit in executor memory).
     */
   def decodeFeatures(docsWithPayload: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val spark = docsWithPayload.sparkSession
-    val input = docsWithPayload.select(col(idCol).cast("long"), col("payload"))
-    val rows = input.rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val (frames, mean, feats) = decodeStub(payload)
-        Row(id, payload.length.toLong, frames, mean, feats.toSeq)
+    import spark.implicits._
+    docsWithPayload
+      .select(col(idCol).cast("long").as("doc_id"), col("payload"))
+      .as[PayloadIn]
+      .mapPartitions { batch =>
+        // real-decoder version: init codec ONCE here, reuse across rows
+        batch.map { p =>
+          val (frames, mean, feats) = decodeStub(p.payload)
+          FeatureOut(p.doc_id, p.payload.length.toLong, frames, mean, feats)
+        }
       }
-    }
-    spark.createDataFrame(rows, featureSchema)
+      .toDF()
   }
 }

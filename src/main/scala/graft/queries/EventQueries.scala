@@ -115,5 +115,57 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
           expr("CAST((MAX(tus) - MIN(tus)) div 1000000 AS BIGINT)").as("duration_s"))
         .orderBy("user_id", "session_id")
+    },
+
+    // ---- as-of join: each purchase to the user's latest prior view ----
+    // The oracle is DuckDB's NATIVE ASOF LEFT JOIN — our union-merge
+    // composition (AsofJoin.scala) must reproduce it exactly. The right
+    // side is deduped to one row per (user, µs) because under ties
+    // "the" latest row is engine-dependent in every ASOF impl.
+    QueryDef("e6_asof_join",
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS v_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id, v.v_id AS view_id,
+        |  (p.ts_us - v.ts_us) // 1000000 AS gap_s
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("v_id"))
+        .select(col("user_id"), col("ts_us").as("v_ts_us"), col("v_id"))
+      graft.operators.AsofJoin.asofJoin(purchases, views,
+        keys = Seq("user_id"), leftTs = "ts_us", rightTs = "v_ts_us",
+        rightCols = Seq("v_id", "v_ts_us"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("asof_v_id").as("view_id"),
+          expr("CAST((ts_us - asof_v_ts_us) div 1000000 AS BIGINT)").as("gap_s"))
+        .orderBy("purchase_id")
+    },
+
+    // ---- approx_count_distinct with a hash-checked error contract ----
+    // HLL sketches differ between engines, so the approximate VALUE
+    // can't be oracle-compared — but its accuracy contract can: the
+    // query emits the exact count (oracle-recomputed) plus a flag
+    // asserting the sketch landed within 5% of it (HLL++ at rsd=0.02
+    // gives ~2.5σ of margin; deterministic for fixed data). This is
+    // the declared form of SURVEY A2's scale option: at 100 TB the
+    // sketch replaces the exact distinct's second shuffle entirely.
+    QueryDef("e7_approx_distinct",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("n_approx") - col("n_users_exact")).cast("double") /
+            col("n_users_exact") <= 0.05).as("within_5pct"))
+        .orderBy("event_type")
     })
 }

@@ -120,16 +120,14 @@ object HierarchyQueries {
   // Spark analogue of the reference's CTAS dims (aggregation_example
   // .sql:86,351: build product_reporting_dim / product_aggregation_dim
   // once, query them many times). localCheckpoint caches the tiny dim
-  // in memory and truncates its recursive lineage.
-  private val dimCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-
+  // in memory and truncates its recursive lineage; SessionCache holds
+  // entries via weak session keys (no leak across sessions).
   def reportingDim(s: SparkSession, dir: String): DataFrame =
-    dimCache.getOrElseUpdate((s, dir, "reporting"),
+    graft.sources.SessionCache.getOrElseUpdate(s, s"h_reporting:$dir")(
       Hierarchy.buildReportingDim(nodes(s, dir), levels = 3).localCheckpoint(true))
 
   def closureDim(s: SparkSession, dir: String): DataFrame =
-    dimCache.getOrElseUpdate((s, dir, "closure"),
+    graft.sources.SessionCache.getOrElseUpdate(s, s"h_closure:$dir")(
       Hierarchy.buildClosureDim(reportingDim(s, dir)).localCheckpoint(true))
 
   /** Facts: one row per order, keyed by the customer's nation. The

@@ -98,18 +98,16 @@ object TutorialQueries {
   // -- Spark-side builders, materialized once per session (the Spark
   // analogue of the reference's CTAS dims, aggregation_example.sql:86,351).
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   private def nodes(s: SparkSession): DataFrame =
-    cache.getOrElseUpdate((s, "nodes"), Tutorial.productNodes(s))
+    graft.sources.SessionCache.getOrElseUpdate(s, "t_nodes")(
+      Tutorial.productNodes(s))
 
   private def reportingDim(s: SparkSession): DataFrame =
-    cache.getOrElseUpdate((s, "reporting"),
+    graft.sources.SessionCache.getOrElseUpdate(s, "t_reporting")(
       Hierarchy.buildReportingDim(nodes(s), levels = 3).localCheckpoint(true))
 
   private def closureDim(s: SparkSession): DataFrame =
-    cache.getOrElseUpdate((s, "closure"),
+    graft.sources.SessionCache.getOrElseUpdate(s, "t_closure")(
       Hierarchy.buildClosureDim(reportingDim(s)).localCheckpoint(true))
 
   private def reportAggs: Seq[(String, org.apache.spark.sql.Column)] = Seq(

@@ -17,9 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object Warehouse {
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   /** Orders partitioned by order month (`o_month` = 'yyyy-MM'), written
     * under the session's spark-warehouse dir and read back as a
     * partitioned table. The partition column is a STRING directory key
@@ -27,7 +24,7 @@ object Warehouse {
     * re-inferred and can shift across engines).
     */
   def ordersByMonth(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((s, dir), {
+    SessionCache.getOrElseUpdate(s, s"orders_by_month:$dir") {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"spark-warehouse/orders_by_month$safe"
       Tables.orders(s, dir)
@@ -35,5 +32,5 @@ object Warehouse {
           date_format(to_date(col("o_orderdate")), "yyyy-MM"))
         .write.partitionBy("o_month").mode("overwrite").parquet(path)
       s.read.parquet(path)
-    })
+    }
 }

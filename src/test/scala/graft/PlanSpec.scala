@@ -52,4 +52,36 @@ class PlanSpec extends AnyFunSuite {
       scan.contains("EqualTo(o_orderstatus,F)"),
       s"expected pushed filter:\n$scan")
   }
+
+  test("saltedDistinct plans two aggregations; the second shuffle carries distinct pairs") {
+    val df = graft.operators.Skew.saltedDistinct(
+      graft.sources.Tables.events(spark, dir), Seq("event_type"), "user_id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // stage 1: distinct over (event_type, user_id) — exchange on the
+    // PAIR (hot keys spread); stage 2: additive count — exchange on the
+    // key alone, fed by already-distinct rows
+    assert(plan.contains("Exchange hashpartitioning(event_type") &&
+      plan.contains("user_id"), s"expected pair-keyed exchange:\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).size
+    assert(nAggs >= 4, s"expected partial+final aggs for both stages:\n$plan")
+    // and NO countDistinct Expand: the decomposition replaces it
+    assert(!plan.contains("Expand"), s"expected no expand-based distinct:\n$plan")
+  }
+
+  test("cube report is one Expand + one aggregation exchange") {
+    val df = graft.operators.GroupingOps.cubeReport(
+      graft.sources.Tables.orders(spark, dir)
+        .select("o_orderpriority", "o_orderstatus", "o_totalprice"),
+      Seq("o_orderpriority", "o_orderstatus"),
+      Seq("n" -> count(lit(1))))
+    df.collect()
+    // AQE's toString repeats the pre-adaptive plan under "Initial Plan";
+    // count only the final section
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Expand".r.findAllIn(plan).size >= 1, s"expected Expand:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one aggregation exchange:\n$plan")
+  }
 }
