@@ -102,7 +102,10 @@ object QuantizedDot {
   * sessions built with `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("qdot"), QuantizedDot.info,
       QuantizedDot.builder))
+    e.injectFunction((FunctionIdentifier("signbits"), SignBits.info,
+      SignBits.builder))
+  }
 }

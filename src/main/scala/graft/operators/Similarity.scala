@@ -30,6 +30,7 @@ object Similarity {
 
   private def registered(df: DataFrame): DataFrame = {
     graft.functions.QuantizedDot.register(df.sparkSession)
+    graft.functions.SignBits.register(df.sparkSession)
     df
   }
 
@@ -58,22 +59,23 @@ object Similarity {
     Seq.fill(planes)(Array.fill(dims)(rnd.nextGaussian()))
   }
 
-  private def bucketExpr(planes: Int, dims: Int, seed: Long,
-      vecCol: String): String = {
+  /** Bucket column expression: the native codegen'd SignBits expression
+    * over a literal hyperplane matrix — one tight loop per row instead
+    * of `planes` interpreted higher-order folds (see SignBits scaladoc;
+    * bucket values are bit-for-bit identical to the fold formulation).
+    * The matrix literal is constant-folded by Catalyst.
+    */
+  private def bucketCol(planes: Int, dims: Int, seed: Long,
+      vecCol: String): Column = {
     val hs = hyperplanes(planes, dims, seed)
-    val bits = hs.zipWithIndex.map { case (h, i) =>
-      // v.toString round-trips doubles exactly and is locale-independent
-      // (the f interpolator would emit ',' decimals under some locales).
-      val lits = h.map(v => s"CAST(${v.toString} AS DOUBLE)").mkString("array(", ", ", ")")
-      s"IF(aggregate(zip_with($vecCol, $lits, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0, shiftleft(1, $i), 0)"
-    }
-    bits.mkString("(", " + ", ")")
+    val matrix = array(hs.map(h => array(h.map(lit): _*)): _*)
+    call_function("signbits", col(vecCol), matrix)
   }
 
   /** Add an LSH bucket column: one sign bit per hyperplane. */
   def withLshBucket(emb: DataFrame, planes: Int = 12, dims: Int = 64,
       vecCol: String = "embedding", seed: Long = 42L): DataFrame =
-    emb.withColumn("lsh_bucket", expr(bucketExpr(planes, dims, seed, vecCol)))
+    registered(emb).withColumn("lsh_bucket", bucketCol(planes, dims, seed, vecCol))
 
   /** LSH-accelerated top-k: exact quantized ranking, but only within
     * the query's hyperplane bucket. The plan is a broadcast equi-join
@@ -221,7 +223,7 @@ object Similarity {
       vecCol: String = "embedding", blockCol: String = "label"): DataFrame = {
     val reg = registered(emb)
     val buckets = (0 until tables)
-      .map(t => expr(bucketExpr(planes, 64, t.toLong, vecCol)))
+      .map(t => bucketCol(planes, 64, t.toLong, vecCol))
     val withNorm = reg
       .withColumn("n2", qnorm2(vecCol))
       .withColumn("bks", array(buckets: _*))

@@ -72,6 +72,31 @@ class SimilaritySpec extends AnyFunSuite {
       s"multi-table candidates must be bucket equi-joins:\n$plan")
   }
 
+  test("native signbits matches the interpreted HOF fold bit-for-bit") {
+    graft.functions.SignBits.register(spark)
+    val planes = Seq(Array(1.0, -0.5, 0.25), Array(-1.0, 2.0, 0.0))
+    val matrix = array(planes.map(h => array(h.map(lit): _*)): _*)
+    val withBoth = emb
+      .withColumn("native", call_function("signbits", col("embedding"), matrix))
+      .withColumn("hof", expr(
+        planes.zipWithIndex.map { case (h, i) =>
+          val lits = h.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+          s"IF(aggregate(zip_with(embedding, $lits, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0, shiftleft(1, $i), 0)"
+        }.mkString("(", " + ", ")")))
+    val mismatches = withBoth.where(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+    // codegen participation needs a non-local scan (a literal local
+    // relation constant-folds the whole projection at plan time)
+    val real = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("native", call_function("signbits", col("embedding"),
+        array(array(lit(1.0), lit(-0.5)))))
+      .select("native")
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string;
+    // a CodegenFallback expression would strip the star from Project
+    val plan = real.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"expected codegen'd Project:\n$plan")
+  }
+
   test("IVF recall rises with nprobe and is exact at nprobe = K") {
     val real = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = graft.sources.Tables.parquetRowCount(spark,
