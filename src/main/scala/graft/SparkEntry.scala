@@ -14,7 +14,8 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     TutorialQueries.all ++ HierarchyQueries.all ++ CoreQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ EventQueries.all ++
-      SqlQueries.all ++ PipelineQueries.all ++ ScaleQueries.all
+      SqlQueries.all ++ PipelineQueries.all ++ ScaleQueries.all ++
+      AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

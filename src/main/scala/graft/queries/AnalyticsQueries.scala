@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Round-4 analytic breadth: window-function families beyond
+  * ROW_NUMBER (SURVEY §2.6 W2), distributed statistical moments,
+  * PIVOT/UNPIVOT reshaping, and a bucketed range join — all oracle-
+  * checked against DuckDB on the same parquet.
+  *
+  * Scale notes common to the file:
+  *  - Statistical moments (mean/variance/stddev/correlation) are
+  *    computed from EXACT decimal power sums (n, Σx, Σx², Σxy) — a
+  *    single partial-aggregation pass, order-independent, mergeable
+  *    across 1000 executors — then combined in double at the end.
+  *    Spark's builtin `stddev`/`corr` stream doubles and are
+  *    partition-order-dependent; power sums are the scalable AND
+  *    oracle-exact form.
+  *  - The range join buckets the time axis so the probe is an
+  *    equi-join on (key, bucket) — never a broadcast-nested-loop over
+  *    an inequality, which is the 100 TB killer for interval joins.
+  */
+object AnalyticsQueries {
+
+  private val dec12_2 = DecimalType(12, 2)
+  private val dec18_2 = DecimalType(18, 2)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- W2: lag/lead/first_value/ntile/running frame ----
+    // Per-customer order timeline: previous/next order price, first
+    // order date, running spend (UNBOUNDED PRECEDING..CURRENT ROW),
+    // spend quartile within the customer. Bounded to o_custkey < 100
+    // (~1k rows at sf0.01) so the compare stays small; the window is
+    // partitioned by customer — the scalable shape (one hash shuffle,
+    // no global sort).
+    QueryDef("q26_window_analytics",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |  LAG(o_totalprice) OVER w AS prev_total,
+        |  LEAD(o_totalprice) OVER w AS next_total,
+        |  CAST(CAST(FIRST_VALUE(o_orderdate) OVER w AS DATE) AS VARCHAR) AS first_date,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS spend_quartile
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSpend = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("bigint").as("rn"),
+          lag("o_totalprice", 1).over(w).as("prev_total"),
+          lead("o_totalprice", 1).over(w).as("next_total"),
+          date_format(first("o_orderdate").over(w), "yyyy-MM-dd").as("first_date"),
+          sum(col("o_totalprice").cast(dec18_2)).over(wRun).cast("double").as("run_total"),
+          ntile(4).over(wSpend).cast("bigint").as("spend_quartile"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    // ---- distributed statistical moments from exact power sums ----
+    // mean/var/stddev of quantity + price↔quantity correlation per
+    // return flag. Formulas written CHARACTER-IDENTICAL in both
+    // engines over identical integer/decimal inputs, so the IEEE
+    // double results match bit-exact.
+    QueryDef("q27_stats_moments",
+      """WITH sums AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  sx / n AS mean_qty,
+        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM sums ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val q = col("l_quantity").cast(dec12_2)
+      val p = col("l_extendedprice").cast(dec12_2)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).cast("double").as("sx"),
+          sum(q * q).cast("double").as("sxx"),
+          sum(p).cast("double").as("sy"),
+          sum(p * p).cast("double").as("syy"),
+          sum(q * p).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          expr("sx / n").as("mean_qty"),
+          expr("(sxx - sx * sx / n) / (n - 1)").as("var_qty"),
+          expr("sqrt((sxx - sx * sx / n) / (n - 1))").as("stddev_qty"),
+          expr("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))")
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- PIVOT: one row per linestatus, one revenue column per flag ----
+    // Spark plans pivot-with-explicit-values as a SINGLE aggregation
+    // pass (no per-value scans); always pass the value list — value
+    // discovery is an extra distinct job at scale.
+    QueryDef("q28_pivot_returnflag",
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "A",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "N",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(dec12_2)).cast("double"))
+        .orderBy("l_linestatus")
+    },
+
+    // ---- UNPIVOT: wide measures → long (metric, val) rows ----
+    QueryDef("q29_unpivot_measures",
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric, l_extendedprice AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity', l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |) WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 500)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_extendedprice"), col("l_quantity"), col("l_tax")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
+    // ---- bucketed range join: clicks within 10 min before purchase ----
+    // Interval join expressed as an equi-join on (user_id, time
+    // bucket): each purchase probes its own bucket and the previous
+    // one (window ≤ bucket width), the exact range predicate filters
+    // after the hash join. Each click has ONE bucket so no pair
+    // double-counts. At 100 TB this stays a shuffle hash join on a
+    // composite key; the naive form (equi on user + inequality) keeps
+    // the hash join but degrades when few users dominate — the bucket
+    // key spreads each user's clicks across time.
+    QueryDef("q30_range_join",
+      """SELECT p.event_id, CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks
+        |FROM events p LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        |  AND epoch_ns(c.ts) >= epoch_ns(p.ts) - 600000000000
+        |  AND epoch_ns(c.ts) < epoch_ns(p.ts)
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val bucketNs = 600000000000L // 10 min in ns = the window width
+      val ev = Tables.events(s, dir)
+      // `ts div N` (integral): ts is a nanosecond epoch bigint ~1.7e18,
+      // beyond double's 2^53 mantissa — float division would misbucket.
+      val bucket = expr(s"ts div ${bucketNs}L")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          explode(array(bucket - 1, bucket)).as("bucket"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"), bucket.as("c_bucket"))
+      purchases
+        .join(clicks,
+          col("user_id") === col("c_user") && col("bucket") === col("c_bucket") &&
+            col("c_ts") >= col("ts") - bucketNs && col("c_ts") < col("ts"),
+          "left_outer")
+        .groupBy("event_id")
+        .agg(count(col("c_id")).as("n_clicks"))
+        .orderBy("event_id")
+    })
+}

@@ -167,5 +167,28 @@ object EventQueries {
           (abs(col("n_approx") - col("n_users_exact")).cast("double") /
             col("n_users_exact") <= 0.05).as("within_5pct"))
         .orderBy("event_type")
+    },
+
+    // ---- latest-version-per-key (SCD-style upsert compaction) ----
+    // The canonical "keep newest record per key" pipeline op: one hash
+    // shuffle on the key, per-partition sort, rank-1 filter — the
+    // scalable compaction shape (no global sort; Spark plans a
+    // WindowExec after a single hashpartitioning exchange). Ordering
+    // uses raw nanosecond ts on BOTH sides (DuckDB reads the column as
+    // TIMESTAMP_NS, so ns order is identical), event_id breaks ties.
+    QueryDef("e8_latest_per_key",
+      """SELECT user_id, event_type, event_id,
+        |  epoch_ns(ts) // 1000 AS ts_us, value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .orderBy("user_id", "event_type")
     })
 }

@@ -79,5 +79,64 @@ object PipelineQueries {
           col("punct_bp") < 1500 && col("cnt_en") >= 1)
         .select("doc_id", "lang", "n_tokens", "punct_bp")
         .orderBy("doc_id")
+    },
+
+    // ---- deterministic content-hash sampling (~16%) ----
+    // Reproducible corpus sampling: keep a doc iff the first md5(text)
+    // hex byte is below 0x29 (41/256 ≈ 16%). Content-hash sampling is
+    // THE scalable sampling primitive — no RNG state, stable across
+    // reruns/engines/partitionings, pushes down as a cheap per-row
+    // predicate, and samples duplicate texts identically (so dedup
+    // before/after sampling commutes). Both engines emit lowercase
+    // hex, so the string compare is portable.
+    QueryDef("p2_hash_sample",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE substr(md5(text), 1, 2) < '29'
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .where(substring(md5(col("text")), 1, 2) < "29")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"))
+        .orderBy("lang")
+    },
+
+    // ---- stratified top-k: best documents per language stratum ----
+    // Per-stratum ranking is one hash shuffle on the stratum key +
+    // per-partition sort — the balanced-sampling shape for building
+    // language-proportional training mixes.
+    QueryDef("p3_stratified_topk",
+      """SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          row_number().over(w).cast("bigint").as("rk"))
+        .where(col("rk") <= 3)
+        .orderBy("lang", "rk")
+    },
+
+    // ---- corpus vocabulary: token frequency top-k ----
+    // explode → partial-aggregated groupBy: the per-partition hash map
+    // collapses each partition's token stream before the shuffle, so
+    // shuffle volume is O(distinct tokens per partition), not O(corpus
+    // tokens); final top-k is TakeOrderedAndProject (per-partition
+    // heads, no global sort).
+    QueryDef("p4_vocab_topk",
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(50)
     })
 }

@@ -118,5 +118,30 @@ object SimilarityQueries {
         Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
         minCosBp = 2500, planes = 2, tables = 24)
         .orderBy("a_id", "b_id")
+    },
+
+    // ---- per-label centroid vectors (IVF training / cluster stats) ----
+    // posexplode → groupBy(label, dim) is the distributed centroid
+    // computation: one partial-aggregated shuffle of (label, dim)
+    // cells, never a driver-side vector collect. Quantized integer
+    // sums keep it oracle-exact (IEEE float summation is partition-
+    // order-dependent); mean_q is the one double division at the end.
+    // DuckDB's generate_subscripts is 1-based → pos+1 on the Spark side.
+    QueryDef("s7_centroids",
+      """SELECT label, CAST(pos AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE)*1000) AS BIGINT)) AS BIGINT) AS sum_q,
+        |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE)*1000) AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_q
+        |FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).cast("bigint").as("pos"),
+          expr("CAST(floor(CAST(col AS DOUBLE)*1000) AS BIGINT)").as("vq"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vq")).as("sum_q"))
+        .select(col("label"), col("pos"), col("n_vecs"), col("sum_q"),
+          (col("sum_q").cast("double") / col("n_vecs")).as("mean_q"))
+        .orderBy("label", "pos")
     })
 }
