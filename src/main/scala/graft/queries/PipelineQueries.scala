@@ -138,5 +138,26 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
         .limit(50)
+    },
+
+    // ---- stratified top-k via partial-aggregating TopK Aggregator ----
+    // Same result family as p3 (k=5 here) but computed with the
+    // map-side top-k buffer: the shuffle carries ≤ k rows per group per
+    // map task instead of every row — see functions/TopKAgg scaladoc
+    // for the cost model. Oracle identical in form to p3's.
+    QueryDef("p5_topk_agg",
+      """SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(graft.functions.TopKAgg.topK(5)(col("n_chars"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top.rows")))
+        .select(col("lang"), col("col.id").as("doc_id"),
+          col("col.score").as("n_chars"),
+          (col("pos") + 1).cast("bigint").as("rk"))
+        .orderBy("lang", "rk")
     })
 }

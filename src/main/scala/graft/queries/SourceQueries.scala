@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Warehouse
+
+/** Text source formats (SURVEY S6): CSV and JSON-lines exports written
+  * by the engine and read back through explicit-schema readers, then
+  * aggregated — proving the round trip preserves values. The oracle
+  * computes the same aggregate from the original parquet, so any
+  * export/parse drift (quoting, null rendering, number formatting)
+  * breaks the hash.
+  */
+object SourceQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("c1_csv_roundtrip",
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      Warehouse.documentsCsv(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"))
+        .orderBy("lang", "source")
+    },
+
+    QueryDef("c2_json_roundtrip",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Warehouse.ordersJson(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    })
+}

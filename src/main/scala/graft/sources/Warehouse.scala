@@ -33,4 +33,41 @@ object Warehouse {
         .write.partitionBy("o_month").mode("overwrite").parquet(path)
       s.read.parquet(path)
     }
+
+  /** Document metadata exported to headered CSV and read back with an
+    * EXPLICIT schema (reference's golden-CSV surface, SURVEY S6).
+    * `inferSchema` would add a full extra pass over the files before
+    * the real scan — never acceptable at scale; sources declare their
+    * schema. The text column stays out of the export: CSV is for
+    * rectangular metadata, documents travel in parquet.
+    */
+  def documentsCsv(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_csv:$dir") {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"spark-warehouse/documents_csv$safe"
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.option("header", "true").mode("overwrite").csv(path)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .option("header", "true").csv(path)
+    }
+
+  /** Orders exported to JSON-lines and read back with an explicit
+    * schema (same rationale as [[documentsCsv]]; Spark's JSON writer
+    * emits shortest-round-trip doubles, so numeric values survive the
+    * text round-trip bit-exact).
+    */
+  def ordersJson(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"orders_json:$dir") {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"spark-warehouse/orders_json$safe"
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
+        .json(path)
+    }
 }
