@@ -59,7 +59,25 @@ object Explain {
       """IVF: centroids broadcast for assignment (n×K scoring map-side +
         |argmax groupBy); probe ranking is a K-row window; candidate fetch is
         |an id equi-join of the probed cells. At nprobe<K only ~nprobe/K of
-        |the corpus is scored against the query.""".stripMargin)
+        |the corpus is scored against the query.""".stripMargin,
+    "q30_range_join" ->
+      """Interval join as an equi hash join on (user_id, time-bucket): the
+        |purchase side expands to two probe buckets (window ≤ bucket width),
+        |the exact range predicate filters inside the join. No
+        |BroadcastNestedLoopJoin — the naive inequality-only form degrades to
+        |per-key quadratic work; bucketing also spreads one user's history
+        |across reducers by time.""".stripMargin,
+    "p5_topk_agg" ->
+      """Stratified top-k through the TopK Aggregator: partial
+        |ObjectHashAggregate keeps ≤ k rows per (map task × stratum) BEFORE
+        |the exchange, so the shuffle carries O(strata × k) rows; the window
+        |form (p3) would shuffle and sort every row of each stratum.""".stripMargin,
+    "q27_stats_moments" ->
+      """Variance/stddev/correlation from exact decimal power sums: ONE
+        |map-side-partial aggregation pass (partial_count/partial_sum of x,
+        |x², xy), one exchange of 3 group rows, double math only in the final
+        |projection. Order-independent (decimal sums), mergeable across any
+        |executor count — the streaming-moments alternative is neither.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

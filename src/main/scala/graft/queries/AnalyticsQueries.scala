@@ -179,5 +179,46 @@ object AnalyticsQueries {
         .groupBy("event_id")
         .agg(count(col("c_id")).as("n_clicks"))
         .orderBy("event_id")
+    },
+
+    // ---- exact interpolated percentiles per group ----
+    // Spark `percentile` and DuckDB `quantile_cont` share the
+    // lower + (upper-lower)*frac definition at rank p*(n-1); over the
+    // integral quantity domain the interpolated values are exact
+    // binary fractions, so the doubles match. Scale honesty: exact
+    // percentiles sort each group (ObjectHashAggregate with a digest
+    // of all values) — at 100 TB use approx_percentile (declared
+    // contract pattern: e7) unless exactness is required.
+    QueryDef("q31_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- fixed-width histogram (single agg pass, no sort) ----
+    // Binning by floor-division is the distribution profile that DOES
+    // scale: one partial-aggregated shuffle of (bin) keys, vs exact
+    // percentiles' per-group value digests.
+    QueryDef("q32_histogram",
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("bigint").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec18_2)).cast("double").as("total"))
+        .orderBy("bin")
     })
 }
