@@ -187,5 +187,30 @@ object TextQueries {
         .drop("frame_count_raw")
         .select("doc_id", "n_bytes", "frame_count", "fp")
         .orderBy("doc_id")
+    },
+
+    // ---- typed mapPartitions batch decode, oracle-checked ----
+    // The decode path itself (Multimodal.decodeFeatures: binary payload
+    // → per-partition typed decode) declared as a query. The stub's
+    // outputs are pure byte arithmetic, and the corpus is ASCII, so
+    // DuckDB can recompute them per character (ord == byte): the
+    // mapPartitions plumbing — encoder round-trip, batch iteration,
+    // output schema — is verified cell-exact, not just rows>0. A real
+    // codec swaps decodeStub; the verified plumbing is what carries
+    // over. mean_byte = one double division after exact integer sums,
+    // identical on both sides.
+    QueryDef("m2_decode_features",
+      """WITH chars AS (
+        |  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS b, length(text) AS n
+        |  FROM documents, unnest(range(1, length(text)+1)) AS t(i)
+        |)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_bytes,
+        |  CAST(MAX(n) // 256 + 1 AS BIGINT) AS frame_count,
+        |  CAST(SUM(b) AS DOUBLE) / MAX(n) AS mean_byte
+        |FROM chars GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.decodeFeatures(
+        graft.operators.Multimodal.withPayload(Tables.documents(s, dir)))
+        .select("doc_id", "n_bytes", "frame_count", "mean_byte")
+        .orderBy("doc_id")
     })
 }

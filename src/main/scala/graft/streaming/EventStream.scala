@@ -129,4 +129,28 @@ object EventStream {
           }
       }
   }
+
+  case class Rec(user_id: Long, event_type: String, event_id: Long,
+      ts: Long, value: Double)
+
+  /** Streaming latest-version-per-key: the incremental form of the e8
+    * batch compaction. State per (user_id, event_type) is exactly one
+    * record (the current winner by (ts, event_id)); each micro-batch
+    * emits the key's new latest in Update mode. Keyed O(1) state makes
+    * this safe for bounded key domains (users × types); an unbounded
+    * key domain would add an event-time timeout as the TTL/GC path,
+    * like [[sessionize]].
+    */
+  def latestPerKey(events: Dataset[Rec]): Dataset[Rec] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(r => (r.user_id, r.event_type))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (_: (Long, String), rows: Iterator[Rec], state: GroupState[Rec]) =>
+          val best = (state.getOption ++ rows)
+            .maxBy(r => (r.ts, r.event_id))
+          state.update(best)
+          best
+      }
+  }
 }

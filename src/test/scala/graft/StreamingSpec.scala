@@ -106,4 +106,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(out == Set((10L, 20L, 1L)), s"got $out")
     } finally q.stop()
   }
+
+  test("streaming latest-per-key converges to the batch e8 compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Rec]
+    val q = EventStream.latestPerKey(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest_out").start()
+    try {
+      val rows = Seq(
+        EventStream.Rec(1L, "click", 100L, 50L, 1.0),
+        EventStream.Rec(1L, "click", 101L, 70L, 2.0),
+        EventStream.Rec(2L, "view", 102L, 10L, 3.0))
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      // batch 2: an OLDER record for (1,click) must not displace the
+      // newer one; a same-ts tie for (2,view) resolves by event_id
+      val rows2 = Seq(
+        EventStream.Rec(1L, "click", 99L, 60L, 9.0),
+        EventStream.Rec(2L, "view", 103L, 10L, 4.0))
+      mem.addData(rows2: _*)
+      q.processAllAvailable()
+      // last Update-mode emission per key = converged state
+      val emitted = spark.table("latest_out").collect()
+        .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+      val converged = emitted.zipWithIndex
+        .groupBy(_._1._1).map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+      // batch reference: window rank over the union of all rows
+      val all = (rows ++ rows2)
+      val expect = all.groupBy(r => (r.user_id, r.event_type))
+        .map { case (k, rs) => k -> rs.maxBy(r => (r.ts, r.event_id)).event_id }
+      assert(converged === expect, s"got $converged")
+    } finally q.stop()
+  }
 }
