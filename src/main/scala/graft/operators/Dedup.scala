@@ -206,4 +206,53 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select("a_id", "b_id", "common", "a_sz", "b_sz", "jaccard")
   }
+
+  /** Connected-components clustering of near-duplicate pairs —
+    * completes every near-dup pipeline: pair lists say "a≈b", but
+    * dedup must KEEP ONE PER CLUSTER, and duplicate relations chain
+    * (a≈b, b≈c with a,c below threshold must still collapse together).
+    * `cluster_id` is the minimum doc id reachable from each member.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — each
+    * round every node takes the min of its own label and its
+    * neighbors'; all rounds are one distributed join + partial-agg
+    * groupBy, lineage cut per round via localCheckpoint (same pattern
+    * as plans/Recursion). Rounds = component diameter, and near-dup
+    * clusters are short chains by construction (the transitive
+    * similarity chain is bounded by how far content drifts), so the
+    * loop is 2-4 rounds in practice. A graph with genuinely long
+    * chains would want the pointer-doubling / large-star-small-star
+    * variant (O(log n) rounds); not needed for dedup-shaped input.
+    *
+    * The convergence check is one `count` action per round on the
+    * changed-label set — driver-side control flow, never driver-side
+    * data.
+    */
+  def duplicateClusters(pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    // Undirected edge list, materialized once: upstream pair
+    // generation (inverted index / LSH) is far too expensive to
+    // recompute every round.
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.union(neighborMin)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .where(col("label") =!= col("prev"))
+        .count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
 }

@@ -126,6 +126,46 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- connected-components duplicate clustering ----
+    // Completes dedup: near-dup PAIRS (d6's exact inverted-index set)
+    // collapse into clusters via min-label propagation; cluster_id =
+    // min doc id of the component. The oracle recomputes the same
+    // pair set, then walks the transitive closure with a recursive
+    // CTE — so the Spark fixpoint loop is checked against a genuinely
+    // independent graph-reachability formulation.
+    QueryDef("d10_dup_clusters",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh) t WHERE df <= 50
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+        |), cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT p.a_id, p.b_id
+        |  FROM cand p JOIN sizes sa ON p.a_id = sa.doc_id JOIN sizes sb ON p.b_id = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.6
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id, a_id FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), minJaccard = 0.6, maxDf = 50))
+        .orderBy("doc_id")
+    },
+
     // ---- MinHash/LSH near-dup candidates (Spark-native hashes; rows-only) ----
     QueryDef.noOracle("d7_minhash_pairs") { (s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), minEst = 0.5)

@@ -58,4 +58,21 @@ class DedupSpec extends AnyFunSuite {
     val n = Dedup.minhashPairs(docs001, minEst = 0.5).count()
     assert(n > 0, "sf0.001 documents contain near-dups the pipeline must find")
   }
+
+  test("duplicateClusters merges transitive chains across components") {
+    // chain 1-2-3 (1≈3 NOT directly paired) must collapse into one
+    // cluster; 7-8 stays its own; 9 (pairless) does not appear
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("duplicateClusters converges on a long path graph") {
+    // path 0-1-2-...-9: worst-case diameter for the propagation loop
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 9L).map(_ -> 0L).toMap)
+  }
 }
