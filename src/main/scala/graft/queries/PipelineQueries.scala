@@ -159,5 +159,57 @@ object PipelineQueries {
           col("col.score").as("n_chars"),
           (col("pos") + 1).cast("bigint").as("rk"))
         .orderBy("lang", "rk")
+    },
+
+    // ---- near-dup-deduplicated corpus (the pipeline's end product) ----
+    // d6 pairs → d10 clusters → keep only each cluster's canonical
+    // member (min doc id) plus all pairless docs: the corpus a
+    // training run would actually consume. One anti-join against the
+    // non-canonical members — at 100 TB the cluster table is tiny
+    // relative to the corpus (only docs WITH duplicates appear), so
+    // the anti-join broadcasts.
+    QueryDef("p6_dedup_corpus",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh) t WHERE df <= 50
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+        |), cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT p.a_id, p.b_id
+        |  FROM cand p JOIN sizes sa ON p.a_id = sa.doc_id JOIN sizes sb ON p.b_id = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.6
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id, a_id FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), losers AS (
+        |  SELECT src AS doc_id FROM reach GROUP BY src HAVING MIN(dst) != src
+        |)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val losers = graft.operators.Dedup.duplicateClusters(
+        graft.operators.Dedup.ngramJaccardPairs(docs, minJaccard = 0.6, maxDf = 50))
+        .where(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"))
+        .orderBy("lang")
     })
 }
