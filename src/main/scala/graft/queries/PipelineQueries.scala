@@ -203,7 +203,7 @@ object PipelineQueries {
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val losers = graft.operators.Dedup.duplicateClusters(
-        graft.operators.Dedup.ngramJaccardPairs(docs, minJaccard = 0.6, maxDf = 50))
+        TextQueries.jaccardPairs(s, dir))
         .where(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
       docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
