@@ -92,5 +92,25 @@ object SqlQueries {
           |  SELECT nc.*, CAST(ROW_NUMBER() OVER (ORDER BY nc.sum_acctbal DESC, nc.c_nationkey) AS BIGINT) AS rnk
           |  FROM nation_counts nc) t
           |WHERE rnk <= 10 ORDER BY rnk""".stripMargin)
+    },
+
+    // ---- FILTER-clause aggregates (SURVEY §2.5 noted these absent) ----
+    // Standard-SQL conditional aggregation; Spark and DuckDB both
+    // support FILTER natively and Catalyst compiles it to the same
+    // single-pass plan as the CASE WHEN form — one scan, one exchange,
+    // per-branch partial aggregates. The SQL text is shared verbatim.
+    QueryDef("h7_sql_filter_agg",
+      """SELECT l_linestatus,
+        |  CAST(COUNT(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS n_returned,
+        |  CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'A') AS BIGINT) AS n_kept,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_discounted
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_linestatus,
+          |  CAST(COUNT(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS n_returned,
+          |  CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'A') AS BIGINT) AS n_kept,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_discounted
+          |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
     })
 }
