@@ -130,6 +130,30 @@ object EventStream {
       }
   }
 
+  /** Incremental warehouse maintenance: stream the hourly aggregate
+    * into a date/hour-partitioned parquet table via foreachBatch.
+    * Update-mode emissions rewrite ONLY the partitions a micro-batch
+    * touched (dynamic partition overwrite) — idempotent on micro-batch
+    * retry (same rows → same partition contents), and the table stays
+    * a plain parquet directory any batch reader can scan. This is the
+    * scalable continuous-aggregation sink shape: state is bounded by
+    * the watermark, each commit's I/O is bounded by the touched hours,
+    * and no monolithic table rewrite ever happens (Complete mode would
+    * rewrite everything each batch).
+    */
+  def hourlyCountsToWarehouse(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    hourlyCounts(events)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("w_start")
+          .parquet(path)
+      }
+
   case class Rec(user_id: Long, event_type: String, event_id: Long,
       ts: Long, value: Double)
 

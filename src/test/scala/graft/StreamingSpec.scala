@@ -139,4 +139,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(converged === expect, s"got $converged")
     } finally q.stop()
   }
+
+  test("foreachBatch warehouse sink converges to the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("wh_sink").toString + "/hourly"
+    val q = EventStream.hourlyCountsToWarehouse(events, dir).start()
+    try {
+      val M = 60L * 1000000000L
+      mem.addData((1L, 10 * M, 1L, "click", 1.0), (2L, 20 * M, 2L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2 updates hour 0 (same partition rewritten) and adds hour 1
+      mem.addData((3L, 30 * M, 3L, "click", 1.0), (4L, 70 * M, 1L, "view", 1.0))
+      q.processAllAvailable()
+      // partition-directory values are re-inferred on read (ints here)
+      val table = spark.read.parquet(dir)
+        .select(org.apache.spark.sql.functions.col("w_start").cast("long"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("n_events")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(table === Set((0L, "click", 3L), (3600L, "view", 1L)), s"got $table")
+    } finally q.stop()
+  }
 }
