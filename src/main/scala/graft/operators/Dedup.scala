@@ -102,16 +102,23 @@ object Dedup {
     */
   def minhashRecall(docs: DataFrame, minJaccard: Double = 0.8,
       minSz: Int = 16, maxDf: Int = 50, minEst: Double = 0.5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val exact = ngramJaccardPairs(docs, minJaccard, maxDf, textCol, idCol)
-      .where(least(col("a_sz"), col("b_sz")) >= minSz)
-    val cand = minhashPairs(docs, minEst, textCol, idCol)
-      .select(col("a_id").as("ca"), col("b_id").as("cb"))
-    exact.join(cand,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    minhashRecallFrom(
+      ngramJaccardPairs(docs, minJaccard, maxDf, textCol, idCol)
+        .where(least(col("a_sz"), col("b_sz")) >= minSz),
+      minhashPairs(docs, minEst, textCol, idCol))
+
+  /** Recall audit over PRE-BUILT exact and candidate pair sets — the
+    * form the declared queries use so the expensive inputs (inverted
+    * index, signature table) are shared with the queries that already
+    * build them, instead of recomputed per audit.
+    */
+  def minhashRecallFrom(exact: DataFrame, cand: DataFrame): DataFrame =
+    exact.join(
+        cand.select(col("a_id").as("ca"), col("b_id").as("cb")),
         col("a_id") === col("ca") && col("b_id") === col("cb"), "left")
       .withColumn("recalled", col("ca").isNotNull)
       .select("a_id", "b_id", "common", "a_sz", "b_sz", "jaccard", "recalled")
-  }
 
   /** Per-doc 64-bit SimHash + 16-bit blocking bands.
     *

@@ -26,6 +26,14 @@ object TextQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir),
         minJaccard = 0.6, maxDf = 50).localCheckpoint())
 
+  /** MinHash/LSH candidate pairs (d7's), shared with the d9 recall
+    * audit — the signature build is the expensive stage.
+    */
+  def minhashCandidates(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.sources.SessionCache.getOrElseUpdate(s, s"minhash_cand:$dir")(
+      Dedup.minhashPairs(Tables.documents(s, dir), minEst = 0.5)
+        .localCheckpoint())
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- exact dedup groups (hash-keyed, no all-pairs) ----
@@ -179,8 +187,7 @@ object TextQueries {
 
     // ---- MinHash/LSH near-dup candidates (Spark-native hashes; rows-only) ----
     QueryDef.noOracle("d7_minhash_pairs") { (s, dir) =>
-      Dedup.minhashPairs(Tables.documents(s, dir), minEst = 0.5)
-        .orderBy("a_id", "b_id")
+      minhashCandidates(s, dir).orderBy("a_id", "b_id")
     },
 
     // ---- SimHash near-dups (Spark-native hashes; rows-only) ----
@@ -216,7 +223,12 @@ object TextQueries {
         |WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.8
         |  AND least(sa.sz, sb.sz) >= 16
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      Dedup.minhashRecall(Tables.documents(s, dir))
+      // exact side = the shared pair set filtered to the audit band
+      // (0.8 ⊂ 0.6, same shingle/df params); candidates = d7's set.
+      Dedup.minhashRecallFrom(
+        jaccardPairs(s, dir).where(col("jaccard") >= 0.8 &&
+          least(col("a_sz"), col("b_sz")) >= 16),
+        minhashCandidates(s, dir))
         .orderBy("a_id", "b_id")
     },
 
