@@ -117,6 +117,42 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // ---- native session_window twin of e5 ----
+    // Spark's built-in gap-session operator (one shuffle on user_id +
+    // per-partition session assembly — no double window pass like the
+    // lag/cumsum form, and the SAME operator works on a stream).
+    // Boundary semantics: session_window spans [t, t+gap) per event,
+    // merging on OVERLAP, so an event exactly gap after the previous
+    // one starts a NEW session — the oracle's island test is therefore
+    // `diff >= gap` (e5's manual form uses `> gap`; both are valid
+    // sessionizations, the oracle must just match the operator's).
+    QueryDef("e9_session_window",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_tus
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN prev_tus IS NULL OR tus - prev_tus >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM seq
+        |), numbered AS (
+        |  SELECT user_id, tus,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(MIN(tus) // 1000000 AS BIGINT) AS s_start,
+        |  COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, s_start""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("ets"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("sw.start")).as("s_start"), col("n_events"))
+        .orderBy("user_id", "s_start")
+    },
+
     // ---- as-of join: each purchase to the user's latest prior view ----
     // The oracle is DuckDB's NATIVE ASOF LEFT JOIN — our union-merge
     // composition (AsofJoin.scala) must reproduce it exactly. The right
