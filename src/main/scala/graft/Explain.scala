@@ -82,12 +82,19 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    // Queries that serve a memoized/checkpointed artifact (whose plan
+    // would print as an opaque RDD scan) are rebuilt directly from the
+    // operator so the artifact shows the REAL build plan.
+    val direct: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "d7_minhash_pairs" -> ((s, dir) => graft.operators.Dedup
+        .minhashPairs(graft.sources.Tables.documents(s, dir), minEst = 0.5)))
     val sb = new StringBuilder
     sb.append("# EXPLAIN — physical-plan review of headline queries\n\n")
     sb.append(s"Generated by `graft.Explain` on `$sfDir`. Each section: the\n")
     sb.append("scale-relevant reading of the plan, then the formatted plan itself.\n")
     picks.foreach { case (name, commentary) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = direct.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n$commentary\n\n```\n$plan```\n")
