@@ -153,9 +153,22 @@ object Dedup {
     * exact hamming distance filter via bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 16,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     // Materialized for the same re-inlining reason as minhashPairs.
-    val sh = simhashes(docs, textCol, idCol).localCheckpoint(true)
+    simhashPairsFrom(simhashes(docs, textCol, idCol).localCheckpoint(true),
+      maxHamming, idCol)
+
+  /** Band-blocked hamming pairs over a PRE-BUILT signature table
+    * (columns: id, simhash, band_0..band_3). Taking the signatures as
+    * input makes the pair machinery independently checkable: the
+    * declared query (d8) exports the signature table to parquet and
+    * the DuckDB oracle recomputes this exact band-join + bit_count
+    * filter from the same file — a hash-checked contract of the
+    * blocking and distance logic. (At production scale the signature
+    * table is persisted anyway; pair generation always reads it back.)
+    */
+  def simhashPairsFrom(sh: DataFrame, maxHamming: Int = 16,
+      idCol: String = "doc_id"): DataFrame = {
     val banded = sh.select(col(idCol), col("simhash"),
       explode(expr("array(named_struct('band', 0, 'bv', band_0), named_struct('band', 1, 'bv', band_1), named_struct('band', 2, 'bv', band_2), named_struct('band', 3, 'bv', band_3))")).as("b"))
       .select(col(idCol), col("simhash"),

@@ -95,6 +95,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** OR-amplified LSH top-k: candidates are vectors colliding with the
+    * query in ANY of `tables` independent hyperplane tables; the exact
+    * quantized re-rank then picks the top k. Same amplification math
+    * as [[lshCosinePairsMulti]]: a neighbor at angle θ survives with
+    * probability 1-(1-(1-θ/π)^planes)^tables, so with planes=2,
+    * tables=24 even a cosine-0.25 neighbor (this corpus's top-10
+    * regime) is missed with probability ≈ 5e-5 — which is why the
+    * declared query (s2) can carry the exact brute-force top-k as a
+    * hash-checked oracle. Single-table [[lshTopK]] stays the
+    * cheapest-probe form; this is the production recall/cost point.
+    *
+    * Shape: one pass computes all L bucket keys, the candidate set is
+    * a broadcast semi-join on (table, bucket) — never a cartesian —
+    * and only deduped candidates are scored.
+    */
+  def lshTopKMulti(emb: DataFrame, queryId: Long, k: Int, planes: Int = 2,
+      tables: Int = 24, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val reg = registered(emb)
+    val buckets = (0 until tables)
+      .map(t => bucketCol(planes, 64, t.toLong, vecCol))
+    // Materialized for the same HOF re-inlining reason as
+    // lshCosinePairsMulti (bucket expressions are interpreted).
+    val withB = reg.withColumn("bks", array(buckets: _*)).localCheckpoint(true)
+    val keyed = withB.select(col(idCol),
+      posexplode(col("bks")).as(Seq("tbl", "bkt")))
+    val qKeys = keyed.filter(col(idCol) === queryId).select("tbl", "bkt")
+    val candIds = keyed.join(broadcast(qKeys), Seq("tbl", "bkt"), "left_semi")
+      .filter(col(idCol) =!= queryId)
+      .select(idCol).distinct()
+    val qv = withB.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    withB.join(candIds, Seq(idCol))
+      .crossJoin(broadcast(qv))
+      .withColumn("score", qdot(vecCol, "qv"))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) cell assignments: each vector is assigned to
     * its nearest centroid by quantized cosine. Centroids are actual
     * corpus vectors picked by a deterministic id stride (no RNG, no

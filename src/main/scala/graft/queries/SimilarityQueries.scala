@@ -25,12 +25,24 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryId = 0L, k = 50)
     },
 
-    // ---- LSH-bucketed top-k (scale path; Spark-native, rows-only) ----
-    // 4 hyperplanes → 16 buckets (~n/16 candidates per bucket); more
-    // planes = faster + lower recall. Tuned so a 500-vector corpus
-    // still yields a full top-10.
-    QueryDef.noOracle("s2_ann_lsh") { (s, dir) =>
-      Similarity.lshTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10, planes = 4)
+    // ---- OR-amplified LSH top-k (hash-checked vs exact top-k) ----
+    // Candidates from 24 independent 2-plane tables + exact quantized
+    // re-rank: a cosine-0.25 neighbor (this corpus's top-10 regime) is
+    // missed with probability ≈ 5e-5 per the amplification bound, so
+    // the result set equals the exact brute-force top-10 and the
+    // oracle IS the exact computation (same contract pattern as s5).
+    // The cheap-probe single-table form (Similarity.lshTopK) stays
+    // spec-covered in SimilaritySpec with its recall curve.
+    QueryDef("s2_ann_lsh",
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |    p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS score
+        |FROM embeddings e CROSS JOIN q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      Similarity.lshTopKMulti(Tables.embeddings(s, dir), queryId = 0L,
+        k = 10, planes = 2, tables = 24)
     },
 
     // ---- blocked quantized-cosine near-dup pairs ----
@@ -58,17 +70,34 @@ object SimilarityQueries {
         .orderBy("a_id", "b_id")
     },
 
-    // ---- LSH-bucketed near-dup pairs (unbounded scale path; rows-only) ----
-    // Bucket count adapts to corpus size so blocks stay ~50-100 vectors:
-    // more planes on bigger corpora = same per-block cost, lower recall.
-    QueryDef.noOracle("s4_ann_lsh_pairs") { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      // Corpus size from the Parquet footer (driver metadata read, no
-      // job) — a full count() action per invocation would be a second
-      // table scan in the hot path.
-      val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
-      val planes = math.max(2, (math.log(n / 500.0) / math.log(2)).ceil.toInt + 2)
-      Similarity.lshCosinePairs(emb, minCosBp = 2000, planes = planes)
+    // ---- OR-amplified LSH near-dup pairs, unbounded corpus ----
+    // The whole-table twin of s5: no vec_id slice, lower threshold
+    // (cos ≥ 0.20), 32 tables so a threshold-grazing pair is missed
+    // with probability (1-0.318)^32 ≈ 5e-6 — the exact blocked pair
+    // set is therefore a hash-checked oracle. Per (label, table,
+    // bucket) blocks stay ~n/(labels·4), so candidate volume is
+    // linear-ish in n with a ×tables constant; at larger corpora
+    // planes and tables rise together (cost linear in tables, miss
+    // probability geometric) — the standard LSH operating curve. The
+    // single-table cheap-probe form stays spec-covered
+    // (Similarity.lshCosinePairs, SimilaritySpec).
+    QueryDef("s4_ann_lsh_pairs",
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS n2
+        |  FROM embeddings
+        |)
+        |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |  CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT) AS cos_bp
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT) >= 2000
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Similarity.lshCosinePairsMulti(Tables.embeddings(s, dir),
+        minCosBp = 2000, planes = 2, tables = 32)
         .orderBy("a_id", "b_id")
     },
 

@@ -185,14 +185,59 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // ---- MinHash/LSH near-dup candidates (Spark-native hashes; rows-only) ----
-    QueryDef.noOracle("d7_minhash_pairs") { (s, dir) =>
-      minhashCandidates(s, dir).orderBy("a_id", "b_id")
+    // ---- MinHash-confirmed near-dup pairs (candidate → verify) ----
+    // The production dedup shape: LSH band candidates (est ≥ 0.5),
+    // each CONFIRMED by the exact inverted-index Jaccard; output =
+    // confirmed pairs at J ≥ 0.8 with substantial kept sets. The
+    // oracle computes the same set purely exactly — hash-equality
+    // holds because the d9 recall contract proves the candidate set
+    // covers every such pair (the semi-join can only drop rows LSH
+    // missed, and d9 asserts there are none). Both inputs are the
+    // memoized pair sets, so this adds one semi-join to the plan.
+    QueryDef("d7_minhash_pairs",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh) t WHERE df <= 50
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT p.a_id, p.b_id, p.common, sa.sz AS a_sz, sb.sz AS b_sz,
+        |  CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) AS jaccard
+        |FROM pairs p JOIN sizes sa ON p.a_id = sa.doc_id JOIN sizes sb ON p.b_id = sb.doc_id
+        |WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.8
+        |  AND least(sa.sz, sb.sz) >= 16
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      jaccardPairs(s, dir)
+        .where(col("jaccard") >= 0.8 && least(col("a_sz"), col("b_sz")) >= 16)
+        .join(minhashCandidates(s, dir).select("a_id", "b_id"),
+          Seq("a_id", "b_id"), "left_semi")
+        .select("a_id", "b_id", "common", "a_sz", "b_sz", "jaccard")
+        .orderBy("a_id", "b_id")
     },
 
-    // ---- SimHash near-dups (Spark-native hashes; rows-only) ----
-    QueryDef.noOracle("d8_simhash_pairs") { (s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 4)
+    // ---- SimHash near-dups from the exported signature table ----
+    // The xxhash64-based signatures are Spark-native (ScalaTest ground
+    // truth in DedupSpec); the band-blocking + exact-hamming PAIR
+    // machinery is hash-checked: Spark writes the signature table to
+    // parquet (Warehouse.simhashExport) and the oracle recomputes the
+    // identical band-join + bit_count filter from the same file.
+    QueryDef("d8_simhash_pairs",
+      s"""WITH sh AS (SELECT * FROM read_parquet('${graft.sources.Warehouse.simhashExportPath}/*.parquet'))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  AND (a.band_0 = b.band_0 OR a.band_1 = b.band_1 OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Dedup.simhashPairsFrom(graft.sources.Warehouse.simhashExport(s, dir),
+        maxHamming = 4)
         .orderBy("a_id", "b_id")
     },
 

@@ -53,6 +53,34 @@ object Warehouse {
         .option("header", "true").csv(path)
     }
 
+  /** Absolute path of the simhash signature export — absolute because
+    * the DuckDB oracle (a separate process) re-reads the same file,
+    * and a cwd-relative path would silently diverge between the two.
+    * Deliberately NOT suffixed by the sf dir: the oracle SQL is a
+    * static string, so the location must be knowable at declaration
+    * time. Each Verify/Bench process touches exactly one sf dir;
+    * within a multi-dir JVM the last writer wins (fine for specs,
+    * which exercise Dedup.simhashPairsFrom on in-memory frames
+    * instead).
+    */
+  val simhashExportPath: String =
+    new java.io.File("spark-warehouse/simhash_export").getAbsolutePath
+
+  /** SimHash signature table (doc_id, simhash, band_0..band_3)
+    * persisted to parquet and read back — the input both to Spark's
+    * band-blocked pair join (d8) and to the DuckDB oracle's
+    * recomputation of the same join, so the pair machinery is
+    * hash-checked end to end from identical signatures. The signature
+    * *computation* (xxhash64 votes) is Spark-native and covered by
+    * ScalaTest ground truth instead.
+    */
+  def simhashExport(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"simhash_export:$dir") {
+      graft.operators.Dedup.simhashes(Tables.documents(s, dir))
+        .coalesce(1).write.mode("overwrite").parquet(simhashExportPath)
+      s.read.parquet(simhashExportPath)
+    }
+
   /** Orders exported to JSON-lines and read back with an explicit
     * schema (same rationale as [[documentsCsv]]; Spark's JSON writer
     * emits shortest-round-trip doubles, so numeric values survive the
