@@ -275,4 +275,81 @@ object Dedup {
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** O(log n)-round connected components via alternating
+    * large-star / small-star contractions (the CC-MR algorithm;
+    * Kiveris et al., "Connected Components in MapReduce and Beyond").
+    * Same output contract as [[duplicateClusters]] — every node of the
+    * edge list labeled with its component's minimum id — but rounds
+    * scale with log(diameter-ish) instead of diameter: a 10k-node path
+    * graph converges in ~15 rounds where min-label propagation needs
+    * 10k. Use this form when cluster chains can be long (crawl graphs,
+    * citation components); plain dedup clusters are shallow and the
+    * fixpoint loop's cheaper rounds win there (d10 keeps it).
+    *
+    * Each round is two groupBy-join passes over the canonical edge
+    * set (both shuffles on the node id key), lineage cut per round;
+    * convergence = the small-star pass reproduces its input edge set
+    * (checked by count + one-sided anti-join — control-flow actions
+    * only, never data to the driver).
+    */
+  def duplicateClustersLogN(pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame =
+    duplicateClustersLogNWithRounds(pairs, aCol, bCol)._1
+
+  /** [[duplicateClustersLogN]] plus the executed round count, so specs
+    * can assert the O(log n) bound actually holds.
+    */
+  def duplicateClustersLogNWithRounds(pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id",
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    // Canonical undirected edge set: (a, b) with a < b, distinct.
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < maxRounds) {
+      // LARGE-STAR: around each node u, connect every LARGER neighbor
+      // to m(u) = min(N(u) ∪ {u}). Each canonical edge is emitted
+      // exactly once (from its smaller endpoint's star), so the pass
+      // is one symmetric explode + groupBy(min) + join.
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        // m ≤ u < v, so (m, v) is already canonical
+        .select(col("m").as("a"), col("v").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+      // SMALL-STAR: direct edges larger→smaller; around each node u,
+      // connect u and all (smaller) neighbors to their minimum.
+      val dirMins = large.groupBy(col("b").as("u"))
+        .agg(min(col("a")).as("m"))
+      val small = large.join(dirMins, large("b") === dirMins("u"))
+        .select(col("m").as("a"), large("a").as("b"))
+        .union(dirMins.select(col("m").as("a"), col("u").as("b")))
+        .where(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      // Converged when the pass was a no-op on the edge set. Counts
+      // equal + empty one-sided difference ⇒ set equality.
+      converged = small.count() == edges.count() &&
+        small.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      edges = small
+      rounds += 1
+    }
+    // At the fixpoint every component is a star rooted at its min:
+    // each edge (root, v) labels v; roots label themselves.
+    val labels = edges.select(col("b").as("doc_id"), col("a").as("cluster_id"))
+      .union(edges.select(col("a").as("doc_id"), col("a").as("cluster_id")))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    (labels, rounds)
+  }
 }

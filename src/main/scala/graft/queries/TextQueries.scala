@@ -185,6 +185,44 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- O(log n)-round clustering (large-star/small-star) ----
+    // Same contract as d10 over the same pair set, computed by the
+    // CC-MR contraction instead of min-label propagation — the form
+    // that survives long-chain components at scale (rounds ~ log n,
+    // not diameter; see Dedup.duplicateClustersLogN and the 10k-path
+    // spec). The oracle is d10's independent recursive-CTE closure.
+    QueryDef("d11_dup_clusters_logn",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh) t WHERE df <= 50
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+        |), cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT p.a_id, p.b_id
+        |  FROM cand p JOIN sizes sa ON p.a_id = sa.doc_id JOIN sizes sb ON p.b_id = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.6
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id, a_id FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.duplicateClustersLogN(jaccardPairs(s, dir))
+        .orderBy("doc_id")
+    },
+
     // ---- MinHash-confirmed near-dup pairs (candidate → verify) ----
     // The production dedup shape: LSH band candidates (est ≥ 0.5),
     // each CONFIRMED by the exact inverted-index Jaccard; output =

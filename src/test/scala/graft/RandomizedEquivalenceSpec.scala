@@ -82,4 +82,42 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
       coalesce(col("asof_r_id"), lit(-1L)) =!= coalesce(col("naive_r_id"), lit(-1L)))
       .isEmpty, "asof result differs from naive max-prior")
   }
+
+  test("duplicateClustersLogN equals the min-label fixpoint on random graphs") {
+    // Several seeds: cycles, multiple components, dense cores — the
+    // two algorithms share no code path, so agreement is strong
+    // evidence both compute true components.
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(250)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("a_id", "b_id")
+      val fix = Dedup.duplicateClusters(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val logn = Dedup.duplicateClustersLogN(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(logn === fix, s"seed $seed")
+    }
+  }
+
+  test("duplicateClustersLogN converges in O(log n) rounds on a 10k path") {
+    // The adversarial case for min-label propagation: one 10k-node
+    // path component (diameter 10k ⇒ the fixpoint loop would need
+    // ~10k rounds). Large-star/small-star must collapse it in
+    // logarithmic rounds and still label every node with the min (0).
+    val n = 10000
+    val path = spark.range(0, n - 1)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val (labels, rounds) =
+      Dedup.duplicateClustersLogNWithRounds(path)
+    assert(rounds <= 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4,
+      s"took $rounds rounds")
+    val got = labels.agg(
+      count(lit(1)).as("n"),
+      sum(col("cluster_id")).as("s"),
+      countDistinct(col("cluster_id")).as("d")).head()
+    assert(got.getLong(0) === n)
+    assert(got.getLong(1) === 0L, "every node must label to the component min 0")
+    assert(got.getLong(2) === 1L)
+  }
 }
