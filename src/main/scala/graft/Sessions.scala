@@ -18,6 +18,10 @@ object Sessions {
   def local(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // Planner extensions: window-rank≤k → partial top-k aggregation
+      // (plans/TopKRewrite). Applied here so Verify, Bench and tests
+      // all plan through the rewrite — p3's oracle run checks it.
+      .withExtensions(graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** plans/TopKRewrite: the window-rank≤k idiom must plan as partial
+  * top-k aggregation (no Window operator, no full-group shuffle) and
+  * return exactly the rows the window form returns.
+  */
+class PlanRewriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture = {
+    val rnd = new scala.util.Random(99)
+    Seq.tabulate(2000)(i =>
+      (s"g${rnd.nextInt(7)}", i.toLong, rnd.nextInt(500).toLong))
+      .toDF("grp", "id", "score")
+  }
+
+  private def windowTopK(k: Int) = {
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+    fixture
+      .select(col("grp"), col("id"), col("score"),
+        row_number().over(w).cast("bigint").as("rk"))
+      .where(col("rk") <= k)
+  }
+
+  test("rank-filter plan rewrites to aggregation: no Window operator") {
+    val plan = windowTopK(3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"Window survived the rewrite:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected aggregate-based plan:\n$plan")
+  }
+
+  test("rewritten results equal the window semantics row-for-row") {
+    val got = windowTopK(3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    // independent driver-side computation of the same contract
+    val expect = fixture.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (g, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+          .map { case ((_, id, sc), i) => (g, id, sc, (i + 1).toLong) }
+      }
+      .sortBy(t => (t._1, t._4))
+    assert(got.toSeq === expect)
+  }
+
+  test("non-matching shapes keep the window plan (rule bails out)") {
+    // rank() is not row_number: positions are not dense/deterministic
+    // under the aggregator's contract, so the rule must not fire.
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+    val kept = fixture
+      .select(col("grp"), col("id"), col("score"),
+        rank().over(w).cast("bigint").as("rk"))
+      .where(col("rk") <= 3)
+    assert(kept.queryExecution.executedPlan.toString.contains("Window"))
+    // extra passthrough column outside (grouping ∪ {score, id}) — the
+    // aggregator cannot re-derive it, so the rule must not fire.
+    val extra = fixture.withColumn("payload", col("id") * 2)
+    val w2 = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+    val kept2 = extra
+      .select(col("grp"), col("id"), col("score"), col("payload"),
+        row_number().over(w2).cast("bigint").as("rk"))
+      .where(col("rk") <= 3)
+    assert(kept2.queryExecution.executedPlan.toString.contains("Window"))
+    assert(kept2.count() === 21)
+  }
+}
