@@ -190,6 +190,44 @@ object HierarchyQueries {
         .orderBy("ancestor_node_sort_order", "descendant_node_sort_order")
     },
 
+    // SQL-surface twin of h2: the ancestor–descendant closure build
+    // expressed through Spark's native WITH RECURSIVE over the
+    // materialized reporting dim — the reference's own formulation
+    // (aggregation_example.sql:351-425: anchor EVERY node as its own
+    // root, recurse down the parent edges). Oracle = h2's oracle text,
+    // so the DataFrame loop (h2), the native recursion (h8) and
+    // DuckDB's recursive CTE must all agree row-for-row.
+    QueryDef("h8_closure_dim_sql",
+      nodesSql + closureSql +
+        """
+          |SELECT ancestor_node_natural_key, ancestor_node_name, ancestor_level_name, ancestor_level_number,
+          |       ancestor_is_root, ancestor_is_leaf, ancestor_node_sort_order,
+          |       descendant_node_natural_key, descendant_node_name, descendant_level_name, descendant_level_number,
+          |       descendant_is_root, descendant_is_leaf, descendant_node_sort_order,
+          |       descendant_level_number - ancestor_level_number AS net_level
+          |FROM closure ORDER BY ancestor_node_sort_order, descendant_node_sort_order""".stripMargin) { (s, dir) =>
+      reportingDim(s, dir).createOrReplaceTempView("h8_dim")
+      s.sql(
+        """WITH RECURSIVE closure AS (
+          |  SELECT node_natural_key AS ancestor_node_natural_key, node_name AS ancestor_node_name, level_name AS ancestor_level_name,
+          |         level_number AS ancestor_level_number, is_root AS ancestor_is_root, is_leaf AS ancestor_is_leaf, node_sort_order AS ancestor_node_sort_order,
+          |         node_natural_key AS descendant_node_natural_key, node_name AS descendant_node_name, level_name AS descendant_level_name,
+          |         level_number AS descendant_level_number, is_root AS descendant_is_root, is_leaf AS descendant_is_leaf, node_sort_order AS descendant_node_sort_order
+          |    FROM h8_dim
+          |  UNION ALL
+          |  SELECT p.ancestor_node_natural_key, p.ancestor_node_name, p.ancestor_level_name, p.ancestor_level_number,
+          |         p.ancestor_is_root, p.ancestor_is_leaf, p.ancestor_node_sort_order,
+          |         c.node_natural_key, c.node_name, c.level_name, c.level_number, c.is_root, c.is_leaf, c.node_sort_order
+          |    FROM h8_dim c JOIN closure p ON c.parent_node_id = p.descendant_node_natural_key
+          |)
+          |SELECT ancestor_node_natural_key, ancestor_node_name, ancestor_level_name, ancestor_level_number,
+          |       ancestor_is_root, ancestor_is_leaf, ancestor_node_sort_order,
+          |       descendant_node_natural_key, descendant_node_name, descendant_level_name, descendant_level_number,
+          |       descendant_is_root, descendant_is_leaf, descendant_node_sort_order,
+          |       descendant_level_number - ancestor_level_number AS net_level
+          |FROM closure ORDER BY ancestor_node_sort_order, descendant_node_sort_order""".stripMargin)
+    },
+
     QueryDef("h3_rollup_report",
       nodesSql + factsSql +
         s""", ra AS (
