@@ -163,4 +163,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(table === Set((0L, "click", 3L), (3600L, "view", 1L)), s"got $table")
     } finally q.stop()
   }
+
+  test("streaming minhash candidates match batch minhashPairs in one horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    // synthetic corpus with engineered near-dups: shared long bodies
+    // with small edits (high Jaccard) plus unrelated filler docs
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog while the band plays on and the crowd cheers loudly in the summer evening air",
+      "completely different content about distributed query engines shuffling partitions across executors under adaptive execution",
+      "yet another unrelated document discussing parquet row groups column chunks page headers and dictionary encodings at length")
+    val docs: Seq[(Long, String)] = (0 until 30).map { i =>
+      val b = base(i % 3)
+      val text = if (i < 6) b + s" tail${i / 3}" else s"doc $i " + b.reverse.drop(i) + s" unique padding $i $i $i"
+      (i.toLong, text)
+    }
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.DocStream.minhashCandidates(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("minhash_out").start()
+    try {
+      val M = 60L * 1000000000L
+      mem.addData(docs.map { case (id, t) => (id, t, (10 + id) * M) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("minhash_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = graft.operators.Dedup
+        .minhashPairs(docs.toDF("doc_id", "text"), minEst = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expect.nonEmpty, "fixture must contain near-dup pairs")
+      assert(got === expect, s"stream $got vs batch $expect")
+    } finally q.stop()
+  }
 }
