@@ -195,7 +195,21 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.6,
       maxDf: Int = 50, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    ngramJaccardPairsFromKept(
+      keptShingles(docs, maxDf, textCol, idCol), minJaccard, idCol)
+
+  /** The df-filtered (doc, shingle) inverted index feeding
+    * [[ngramJaccardPairsFromKept]]. Separated so the index can be
+    * PERSISTED BUCKETED by the shingle key (`bucketBy(n, "g")`): the
+    * pair self-join below joins on "g" from both sides, so a bucketed
+    * index makes that join exchange-free on warm paths — ScaleSpec
+    * proves the plan. At 100 TB the index is the expensive artifact;
+    * building it once bucketed and re-joining it many times is the
+    * production layout.
+    */
+  def keptShingles(docs: DataFrame, maxDf: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = docs
       .withColumn("g", explode(TextOps.shingles(textCol)))
       .select(col(idCol), col("g"))
@@ -210,8 +224,15 @@ object Dedup {
     val dfMap = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
       .select("g")
-    val kept = sh.join(dfMap, Seq("g"), "left_semi")
+    sh.join(dfMap, Seq("g"), "left_semi")
       .select(col(idCol), col("g"))
+  }
+
+  /** Exact Jaccard pairs over a pre-built kept-shingle index (possibly
+    * read back from a bucketed table — see [[keptShingles]]).
+    */
+  def ngramJaccardPairsFromKept(kept: DataFrame, minJaccard: Double = 0.6,
+      idCol: String = "doc_id"): DataFrame = {
     val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = kept.select(col(idCol).as("a_id"), col("g"))
     val b = kept.select(col(idCol).as("b_id"), col("g"))

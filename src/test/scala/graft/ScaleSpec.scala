@@ -47,6 +47,33 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed shingle index makes the dedup pair self-join exchange-free") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, dir).limit(120)
+    val kept = Dedup.keptShingles(docs, maxDf = 50)
+    spark.sql("DROP TABLE IF EXISTS kept_sh_b")
+    kept.write.bucketBy(8, "g").sortBy("g")
+      .mode("overwrite").saveAsTable("kept_sh_b")
+    try {
+      val bucketed = spark.table("kept_sh_b").hint("merge")
+      val pairs = Dedup.ngramJaccardPairsFromKept(bucketed, minJaccard = 0.6)
+      val got = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+      // the shingle-key self-join reads both sides pre-partitioned on g:
+      // no exchange on the join key (the pair-count groupBy's exchange
+      // on (a_id, b_id) is expected and unrelated)
+      assert(!plan.contains("Exchange hashpartitioning(g"),
+        s"expected exchange-free shingle join:\n$plan")
+      // identical pairs through the unbucketed path
+      val expect = Dedup.ngramJaccardPairsFromKept(kept, minJaccard = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got.toSeq === expect.toSeq)
+      assert(got.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS kept_sh_b")
+  }
+
   test("salted aggregation is exactly result-equal to the plain aggregate") {
     val ev = Tables.events(spark, dir)
     val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value")
