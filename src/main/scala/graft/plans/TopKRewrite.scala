@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{col, posexplode}
+import org.apache.spark.sql.functions.posexplode
 import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -81,12 +81,16 @@ class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // Null orderings are matched EXPLICITLY (the defaults for DESC/ASC):
+    // a desc_nulls_first / asc_nulls_last ordering ranks rows the
+    // aggregator's (-score, id) comparator would misplace, so any
+    // non-default ordering must keep the window plan.
     case Filter(RankBound(rkRef, k),
         ProjectedWindow(projList,
           Window(Seq(winAlias @ Alias(WindowExpression(_: RowNumber,
               WindowSpecDefinition(partSpec,
-                Seq(SortOrder(score: AttributeReference, Descending, _, _),
-                    SortOrder(id: AttributeReference, Ascending, _, _)),
+                Seq(SortOrder(score: AttributeReference, Descending, NullsLast, _),
+                    SortOrder(id: AttributeReference, Ascending, NullsFirst, _)),
                 _)), _)),
             _, _, child, _)))
         if k > 0 && k <= maxK &&
@@ -99,6 +103,11 @@ class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       score: AttributeReference, id: AttributeReference): Boolean = {
     val partOk = partSpec.forall(_.isInstanceOf[AttributeReference])
     val typesOk = score.dataType == LongType && id.dataType == LongType
+    // TopKAgg's buffer is a case class of primitive Longs
+    // (Encoders.product): a null score/id would throw at runtime, and
+    // null placement differs from the comparator anyway — nullable
+    // inputs keep the window plan.
+    val nullOk = !score.nullable && !id.nullable
     val allowed = AttributeSet(
       partSpec.collect { case a: AttributeReference => a } ++ Seq(score, id))
     // rk must be the window output (bare or integral-cast), everything
@@ -117,7 +126,7 @@ class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
     val rkProjected = projList.exists(_.exprId == rkRef.exprId)
-    partOk && typesOk && shapeOk && rkProjected
+    partOk && typesOk && nullOk && shapeOk && rkProjected
   }
 
   private def rewrite(projList: Seq[NamedExpression],
@@ -125,20 +134,28 @@ class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       score: AttributeReference, id: AttributeReference, k: Long,
       child: LogicalPlan): LogicalPlan = {
     val partAttrs = partSpec.map(_.asInstanceOf[AttributeReference])
+    val partCols = partAttrs.map(PlanBridge.column)
     val df = PlanBridge.ofRows(spark, child)
     val top = graft.functions.TopKAgg.topK(k.toInt)(
       PlanBridge.column(score), PlanBridge.column(id))
     // Grouping attributes pass through Aggregate with their exprIds
     // intact, so exprId-precise references stay valid downstream.
-    val rows = df
-      .groupBy(partAttrs.map(PlanBridge.column): _*)
+    // Every generated column (agg buffer, posexplode's pos/col) is
+    // ALSO referenced exprId-precise, read back from the analyzed
+    // output of each step — a user grouping column named "pos", "col"
+    // or "__graft_top" cannot shadow them.
+    val agged = df
+      .groupBy(partCols: _*)
       .agg(top.as("__graft_top"))
-      .select(partAttrs.map(PlanBridge.column) :+
-        posexplode(col("__graft_top.rows")): _*)
-      .select(partAttrs.map(PlanBridge.column) ++ Seq(
-        col("col.score").as("__graft_score"),
-        col("col.id").as("__graft_id"),
-        (col("pos") + 1).cast(LongType).as("__graft_rk")): _*)
+    val topAttr = PlanBridge.analyzed(agged).output.last
+    val exploded = agged.select(
+      partCols :+ posexplode(PlanBridge.column(topAttr).getField("rows")): _*)
+    val expOut = PlanBridge.analyzed(exploded).output
+    val (posAttr, rowAttr) = (expOut(expOut.size - 2), expOut.last)
+    val rows = exploded.select(partCols ++ Seq(
+      PlanBridge.column(rowAttr).getField("score").as("__graft_score"),
+      PlanBridge.column(rowAttr).getField("id").as("__graft_id"),
+      (PlanBridge.column(posAttr) + 1).cast(LongType).as("__graft_rk")): _*)
     val newPlan = PlanBridge.analyzed(rows)
     val out = newPlan.output
     val replacement: Map[ExprId, Attribute] =

@@ -70,4 +70,53 @@ class PlanRewriteSpec extends AnyFunSuite {
     assert(kept2.queryExecution.executedPlan.toString.contains("Window"))
     assert(kept2.count() === 21)
   }
+
+  test("nullable score / non-default null ordering keep the window plan") {
+    // nullable score: TopKAgg's primitive-Long buffer would NPE and
+    // null placement differs from the comparator — must not rewrite.
+    val nullable = fixture.withColumn("nscore",
+      when(col("score") > 5, col("score")))  // nullable LongType attr
+    val w = Window.partitionBy("grp").orderBy(col("nscore").desc, col("id"))
+    val kept = nullable
+      .select(col("grp"), col("id"), col("nscore"),
+        row_number().over(w).cast("bigint").as("rk"))
+      .where(col("rk") <= 3)
+    assert(kept.queryExecution.executedPlan.toString.contains("Window"),
+      "nullable score column must bail out")
+    assert(kept.count() === 21)
+
+    // desc_nulls_first flips where the comparator would put ties with
+    // nulls — any non-default ordering must bail, nullable or not.
+    val w2 = Window.partitionBy("grp")
+      .orderBy(col("score").desc_nulls_first, col("id"))
+    val kept2 = fixture
+      .select(col("grp"), col("id"), col("score"),
+        row_number().over(w2).cast("bigint").as("rk"))
+      .where(col("rk") <= 3)
+    assert(kept2.queryExecution.executedPlan.toString.contains("Window"),
+      "desc_nulls_first must bail out")
+  }
+
+  test("grouping column named pos/col does not break the rewrite") {
+    // The rebuilt plan references posexplode's outputs exprId-precise;
+    // user columns shadowing the generated names must still resolve.
+    val renamed = fixture.withColumnRenamed("grp", "pos")
+    val w = Window.partitionBy("pos").orderBy(col("score").desc, col("id"))
+    val out = renamed
+      .select(col("pos"), col("id"), col("score"),
+        row_number().over(w).cast("bigint").as("rk"))
+      .where(col("rk") <= 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rewrite should still fire:\n$plan")
+    assert(out.count() === 21)
+
+    val renamed2 = fixture.withColumnRenamed("grp", "col")
+    val w2 = Window.partitionBy("col").orderBy(col("score").desc, col("id"))
+    val out2 = renamed2
+      .select(col("col"), col("id"), col("score"),
+        row_number().over(w2).cast("bigint").as("rk"))
+      .where(col("rk") <= 3)
+    assert(!out2.queryExecution.executedPlan.toString.contains("Window"))
+    assert(out2.count() === 21)
+  }
 }
