@@ -232,6 +232,12 @@ object TextQueries {
     // covers every such pair (the semi-join can only drop rows LSH
     // missed, and d9 asserts there are none). Both inputs are the
     // memoized pair sets, so this adds one semi-join to the plan.
+    // COUPLING CAVEAT: this equality is a property of the corpus, not
+    // the code — minhash recall at J ≥ 0.8 is probabilistic (~99.9%
+    // per pair at r=8/b=16), so a regenerated/grown corpus could make
+    // d7 fail with no code change. If d7 ever fails while d6 passes,
+    // check d9 FIRST: a d9 mismatch means recall dropped (raise bands
+    // or accept the contract form), not that the dedup logic broke.
     QueryDef("d7_minhash_pairs",
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, CAST(i AS INTEGER), 5)))) AS g

@@ -62,6 +62,14 @@ object Warehouse {
     * within a multi-dir JVM the last writer wins (fine for specs,
     * which exercise Dedup.simhashPairsFrom on in-memory frames
     * instead).
+    *
+    * SINGLE-PROCESS ASSUMPTION: two Verify/Bench processes sharing a
+    * cwd would interleave mode("overwrite") writes under each other's
+    * read-backs/oracle reads. The driver runs one process at a time,
+    * so this is acknowledged rather than defended; if concurrent runs
+    * ever appear, suffix the path with the process id and interpolate
+    * it into the oracle SQL at declaration time (the d8 oracle already
+    * interpolates this path, so the mechanism exists).
     */
   val simhashExportPath: String =
     new java.io.File("spark-warehouse/simhash_export").getAbsolutePath
