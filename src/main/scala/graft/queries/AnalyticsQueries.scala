@@ -220,5 +220,51 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(dec18_2)).cast("double").as("total"))
         .orderBy("bin")
+    },
+
+    // ---- SCD2 slowly-changing-dimension build ----
+    // The warehouse upsert-history op: collapse each customer's order
+    // stream into type-2 dimension rows — one row per RUN of equal
+    // o_orderpriority values (ordered by date, orderkey tiebreak),
+    // with [valid_from, valid_to) effective-date ranges and an
+    // is_current flag on the open row. Two stacked windows over ONE
+    // hash partitioning on o_custkey (lag to find change points,
+    // lead over the change rows for the closing date): Spark plans a
+    // single exchange, then per-partition sorts — no global sort, no
+    // self-join, which is the shape that survives a 100 TB history
+    // table. Sentinel 9999-12-31 keeps valid_to non-null so BETWEEN
+    // probes work downstream.
+    QueryDef("q33_scd2_dim",
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    LAG(o_orderpriority) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |), changes AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        |  FROM ordered WHERE prev IS NULL OR o_orderpriority <> prev
+        |)
+        |SELECT o_custkey AS custkey,
+        |  CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS scd_version,
+        |  o_orderpriority AS priority,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS valid_from,
+        |  COALESCE(CAST(CAST(LEAD(o_orderdate) OVER w2 AS DATE) AS VARCHAR), '9999-12-31') AS valid_to,
+        |  LEAD(o_orderdate) OVER w2 IS NULL AS is_current
+        |FROM changes
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY custkey, scd_version""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("prev", lag("o_orderpriority", 1).over(w))
+        .where(col("prev").isNull || col("o_orderpriority") =!= col("prev"))
+        .select(
+          col("o_custkey").as("custkey"),
+          row_number().over(w).cast("bigint").as("scd_version"),
+          col("o_orderpriority").as("priority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+          coalesce(date_format(lead("o_orderdate", 1).over(w), "yyyy-MM-dd"),
+            lit("9999-12-31")).as("valid_to"),
+          lead("o_orderdate", 1).over(w).isNull.as("is_current"))
+        .orderBy("custkey", "scd_version")
     })
 }

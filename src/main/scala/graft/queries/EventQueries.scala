@@ -226,5 +226,76 @@ object EventQueries {
         .select(col("user_id"), col("event_type"), col("event_id"),
           expr("ts div 1000").as("ts_us"), col("value"))
         .orderBy("user_id", "event_type")
+    },
+
+    // ---- ordered funnel (view → click → purchase) ----
+    // Step-conversion via conditional min-timestamps: ONE aggregation
+    // collapses each user to first-touch times per step, a second
+    // (driver-sized, single row) counts users whose steps are in
+    // strict time order. This is the scalable funnel form — two
+    // partial-aggregated passes, no per-step self-joins (k-step
+    // funnels as k-way joins re-shuffle the event table k times).
+    // ts stays raw nanoseconds on both sides: DuckDB reads the same
+    // parquet as TIMESTAMP_NS, so strict < comparisons agree and no
+    // quantization is needed (only ts *values* in output would need
+    // the µs rule).
+    QueryDef("e10_funnel",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+        |    MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+        |    MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  COUNT(t_view) AS step1_view,
+        |  COUNT(CASE WHEN t_click > t_view THEN 1 END) AS step2_click,
+        |  COUNT(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 END) AS step3_purchase
+        |FROM u""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("t_view")).as("step1_view"),
+          count(when(col("t_click") > col("t_view"), 1)).as("step2_click"),
+          count(when(col("t_buy") > col("t_click") &&
+            col("t_click") > col("t_view"), 1)).as("step3_purchase"))
+    },
+
+    // ---- approx_percentile rank-error CONTRACT (e7 pattern) ----
+    // The 100 TB percentile path: Greenwald-Khanna sketches merge
+    // across executors in one partial-agg pass (vs q31's exact
+    // per-group value digests). DuckDB cannot reproduce Spark's
+    // sketch, so the oracle checks the CONTRACT instead: the returned
+    // value's exact rank interval [n_lt+1, n_le] must intersect
+    // p ± ε (ε = 1/accuracy = 0.01, doubled for merge slack). The
+    // rank check joins the 15-row approx table back to events
+    // broadcast — one more partial-agg pass, no extra shuffle of the
+    // fact table.
+    QueryDef("e11_pctl_contract",
+      """SELECT e.event_type, CAST(t.p AS DOUBLE) AS p, TRUE AS rank_ok
+        |FROM (SELECT DISTINCT event_type FROM events) e
+        |CROSS JOIN (VALUES (0.25), (0.5), (0.9)) AS t(p)
+        |ORDER BY event_type, p""".stripMargin) { (s, dir) =>
+      val ps = Seq(0.25, 0.5, 0.9)
+      val pArr = array(ps.map(lit): _*)
+      val ev = Tables.events(s, dir)
+      val approx = ev.groupBy("event_type")
+        .agg(percentile_approx(col("value"), pArr, lit(100)).as("avs"))
+        .select(col("event_type"), posexplode(col("avs")))
+        .select(col("event_type"),
+          element_at(pArr, col("pos") + 1).as("p"), col("col").as("av"))
+      ev.join(broadcast(approx), Seq("event_type"))
+        .groupBy("event_type", "p", "av")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value") < col("av"), 1)).as("n_lt"),
+          count(when(col("value") <= col("av"), 1)).as("n_le"))
+        .select(col("event_type"), col("p"),
+          (col("n_lt") < (col("p") + 0.02) * col("n") &&
+            col("n_le") >= (col("p") - 0.02) * col("n")).as("rank_ok"))
+        .orderBy("event_type", "p")
     })
 }
