@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.DecimalType
+
 import graft.operators.TextOps
 import graft.sources.{Constraints, Tables}
 
@@ -211,5 +213,134 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("bigint").as("sum_chars"))
         .orderBy("lang")
+    },
+
+    // ---- deterministic per-stratum sampling (training-mix rebalance) ----
+    // Different keep-rates per language via an md5 threshold on the
+    // KEY (p2 hashes content; keys survive text edits): 4 hex chars =
+    // 65536 buckets, 0x1999/65536 ≈ 10% for the over-represented
+    // stratum, 0x4ccc ≈ 30% for the rest. Scan-local — no shuffle, no
+    // RNG state, reproducible across engines/runs/retries, and the
+    // sample COMPOSES (a 5% re-sample of the 10% sample is the hash
+    // prefix < 0x0ccc subset). This is the only sampling shape that is
+    // auditable at 100 TB: membership is a pure function of the key.
+    QueryDef("p7_stratified_sample",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE WHEN lang = 'en' THEN '1999' ELSE '4ccc' END
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .where(substring(md5(col("doc_id").cast("string")), 1, 4) <
+          when(col("lang") === "en", "1999").otherwise("4ccc"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // ---- bigram language-model counts (n-gram LM table build) ----
+    // Token bigrams via posexplode over the regex token array, counts
+    // grouped on (w1, w2), conditional probability from a w1-
+    // partitioned window over the GROUPED table (vocab² rows, not
+    // token rows — the window input is already aggregate-sized). The
+    // n ≥ 20 support cut is applied AFTER the window so P(w2|w1)
+    // denominators stay exact. p_cond is one bigint/bigint division
+    // in double — bit-exact on both engines.
+    QueryDef("p8_bigram_lm",
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), big AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(ts))) AS u(i)
+        |), grouped AS (
+        |  SELECT w1, w2, COUNT(*) AS n,
+        |    CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY w1) AS p_cond
+        |  FROM big GROUP BY w1, w2
+        |)
+        |SELECT w1, w2, n, p_cond FROM grouped
+        |WHERE n >= 20 ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      val bigrams = toks
+        .select(col("ts"), posexplode(col("ts")))
+        .where(col("pos") < size(col("ts")) - 1)
+        .select(col("col").as("w1"),
+          element_at(col("ts"), col("pos") + 2).as("w2"))
+      bigrams
+        .groupBy("w1", "w2")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_cond", col("n").cast("double") /
+          sum("n").over(Window.partitionBy("w1")).cast("double"))
+        .where(col("n") >= 20)
+        .select("w1", "w2", "n", "p_cond")
+        .orderBy("w1", "w2")
+    },
+
+    // ---- one-pass column profiling (data-quality audit) ----
+    // Row count, null count, exact distinct count and min/max for
+    // five orders columns in a SINGLE scan: Catalyst plans the five
+    // COUNT(DISTINCT)s as one Expand (×5 row multiplier) + partial
+    // aggregation — still one pass over the fact table, which is the
+    // profiling shape for 100 TB (the oracle's five UNION ALL scans
+    // is what NOT to do at scale). Values render as strings so one
+    // stack() unpivots heterogeneous column types into rows; doubles
+    // go through DECIMAL(12,2) so both engines print identically.
+    QueryDef("v2_profile",
+      """SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(o_custkey) AS n_nulls, COUNT(DISTINCT o_custkey) AS n_distinct,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS min_v, CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+        |  FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+        |    CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR), CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+        |  FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+        |    MIN(o_orderpriority), MAX(o_orderpriority)
+        |  FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+        |    MIN(o_orderstatus), MAX(o_orderstatus)
+        |  FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+        |    CAST(CAST(MIN(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR),
+        |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR)
+        |  FROM orders
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val wide = Tables.orders(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("nn_custkey"),
+        countDistinct(col("o_custkey")).as("nd_custkey"),
+        min(col("o_custkey")).cast("string").as("mn_custkey"),
+        max(col("o_custkey")).cast("string").as("mx_custkey"),
+        count(col("o_orderdate")).as("nn_orderdate"),
+        countDistinct(col("o_orderdate")).as("nd_orderdate"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("mn_orderdate"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("mx_orderdate"),
+        count(col("o_orderpriority")).as("nn_orderpriority"),
+        countDistinct(col("o_orderpriority")).as("nd_orderpriority"),
+        min(col("o_orderpriority")).as("mn_orderpriority"),
+        max(col("o_orderpriority")).as("mx_orderpriority"),
+        count(col("o_orderstatus")).as("nn_orderstatus"),
+        countDistinct(col("o_orderstatus")).as("nd_orderstatus"),
+        min(col("o_orderstatus")).as("mn_orderstatus"),
+        max(col("o_orderstatus")).as("mx_orderstatus"),
+        count(col("o_totalprice")).as("nn_totalprice"),
+        countDistinct(col("o_totalprice")).as("nd_totalprice"),
+        min(col("o_totalprice")).cast(DecimalType(12, 2)).cast("string").as("mn_totalprice"),
+        max(col("o_totalprice")).cast(DecimalType(12, 2)).cast("string").as("mx_totalprice"))
+      wide.select(expr(
+        """stack(5,
+          |  'o_custkey', nn_custkey, nd_custkey, mn_custkey, mx_custkey,
+          |  'o_orderdate', nn_orderdate, nd_orderdate, mn_orderdate, mx_orderdate,
+          |  'o_orderpriority', nn_orderpriority, nd_orderpriority, mn_orderpriority, mx_orderpriority,
+          |  'o_orderstatus', nn_orderstatus, nd_orderstatus, mn_orderstatus, mx_orderstatus,
+          |  'o_totalprice', nn_totalprice, nd_totalprice, mn_totalprice, mx_totalprice
+          |) AS (col_name, nn, n_distinct, min_v, max_v)""".stripMargin),
+        col("n_rows"))
+        .select(col("col_name"), col("n_rows"),
+          (col("n_rows") - col("nn")).as("n_nulls"), col("n_distinct"),
+          col("min_v"), col("max_v"))
+        .orderBy("col_name")
     })
 }
