@@ -77,7 +77,20 @@ object Explain {
         |map-side-partial aggregation pass (partial_count/partial_sum of x,
         |x², xy), one exchange of 3 group rows, double math only in the final
         |projection. Order-independent (decimal sums), mergeable across any
-        |executor count — the streaming-moments alternative is neither.""".stripMargin)
+        |executor count — the streaming-moments alternative is neither.""".stripMargin,
+    "q33_scd2_dim" ->
+      """SCD2 build: BOTH windows (lag change-detection, lead validity close)
+        |reuse ONE hashpartitioning exchange on o_custkey — the plan shows a
+        |single Exchange, then per-partition Sorts feeding the two Window
+        |operators with the change-point Filter between them. No self-join,
+        |no global sort: at a 100 TB history table the cost is one shuffle of
+        |the change columns.""".stripMargin,
+    "v2_profile" ->
+      """One-pass profiling: the five COUNT(DISTINCT col)s plan as a single
+        |Expand (×5 replicas tagged by gid) over ONE scan of orders, with
+        |partial aggregation before the exchange — versus the oracle's five
+        |separate scans. stack() unpivots the 1-row wide aggregate into the
+        |per-column report rows driver-side (5 rows).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
