@@ -80,5 +80,29 @@ object Skew {
     */
   def saltColumn(saltBuckets: Int, keyCols: Column*): Column =
     pmod(spark_partition_id() + crc32(concat_ws("\u0000", keyCols: _*)),
-      lit(saltBuckets))
+      lit(saltBuckets)).cast("int")
+
+  /** Skew-resilient equi-join: salt the fact side, replicate the dim
+    * side `saltBuckets`×, join on (keys, salt). One hot fact key
+    * spreads across `saltBuckets` reducers instead of serializing one.
+    * The dim side carries a `merge` hint so the join stays a shuffle
+    * join even when the dim is broadcast-sized — in the regime where
+    * salting matters (dim too big to broadcast, fact key power-law)
+    * there is no broadcast escape hatch, and the salted exchange IS
+    * the plan. Exactly equal to the plain join (each fact row meets
+    * its dim row in exactly one salt bucket), which is how the oracle
+    * checks it. AQE's skew-join split covers sort-merge joins
+    * reactively; this is the proactive form that also covers the
+    * hash-partitioned aggregations stacked on the join.
+    *
+    * `keys` must exist on both sides (rename the dim's key first).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltBuckets: Int = 8): DataFrame = {
+    val fSalted = fact.withColumn("_salt",
+      saltColumn(saltBuckets, keys.map(col): _*))
+    val dSalted = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    fSalted.join(dSalted.hint("merge"), keys :+ "_salt").drop("_salt")
+  }
 }

@@ -266,5 +266,66 @@ object AnalyticsQueries {
             lit("9999-12-31")).as("valid_to"),
           lead("o_orderdate", 1).over(w).isNull.as("is_current"))
         .orderBy("custkey", "scd_version")
+    },
+
+    // ---- value-RANGE window frame: trailing-30-day running spend ----
+    // q26's frames are ROWS-based (physical offsets); this is the
+    // RANGE form — the frame is every order within 30 DAYS, however
+    // many rows that is, and same-day peers always aggregate together.
+    // Both engines get the identical numeric frame by ordering on
+    // epoch-days (Spark's rangeBetween needs a single numeric sort
+    // key anyway). Same scale shape as any partitioned window: one
+    // hash exchange on o_custkey, per-partition sort, no global sort.
+    QueryDef("q34_range_frame",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d_epoch,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_custkey, d_epoch, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("d_epoch")
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, dir)
+        .where(col("o_custkey") < 200)
+        .withColumn("d_epoch",
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+            .cast("bigint"))
+        .select(col("o_custkey"), col("o_orderkey"), col("d_epoch"),
+          sum(col("o_totalprice").cast(dec18_2)).over(w)
+            .cast("double").as("spend_30d"))
+        .orderBy("o_custkey", "d_epoch", "o_orderkey")
+    },
+
+    // ---- incremental aggregate maintenance (IVM merge) ----
+    // The incremental-ETL op: a stored monthly-revenue STATE (partial
+    // sums + counts for data before the cutoff) absorbs a new-arrivals
+    // DELTA by unioning partials and re-aggregating — sums of sums,
+    // sums of counts — touching only the state table and the new
+    // batch, never rescanning history. The oracle is the full
+    // recompute, which is exactly what the merge must equal. Decimal
+    // partials make the merge order-independent; at 100 TB the delta
+    // pass is the only fact scan and the state side is months-sized.
+    QueryDef("q36_incremental_agg",
+      """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin) { (s, dir) =>
+      val cutoff = lit("1997-07-01").cast("date")
+      def partials(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("order_month",
+          date_format(trunc(to_date(col("o_orderdate")), "month"), "yyyy-MM-dd"))
+        .groupBy("order_month")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("o_totalprice").cast(dec18_2)).as("psum"))
+      val o = Tables.orders(s, dir)
+      val state = partials(o.where(to_date(col("o_orderdate")) < cutoff))
+      val delta = partials(o.where(to_date(col("o_orderdate")) >= cutoff))
+      state.unionByName(delta)
+        .groupBy("order_month")
+        .agg(sum("pn").as("n_orders"),
+          sum("psum").cast("double").as("revenue"))
+        .orderBy("order_month")
     })
 }

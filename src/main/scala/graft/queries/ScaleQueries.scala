@@ -115,5 +115,31 @@ object ScaleQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       Skew.saltedDistinct(Tables.events(s, dir), Seq("event_type"), "user_id")
         .orderBy("event_type")
+    },
+
+    // ---- salted skew join (proactive hot-key spreading) ----
+    // lineitem⋈supplier through Skew.saltedJoin: the fact side salts
+    // on (key, map-partition), the dim side replicates ×8, the join
+    // runs as a sort-merge on (l_suppkey, _salt) — a hot supplier's
+    // rows land on 8 reducers instead of 1. The oracle is the PLAIN
+    // join + aggregate: salting must be invisible in the result.
+    // (Supplier is broadcast-sized HERE; the merge hint forces the
+    // shuffle-join plan this operator exists for — plan asserted in
+    // ScaleSpec.)
+    QueryDef("q35_salted_join",
+      """SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      Skew.saltedJoin(
+        Tables.lineitem(s, dir).select("l_suppkey", "l_quantity"),
+        Tables.supplier(s, dir)
+          .withColumnRenamed("s_suppkey", "l_suppkey")
+          .select("l_suppkey", "s_nationkey"),
+        Seq("l_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec12_2)).cast("double").as("sum_qty"))
+        .orderBy("s_nationkey")
     })
 }

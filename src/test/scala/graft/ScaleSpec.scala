@@ -87,6 +87,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("salted join shuffles on (key, salt) and equals the plain join") {
+    val fact = Tables.lineitem(spark, dir).select("l_suppkey", "l_quantity")
+    val dim = Tables.supplier(spark, dir)
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+      .select("l_suppkey", "s_nationkey")
+    val salted = Skew.saltedJoin(fact, dim, Seq("l_suppkey"))
+    // The hot-key spreading claim: NOT a broadcast join (one hot key
+    // on one task), but a shuffle join keyed on (l_suppkey, _salt).
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"salted join must not broadcast:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle join on the salted key:\n$plan")
+    assert(plan.contains("_salt"), s"salt key missing from the plan:\n$plan")
+
+    val got = salted.groupBy("s_nationkey").count()
+      .orderBy("s_nationkey").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val want = fact.join(dim, "l_suppkey").groupBy("s_nationkey").count()
+      .orderBy("s_nationkey").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("streaming from a parquet file source produces the batch answer") {
     val ev = Tables.events(spark, dir)
     // file streaming sources need a directory, not a single file
