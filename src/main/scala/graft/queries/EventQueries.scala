@@ -297,5 +297,74 @@ object EventQueries {
           (col("n_lt") < (col("p") + 0.02) * col("n") &&
             col("n_le") >= (col("p") - 0.02) * col("n")).as("rank_ok"))
         .orderBy("event_type", "p")
+    },
+
+    // ---- time-series gap fill + forward fill ----
+    // Densify each event type's hourly series (sequence+explode over
+    // the [min,max] bucket range — generated distributed, one row per
+    // type before the explode) and carry the last observed sum forward
+    // across empty hours with last(ignoreNulls) — the standard
+    // as-of-publication semantics for downstream feature joins. Scale
+    // shape: the dense axis is |types| × hours (tiny vs the fact
+    // table), the fill window partitions by type so no global sort,
+    // and the left join is a hash join on (type, hour). Decimal sum
+    // is filled first, cast to DOUBLE once at the end (order-safe).
+    QueryDef("e12_gap_fill",
+      """WITH b AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+        |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS sv
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM b GROUP BY 1
+        |), dense AS (
+        |  SELECT event_type, unnest(range(h0, h1 + 1)) AS h FROM bounds
+        |)
+        |SELECT d.event_type, d.h AS hour_bucket,
+        |  COALESCE(b.n, 0) AS n_events,
+        |  CAST(last_value(b.sv IGNORE NULLS)
+        |    OVER (PARTITION BY d.event_type ORDER BY d.h) AS DOUBLE) AS filled_sum
+        |FROM dense d LEFT JOIN b ON d.event_type = b.event_type AND d.h = b.h
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .withColumn("h", expr("ts div 3600000000000"))
+        .groupBy("event_type", "h")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec12_2)).as("sv"))
+      val dense = hourly.groupBy("event_type")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      dense.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h").as("hour_bucket"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("sv"), ignoreNulls = true).over(w).cast("double").as("filled_sum"))
+        .orderBy("event_type", "hour_bucket")
+    },
+
+    // ---- cohort retention matrix ----
+    // Classic pipeline health view: users bucketed by first-seen day,
+    // distinct actives per (cohort, day offset). Two shuffles total —
+    // the first-touch aggregation and the (cohort, offset) distinct
+    // count — both on keys that stay high-cardinality as the corpus
+    // grows, so the shape holds at 100 TB (the user⋈first-touch join
+    // co-partitions with the first aggregation's output; AQE
+    // broadcasts it only when the user dim is genuinely small).
+    QueryDef("e13_cohort_retention",
+      """WITH f AS (
+        |  SELECT user_id, MIN(epoch_ns(ts) // 86400000000000) AS d0
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT f.d0 AS cohort_day,
+        |  epoch_ns(e.ts) // 86400000000000 - f.d0 AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("d", expr("ts div 86400000000000"))
+      val first = ev.groupBy("user_id").agg(min("d").as("d0"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("d0").as("cohort_day"),
+          (col("d") - col("d0")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
     })
 }

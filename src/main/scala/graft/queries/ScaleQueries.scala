@@ -117,6 +117,55 @@ object ScaleQueries {
         .orderBy("event_type")
     },
 
+    // ---- TPC-H Q5 shape: local-supplier volume (6-table join) ----
+    // The deepest join tree in the engine: fact⋈fact (lineitem⋈orders,
+    // the one genuinely shuffled join) with every dimension broadcast
+    // and filters pushed below the joins. The c_nationkey = s_nationkey
+    // "local supplier" predicate makes customer a real join (not a
+    // semi-join) — its nationkey participates in the supplier join
+    // condition. At 100 TB the same plan holds: orders/lineitem
+    // shuffle on orderkey once, customer/supplier/nation/region stay
+    // broadcast (they grow ~100× slower than the facts in TPC-H-like
+    // schemas), so no extra exchange appears as sf scales.
+    QueryDef("q37_local_supplier_volume",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val lo = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"), "left_semi")
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations.select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast(dec12_2) *
+          (lit(1) - col("l_discount")).cast(dec4_2)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // ---- salted skew join (proactive hot-key spreading) ----
     // lineitem⋈supplier through Skew.saltedJoin: the fact side salts
     // on (key, map-partition), the dim side replicates ×8, the join

@@ -112,5 +112,40 @@ object SqlQueries {
           |  CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'A') AS BIGINT) AS n_kept,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_discounted
           |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    },
+
+    // ---- correlated EXISTS / NOT EXISTS (TPC-H Q4 shape) ----
+    // The correlated-subquery SQL surface: both engines decorrelate
+    // EXISTS into a left-semi join and NOT EXISTS into a left-anti
+    // join on the correlation key (Catalyst: RewritePredicateSubquery),
+    // so at scale each predicate costs one hash join on l_orderkey —
+    // never a per-row re-execution of the subquery. Shared text; the
+    // two predicates over the same subquery table exercise semi and
+    // anti decorrelation in a single plan.
+    QueryDef("h9_sql_exists", SqlText.h9) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(SqlText.h9)
     })
+
+  /** Shared verbatim between the Spark run and the DuckDB oracle. */
+  private object SqlText {
+    val h9: String =
+      """SELECT 'heavy' AS bucket, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'light' AS bucket, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        |GROUP BY o_orderpriority
+        |ORDER BY bucket, o_orderpriority""".stripMargin
+  }
 }

@@ -9,9 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * split equal the single-partition fold — the property Catalyst
   * assumes when it map-side-combines), and the result must equal the
   * shared interpolation definition `lower + (upper-lower)·frac` at
-  * rank p·(n-1) — the definition Spark `percentile` and DuckDB
-  * `quantile_cont` both implement, which is why q31 can hash-match
-  * its oracle bit-exactly over integral inputs. Randomized multisets
+  * rank p·(n-1), in Spark's exact operand order
+  * `(hi-rank)·lower + (rank-lo)·upper` — a symmetric lerp that can
+  * differ from the `lower + (upper-lower)·frac` form by one ULP
+  * (e.g. vals [-2,1], p=0.9: 0.7000000000000001 vs …02), so the law
+  * must be stated in the engine's own form. Randomized multisets
   * (duplicates included) × random partition counts; trial count kept
   * modest because every trial runs real Spark jobs.
   */
@@ -30,15 +32,17 @@ class PercentilePropertySpec extends AnyFunSuite {
       .head().toSeq.map(_.asInstanceOf[Double])
   }
 
-  /** The interpolation definition, written exactly as both engines
-    * compute it (same parse tree → same IEEE op order).
+  /** The interpolation definition in Spark's exact operand order
+    * (Percentile.getPercentile): `(hi-rank)*lower + (rank-lo)*upper`,
+    * degenerating to `lower` when the rank is integral.
     */
   private def reference(vals: Seq[Int], p: Double): Double = {
     val sorted = vals.sorted.map(_.toDouble)
     val rank = p * (sorted.size - 1)
-    val lo = math.floor(rank).toInt
-    val hi = math.ceil(rank).toInt
-    sorted(lo) + (sorted(hi) - sorted(lo)) * (rank - lo)
+    val lo = math.floor(rank).toLong
+    val hi = math.ceil(rank).toLong
+    if (lo == hi) sorted(lo.toInt)
+    else (hi - rank) * sorted(lo.toInt) + (rank - lo) * sorted(hi.toInt)
   }
 
   test("percentile is partition-invariant and equals the interpolation law") {
