@@ -342,5 +342,45 @@ object PipelineQueries {
           (col("n_rows") - col("nn")).as("n_nulls"), col("n_distinct"),
           col("min_v"), col("max_v"))
         .orderBy("col_name")
+    },
+
+    // ---- Misra-Gries heavy hitters (mergeable counter sketch) ----
+    // The sketch path for "most frequent tokens" when even the exact
+    // groupBy(token) shuffle is too big: MG with k=64 counters ships
+    // O(k) state per map task, and its deterministic guarantee — any
+    // token with true count > N/(k+1) IS in the summary, under any
+    // partitioning/merge order (Mergeable Summaries, PODS'12) — is the
+    // oracle CONTRACT. DuckDB computes the exact heavy-hitter set;
+    // Spark re-derives the same exact set (that part hash-matches by
+    // construction) and flags membership in the MG sketch: any FALSE
+    // in in_sketch is a violated guarantee, i.e. a broken reduce/merge.
+    // The counter VALUES are partitioning-dependent, so they are
+    // deliberately NOT exposed. Exact top-k stays p4's shape; the
+    // property spec covers the estimate-error bound on random splits.
+    QueryDef("p9_heavy_hitters",
+      """WITH t AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token
+        |), n AS (SELECT SUM(cnt) AS total FROM c)
+        |SELECT token, cnt, TRUE AS in_sketch FROM c
+        |WHERE cnt * 65 > (SELECT total FROM n)
+        |ORDER BY token""".stripMargin) { (s, dir) =>
+      val k = 64
+      val tokens = Tables.documents(s, dir)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+      val exact = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = exact.agg(sum("cnt").as("total"))
+      val sketched = tokens
+        .agg(graft.functions.MisraGries.sketch(k)(col("token")).as("mg"))
+        .select(explode(col("mg.tokens")).as("token"))
+        .withColumn("tracked", lit(true))
+      exact.crossJoin(broadcast(total))
+        .where(col("cnt") * (k + 1) > col("total"))
+        .join(broadcast(sketched), Seq("token"), "left")
+        .select(col("token"), col("cnt"),
+          coalesce(col("tracked"), lit(false)).as("in_sketch"))
+        .orderBy("token")
     })
 }
