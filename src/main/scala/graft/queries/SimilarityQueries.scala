@@ -172,5 +172,46 @@ object SimilarityQueries {
         .select(col("label"), col("pos"), col("n_vecs"), col("sum_q"),
           (col("sum_q").cast("double") / col("n_vecs")).as("mean_q"))
         .orderBy("label", "pos")
+    },
+
+    // ---- embedding-cosine near-dup CLUSTERS ----
+    // The dedup end product for the embedding modality: exact
+    // label-blocked quantized-cosine edges (cos ≥ 0.30) collapsed to
+    // connected components, one (vec_id, cluster_id) row per vector
+    // that has at least one near-dup. Edge generation is s3's exact
+    // blocked shape (deliberately NOT the LSH candidates: the cluster
+    // set must be a pure function of the corpus for the oracle, and
+    // s4/s5 already prove the LSH edge set equals this one); the
+    // clustering is the same min-label fixpoint d10 uses on text
+    // shingles. Oracle = DuckDB recursive-CTE reachability over the
+    // independently recomputed edge set. At 100 TB the edge input
+    // swaps to lshCosinePairs and the fixpoint to
+    // duplicateClustersLogN — both already declared/spec-proven.
+    QueryDef("d12_embedding_dup_clusters",
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, embedding,
+        |    CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS n2
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT) >= 3000
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id, a_id FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+        |)
+        |SELECT src AS vec_id, MIN(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.duplicateClusters(
+        Similarity.blockedCosinePairs(Tables.embeddings(s, dir), minCosBp = 3000))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
     })
 }

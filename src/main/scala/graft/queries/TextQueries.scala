@@ -364,5 +364,46 @@ object TextQueries {
         graft.operators.Multimodal.withPayload(Tables.documents(s, dir)))
         .select("doc_id", "n_bytes", "frame_count", "mean_byte")
         .orderBy("doc_id")
+    },
+
+    // ---- blocked edit-distance (Levenshtein) near-dup pairs ----
+    // The character-level complement to token Jaccard (d6) and
+    // hash sketches (d7/d8): catches small in-place edits that shift
+    // every downstream shingle. Quadratic DP cost is tamed two ways —
+    // candidates come from a deterministic equi-join block (same lang,
+    // same 64-char length bucket: |len(a)-len(b)| > ed bound implies
+    // distance > bound, so near-dups rarely straddle buckets; the
+    // blocking IS part of the declared semantics, like s3's label
+    // block), and the DP runs on 120-char prefixes, making per-pair
+    // cost a constant independent of document length. At scale the
+    // block join is one shuffle on (lang, bucket) and blocks stay
+    // ~|corpus|/(langs·buckets); Spark's bounded 3-arg
+    // levenshtein(l, r, t) would early-exit rows > t but returns -1
+    // sentinels, so the oracle-portable 2-arg form is declared here.
+    QueryDef("d13_editdist_pairs",
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars // 64 AS bkt, substr(text, 1, 120) AS p
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS ed
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.bkt = b.bkt
+        |  AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 45
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / 64).cast("long").as("bkt"),
+          substring(col("text"), 1, 120).as("p"))
+      val a = d.select(col("lang"), col("bkt"),
+        col("doc_id").as("a_id"), col("p").as("pa"))
+      val b = d.select(col("lang"), col("bkt"),
+        col("doc_id").as("b_id"), col("p").as("pb"))
+      a.join(b, Seq("lang", "bkt"))
+        .where(col("a_id") < col("b_id"))
+        .withColumn("ed", levenshtein(col("pa"), col("pb")).cast("long"))
+        .where(col("ed") <= 45)
+        .select("a_id", "b_id", "ed")
+        .orderBy("a_id", "b_id")
     })
 }
