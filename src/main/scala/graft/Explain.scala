@@ -90,7 +90,36 @@ object Explain {
         |Expand (×5 replicas tagged by gid) over ONE scan of orders, with
         |partial aggregation before the exchange — versus the oracle's five
         |separate scans. stack() unpivots the 1-row wide aggregate into the
-        |per-column report rows driver-side (5 rows).""".stripMargin)
+        |per-column report rows driver-side (5 rows).""".stripMargin,
+    "q37_local_supplier_volume" ->
+      """Six-table join with exactly ONE shuffled join: lineitem⋈orders on the
+        |order key. customer, supplier and the region-filtered nation are all
+        |BroadcastHashJoins; the date filter is pushed into the orders scan
+        |(PushedFilters) and both fact scans are column-pruned. At 100 TB the
+        |dims stay broadcast-sized, so the plan adds no exchange as sf grows.""".stripMargin,
+    "e12_gap_fill" ->
+      """Gap fill: the dense hour axis is generated DISTRIBUTED (sequence()
+        |then explode over one row per event type) — never a driver-side
+        |range; the left join back to the hourly aggregate is a hash join on
+        |(type, hour); the forward-fill window partitions by event type and
+        |REUSES the join output's partitioning (no exchange before the Sort/
+        |Window pair) — no global sort anywhere. Honest cost note: the events
+        |scan appears twice (bounds and cells both derive from the hourly
+        |aggregate; both are partial-aggregated before their exchanges) — at
+        |production scale the hourly aggregate is the thing to materialize
+        |once, exactly like the memoized pair sets in TextQueries.""".stripMargin,
+    "d13_editdist_pairs" ->
+      """Candidate generation is a shuffled equi-join on (lang, length
+        |bucket) — no CartesianProduct / BroadcastNestedLoopJoin; the
+        |Levenshtein DP runs codegen'd inside the join's output filter on
+        |120-char prefixes, so per-pair cost is bounded regardless of
+        |document length.""".stripMargin,
+    "p9_heavy_hitters" ->
+      """Misra-Gries: the sketch side is a two-phase ObjectHashAggregate —
+        |partial MG buffers (≤64 counters) built map-side, ONE merged buffer
+        |crossing the exchange per map task, versus the exact path's shuffle
+        |of every distinct token. The contract join against the exact heavy
+        |set is broadcast (≤64 rows after the explode).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
