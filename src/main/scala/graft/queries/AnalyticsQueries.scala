@@ -327,5 +327,37 @@ object AnalyticsQueries {
         .agg(sum("pn").as("n_orders"),
           sum("psum").cast("double").as("revenue"))
         .orderBy("order_month")
+    },
+
+    // ---- rank-family window functions WITH ties ----
+    // rank / dense_rank / percent_rank / cume_dist over an ordering
+    // key that genuinely repeats (integral l_quantity within a return
+    // flag), so gap, dense, and distribution semantics all diverge
+    // from row_number and from each other — tie handling is the whole
+    // point of this surface, and both engines define it identically
+    // (percent_rank = (rank-1)/(n-1), cume_dist = n_peers_le/n, both
+    // one exact integer division in double). Window partitions by
+    // return flag: one hash exchange, per-partition sort, no global
+    // sort. Output identity columns + final ORDER BY keep the compare
+    // deterministic even though ranks tie.
+    QueryDef("q38_rank_functions",
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |  PERCENT_RANK() OVER w AS prnk,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM lineitem WHERE l_orderkey < 800
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 800)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"),
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
     })
 }

@@ -382,5 +382,57 @@ object PipelineQueries {
         .select(col("token"), col("cnt"),
           coalesce(col("tracked"), lit(false)).as("in_sketch"))
         .orderBy("token")
+    },
+
+    // ---- TF-IDF keyword extraction (top-3 terms per document) ----
+    // The classic corpus-statistics op: term frequency per (doc,
+    // token), document frequency per token, score = tf × idf, top-k
+    // keywords per doc. Distributed shape: two partial-aggregated
+    // shuffles build tf and df; df (vocab-sized) joins tf on token;
+    // the per-doc top-3 window partitions by doc — no global sort,
+    // nothing driver-side. CROSS-ENGINE FLOAT DISCIPLINE: idf is the
+    // only transcendental (ln(N/df)); libm implementations may differ
+    // in the last ULP, so idf is QUANTIZED to integer micro-units
+    // (floor(1e6·ln)) and the score stays exact bigint arithmetic —
+    // ranking can never be flipped by a ULP. A boundary hit would
+    // need ln to land within 2^-52 of a 1e-6 grid line (~1e-10 per
+    // distinct df; df takes a few hundred values here).
+    QueryDef("p10_tfidf_keywords",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY doc_id, token
+        |), df AS (
+        |  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM t GROUP BY token
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    tf.tf * CAST(floor(1000000.0 * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df)) AS BIGINT) AS score
+        |  FROM tf JOIN df ON tf.token = df.token
+        |)
+        |SELECT doc_id, token, tf, df, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, score DESC, token""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, Seq("token"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf") *
+          floor(lit(1000000.0) * log(col("n_docs").cast("double") / col("df")))
+            .cast("bigint"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score")
+        .orderBy(col("doc_id"), col("score").desc, col("token"))
     })
 }
