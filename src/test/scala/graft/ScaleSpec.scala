@@ -159,4 +159,41 @@ class ScaleSpec extends AnyFunSuite {
     val got = filtered.agg(sum("count")).collect()(0).getLong(0)
     assert(got == expect, s"partitioned answer $got != flat answer $expect")
   }
+
+  test("runtime bloom filter from a selective dim filter prunes the fact side") {
+    // The 100 TB shuffle-join reducer: when a dim carries a selective
+    // predicate, Catalyst's InjectRuntimeFilter builds a bloom filter
+    // of the surviving join keys and applies it to the fact side
+    // BEFORE the join's exchange, so filtered-out fact rows never
+    // shuffle. Thresholds are production-sized (fact scan ≥ 10 GB), so
+    // this test lowers them to exercise the mechanism at sf0.001;
+    // broadcast is disabled because a broadcast join needs no runtime
+    // filter (the dim rides along anyway).
+    val set = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = set.map { case (k, _) => k -> spark.conf.getOption(k) }
+    set.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def query() = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val q = query()
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected a bloom runtime filter in the optimized plan:\n$optimized")
+      val withFilter = q.collect().map(_.toSeq).toSet
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = query().collect().map(_.toSeq).toSet
+      assert(withFilter == without,
+        s"bloom-filtered result differs: $withFilter vs $without")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
