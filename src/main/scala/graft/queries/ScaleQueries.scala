@@ -166,6 +166,39 @@ object ScaleQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // ---- z-order (Morton) clustering key ----
+    // The multi-dimensional layout key behind ZOrder.writeClustered
+    // (see operators/ZOrder scaladoc + ZOrderSpec's row-group-skipping
+    // proof): bit-interleave two 16-bit dims with the shift/mask
+    // ladder — pure integer arithmetic, whole-stage-codegen'd, and
+    // written with the SAME ladder in the oracle so the key is checked
+    // bit-for-bit. Declared over a bounded slice; the layout writer is
+    // exercised in the spec (a write is not a query result).
+    QueryDef("q39_zorder_key",
+      """WITH a AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CAST(l_partkey AS BIGINT) & 65535 AS x, CAST(l_suppkey AS BIGINT) & 65535 AS y
+        |  FROM lineitem WHERE l_orderkey < 400
+        |), b AS (
+        |  SELECT *, (x | (x << 8)) & 16711935 AS x1, (y | (y << 8)) & 16711935 AS y1 FROM a
+        |), c AS (
+        |  SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2, (y1 | (y1 << 4)) & 252645135 AS y2 FROM b
+        |), d AS (
+        |  SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3, (y2 | (y2 << 2)) & 858993459 AS y3 FROM c
+        |), e AS (
+        |  SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4, (y3 | (y3 << 1)) & 1431655765 AS y4 FROM d
+        |)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  x4 | (y4 << 1) AS zkey
+        |FROM e ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 400)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.operators.ZOrder.zkey16(col("l_partkey"), col("l_suppkey")).as("zkey"))
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+    },
+
     // ---- salted skew join (proactive hot-key spreading) ----
     // lineitem⋈supplier through Skew.saltedJoin: the fact side salts
     // on (key, map-partition), the dim side replicates ×8, the join
