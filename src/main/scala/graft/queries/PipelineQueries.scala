@@ -434,5 +434,155 @@ object PipelineQueries {
         .where(col("rk") <= 3)
         .select("doc_id", "token", "tf", "df", "score")
         .orderBy(col("doc_id"), col("score").desc, col("token"))
+    },
+
+    // ---- Gopher-style document quality gates ----
+    // Per-document repetition/diversity statistics and a keep flag —
+    // the filter step every pretraining pipeline runs (cf. Gopher /
+    // MassiveText rules: max-word-frequency ratio, type-token ratio,
+    // length bounds). Distributed shape: token rows partial-aggregate
+    // map-side into per-(doc, word) counts (shuffle carries vocab-
+    // sized groups, not token rows), then one doc-keyed aggregation.
+    // A per-row HOF version (no shuffle) exists but is O(vocab²) per
+    // document — the explode+groupBy form is linear and its shuffle
+    // is bounded by per-doc vocabulary, which is the scalable trade.
+    // Ratios in basis points via floor() — integer on both engines.
+    QueryDef("p11_quality_filter",
+      """WITH words AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents
+        |), wc AS (
+        |  SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_word_cnt,
+        |  CAST(floor(10000.0 * MAX(cnt) / SUM(cnt)) AS BIGINT) AS top_word_bp,
+        |  CAST(floor(10000.0 * COUNT(*) / SUM(cnt)) AS BIGINT) AS ttr_bp,
+        |  (SUM(cnt) BETWEEN 30 AND 100000
+        |    AND floor(10000.0 * MAX(cnt) / SUM(cnt)) < 2000
+        |    AND floor(10000.0 * COUNT(*) / SUM(cnt)) > 300) AS keep
+        |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = Tables.documents(s, dir).select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      val wc = words.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      wc.groupBy("doc_id")
+        .agg(sum("cnt").as("n_words"),
+          count(lit(1)).as("n_distinct_words"),
+          max("cnt").as("max_word_cnt"))
+        .withColumn("top_word_bp",
+          floor(lit(10000.0) * col("max_word_cnt") / col("n_words")).cast("long"))
+        .withColumn("ttr_bp",
+          floor(lit(10000.0) * col("n_distinct_words") / col("n_words")).cast("long"))
+        .withColumn("keep",
+          col("n_words").between(30, 100000) &&
+            col("top_word_bp") < 2000 && col("ttr_bp") > 300)
+        .orderBy("doc_id")
+    },
+
+    // ---- overlapping token-window chunking (context packing prep) ----
+    // Splits each document into fixed-size token windows with overlap
+    // (size 32, stride 24) — the step that turns documents into
+    // training sequences. Pure per-row narrow transform: tokenize,
+    // generate window starts with sequence(), slice per start, then
+    // posexplode. ZERO shuffles besides the final presentation sort —
+    // at 100 TB this runs scan-speed and preserves the input
+    // partitioning for any downstream packer.
+    QueryDef("p12_chunk_windows",
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+        |  FROM documents
+        |), starts AS (
+        |  SELECT doc_id, words, unnest(range(0, greatest(len(words), 1), 24)) AS s FROM d
+        |)
+        |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(words, s + 1, s + 32)) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(list_slice(words, s + 1, s + 32), ' ') AS chunk_text
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("words"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, greatest(size(words) - 1, 0), 24)," +
+            " st -> slice(words, st + 1, 32))")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          size(col("col")).cast("long").as("chunk_tokens"),
+          array_join(col("col"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---- fixed-budget sequence packing (bin assignment) ----
+    // Assigns documents to contiguous token-budget bins (budget 2048)
+    // within (lang, source) partitions: bin = exclusive-prefix-sum of
+    // token counts div budget. This is the deterministic "contiguous
+    // packing" used in practice when strict bin packing isn't worth a
+    // stateful pass; a doc whose tokens straddle a boundary belongs to
+    // the bin its first token falls in. Distributed shape: the window
+    // partitions by (lang, source), so packing parallelizes across
+    // strata and no global sort exists; at 100 TB the stratum key
+    // would also carry a date bucket to bound partition size.
+    QueryDef("p13_pack_bins",
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+        |  FROM t
+        |)
+        |SELECT lang, source, CAST(cum_prev // 2048 AS BIGINT) AS bin_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY lang, source, bin_id
+        |ORDER BY lang, source, bin_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .cast("long").as("n_tokens"))
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.withColumn("cum_prev", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("bin_id", floor(col("cum_prev") / lit(2048)).cast("long"))
+        .groupBy("lang", "source", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "source", "bin_id")
+    },
+
+    // ---- KMV bottom-k distinct sketch vs exact (contract oracle) ----
+    // Per-language distinct-token estimate from the mergeable KMV
+    // sketch (functions/KmvSketch.scala — O(k) shuffle state, exactly
+    // associative merge) checked against the exact count. The sketch
+    // state is a pure function of the input SET, so the estimate is
+    // partitioning-independent; when the stratum vocabulary is below
+    // k the sketch is provably exact, beyond k the (k-1)/u_k estimator
+    // applies (accuracy property-tested in KmvPropertySpec). DuckDB
+    // cannot compute xxhash64, so the oracle is the CONTRACT pattern:
+    // exact count + the tolerance flag recomputed as literal TRUE.
+    QueryDef("p14_kmv_distinct",
+      """WITH t AS (
+        |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_tol
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir).select(col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+      val est = toks
+        .select(col("lang"), xxhash64(col("token")).as("h"))
+        .groupBy("lang")
+        .agg(graft.functions.KmvSketch.estimate(256)(col("h")).as("est"))
+      val exact = toks.groupBy("lang")
+        .agg(countDistinct(col("token")).as("exact_distinct"))
+      exact.join(est, Seq("lang"))
+        .select(col("lang"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <=
+            lit(0.15) * col("exact_distinct")).as("within_tol"))
+        .orderBy("lang")
     })
 }
