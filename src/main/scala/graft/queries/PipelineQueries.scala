@@ -584,5 +584,141 @@ object PipelineQueries {
           (abs(col("est") - col("exact_distinct")) <=
             lit(0.15) * col("exact_distinct")).as("within_tol"))
         .orderBy("lang")
+    },
+
+    // ---- BM25 top-k retrieval over the corpus ----
+    // Okapi BM25 (k1 = 1.2, b = 0.75) for a fixed query set, top-3
+    // docs per query. Distributed shape: the query-term table and the
+    // vocab-sized df table broadcast; the doc-sized tf/dl tables stay
+    // partitioned; one groupBy(query, doc) sums term scores and a
+    // query-partitioned window takes the top 3 — no global sort, no
+    // driver data. CROSS-ENGINE FLOAT DISCIPLINE (same as p10's
+    // TF-IDF): idf = ln((N-df+0.5)/(df+0.5)+1) is the only
+    // transcendental and is quantized to integer micro-units; every
+    // other operation is IEEE-identical in declared order, and the
+    // per-term score is floor'd to bigint so the (query, doc) sum is
+    // exact integer arithmetic — partial-aggregation order can never
+    // flip a ranking.
+    QueryDef("p15_bm25_topdocs",
+      """WITH q(query_id, token) AS (
+        |  VALUES (0, 'table'), (0, 'scan'), (1, 'window'), (1, 'agg'),
+        |         (2, 'hash'), (2, 'join')
+        |), t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, token
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+        |), df AS (
+        |  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY token
+        |), idf AS (
+        |  SELECT token, CAST(floor(1000000.0 * ln(
+        |    (CAST((SELECT n_docs FROM stats) - df AS DOUBLE) + 0.5)
+        |      / (CAST(df AS DOUBLE) + 0.5) + 1.0)) AS BIGINT) AS idf_micro
+        |  FROM df
+        |), term AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(floor(CAST(idf.idf_micro AS DOUBLE)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |          * (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM stats))))) AS BIGINT)
+        |      AS term_micro
+        |  FROM q JOIN tf ON q.token = tf.token
+        |  JOIN idf ON q.token = idf.token
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |), scored AS (
+        |  SELECT query_id, doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro
+        |  FROM term GROUP BY query_id, doc_id
+        |)
+        |SELECT query_id, doc_id, score_micro FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score_micro DESC, doc_id) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY query_id, score_micro DESC, doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val queries = Seq((0, "table"), (0, "scan"), (1, "window"), (1, "agg"),
+        (2, "hash"), (2, "join")).toDF("query_id", "token")
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val idf = df.crossJoin(broadcast(stats))
+        .select(col("token"), floor(lit(1000000.0) * log(
+          ((col("n_docs") - col("df")).cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+          .cast("long").as("idf_micro"))
+      val term = broadcast(queries).join(tf, Seq("token"))
+        .join(broadcast(idf), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats.select("avgdl")))
+        .select(col("query_id"), col("doc_id"),
+          floor(col("idf_micro").cast("double")
+            * (col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75)
+                * (col("dl").cast("double") / col("avgdl")))))
+            .cast("long").as("term_micro"))
+      val scored = term.groupBy("query_id", "doc_id")
+        .agg(sum("term_micro").as("score_micro"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("query_id", "doc_id", "score_micro")
+        .orderBy(col("query_id"), col("score_micro").desc, col("doc_id"))
+    },
+
+    // ---- temperature-weighted mixture sampling (domain rebalancing) ----
+    // The multilingual/domain-mixing primitive: stratum weights w_i =
+    // c_i^0.7 / Σ c_j^0.7 (temperature α = 0.7 upweights small
+    // strata), target 300 docs total, per-stratum keep rate
+    // min(1, 300·w_i / c_i), membership decided by a deterministic
+    // md5 threshold — the same composable hash-sampling contract as
+    // p7, but with DATA-DEPENDENT rates. Distributed shape: stratum
+    // counts are one tiny aggregate broadcast back onto the scan; the
+    // filter is per-row, so the sample never shuffles. pow() is
+    // quantized to micro-units before use (p10's ULP argument); the
+    // hex threshold is clamped to 0xffff so the string compare stays
+    // fixed-width on both engines.
+    QueryDef("p16_mixture_sample",
+      """WITH c AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+        |), w AS (
+        |  SELECT lang, n,
+        |    CAST(floor(1000000.0 * pow(CAST(n AS DOUBLE), 0.7)) AS BIGINT) AS pw
+        |  FROM c
+        |), tot AS (SELECT CAST(SUM(pw) AS BIGINT) AS s FROM w
+        |), r AS (
+        |  SELECT lang, n,
+        |    CAST(least(floor(least(
+        |      300.0 * (CAST(pw AS DOUBLE) / CAST((SELECT s FROM tot) AS DOUBLE))
+        |        / CAST(n AS DOUBLE), 1.0) * 65536.0), 65535.0) AS BIGINT) AS thr
+        |  FROM w
+        |)
+        |SELECT d.doc_id, d.lang, r.thr FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.thr)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val c = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val w = c.withColumn("pw",
+        floor(lit(1000000.0) * pow(col("n").cast("double"), lit(0.7))).cast("long"))
+      val tot = w.agg(sum("pw").cast("long").as("s"))
+      val r = w.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          least(floor(least(
+            lit(300.0) * (col("pw").cast("double") / col("s").cast("double"))
+              / col("n").cast("double"), lit(1.0)) * lit(65536.0)), lit(65535.0))
+            .cast("long").as("thr"))
+      docs.join(broadcast(r), Seq("lang"))
+        .where(substring(md5(col("doc_id").cast("string")), 1, 4) <
+          format_string("%04x", col("thr")))
+        .select(col("doc_id"), col("lang"), col("thr"))
+        .orderBy("doc_id")
     })
 }
