@@ -73,4 +73,41 @@ object DocStream {
       .dropDuplicatesWithinWatermark("a_id", "b_id")
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
+
+  /** Ingest-time quality gate + chunking: the streaming half of the
+    * p11 → p12 batch pipeline. Every statistic is computed ROW-
+    * LOCALLY with higher-order functions (array_distinct / filter /
+    * transform over the token array), so the operator is completely
+    * STATELESS — no watermark, no state store, any output mode; a
+    * restart loses nothing. The gate thresholds are p11's exactly
+    * (length bounds, max-word-frequency < 2000 bp, type-token ratio
+    * > 300 bp) and chunking is p12's expression verbatim, which the
+    * StreamingSpec parity case pins down: stream output == batch
+    * explode→groupBy stats → filter → chunk.
+    *
+    * The HOF max-word-count is O(per-doc vocab²) where the batch
+    * explode→groupBy is linear — the usual ingest-vs-backfill trade
+    * (same note as minhashCandidates): fine per arriving doc, wrong
+    * for a 100 TB backfill, which goes through the batch path.
+    */
+  def qualityChunks(docs: DataFrame, minWords: Int = 30): DataFrame =
+    docs
+      .withColumn("words", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_distinct_words", size(array_distinct(col("words"))).cast("long"))
+      .withColumn("max_word_cnt", expr(
+        "array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w))))")
+        .cast("long"))
+      .withColumn("top_word_bp",
+        floor(lit(10000.0) * col("max_word_cnt") / col("n_words")).cast("long"))
+      .withColumn("ttr_bp",
+        floor(lit(10000.0) * col("n_distinct_words") / col("n_words")).cast("long"))
+      .where(col("n_words").between(minWords, 100000) &&
+        col("top_word_bp") < 2000 && col("ttr_bp") > 300)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, greatest(size(words) - 1, 0), 24)," +
+          " st -> slice(words, st + 1, 32))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("chunk_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
 }

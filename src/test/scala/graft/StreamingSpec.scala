@@ -195,4 +195,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === expect, s"stream $got vs batch $expect")
     } finally q.stop()
   }
+
+  test("streaming quality gate + chunking matches the batch p11→p12 pipeline") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // Engineered profiles: diverse long docs (kept, multi-chunk), a
+    // repetition bomb (fails top_word_bp), a low-diversity doc (fails
+    // ttr), and a too-short doc (fails length).
+    val vocab = ('a' to 'z').map(c => s"w$c")
+    val docs: Seq[(Long, String)] = Seq(
+      (1L, (0 until 80).map(i => vocab(i % 26)).mkString(" ")),
+      (2L, (0 until 40).map(i => vocab((i * 7) % 26)).mkString(" ")),
+      (3L, (0 until 60).map(i => if (i % 2 == 0) "spam" else vocab(i % 26)).mkString(" ")),
+      (4L, (0 until 50).map(i => vocab(i % 2)).mkString(" ")),
+      (5L, "tiny doc under the length floor"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream
+      .qualityChunks(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunks_out").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("chunks_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      // Batch expectation: p11's explode→groupBy stats pick the keep
+      // set, p12's chunker runs over the kept docs.
+      val df = docs.toDF("doc_id", "text")
+      val words = df.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      val kept = words.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_words"), count(lit(1)).as("n_distinct"), max("cnt").as("max_cnt"))
+        .where(col("n_words").between(30, 100000) &&
+          floor(lit(10000.0) * col("max_cnt") / col("n_words")) < 2000 &&
+          floor(lit(10000.0) * col("n_distinct") / col("n_words")) > 300)
+        .select("doc_id")
+      val expect = df.join(kept, Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, greatest(size(ws) - 1, 0), 24), st -> slice(ws, st + 1, 32))")))
+        .select(col("doc_id"), col("pos").cast("long"),
+          size(col("col")).cast("long"), array_join(col("col"), " "))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val keptIds = got.map(_._1)
+      assert(keptIds === Set(1L, 2L), s"gate should keep only docs 1,2, got $keptIds")
+      assert(got === expect, s"stream $got vs batch $expect")
+    } finally q.stop()
+  }
 }
