@@ -119,7 +119,32 @@ object Explain {
         |partial MG buffers (≤64 counters) built map-side, ONE merged buffer
         |crossing the exchange per map task, versus the exact path's shuffle
         |of every distinct token. The contract join against the exact heavy
-        |set is broadcast (≤64 rows after the explode).""".stripMargin)
+        |set is broadcast (≤64 rows after the explode).""".stripMargin,
+    "p12_chunk_windows" ->
+      """The chunker is scan → project → Generate → project: tokenize,
+        |sequence() the window starts, slice per start, posexplode. The ONLY
+        |exchange is the presentation sort's range partitioning — chunking
+        |itself is a zero-shuffle narrow transform that preserves input
+        |partitioning, so at 100 TB it runs at scan speed and composes with
+        |any downstream packer without a repartition.""".stripMargin,
+    "p15_bm25_topdocs" ->
+      """BM25: the query-term table and the vocab-sized idf table broadcast;
+        |the (doc, token) tf table is the only big side. df/dl/avgdl all
+        |DERIVE from tf, and at runtime AQE's stage reuse collapses the
+        |shared tf exchange (ReusedQueryStage in the final plan) — the
+        |optimizer's column pruning keeps the df-distinct branch separate,
+        |the trade a production run would remove by persisting tf. Scores
+        |are integer micro-units, so the (query, doc) sum is exact under any
+        |partial-aggregation order, and Spark 4's WindowGroupLimit runs the
+        |top-3 rank partially BEFORE the window exchange — per-partition
+        |top-k, not a global sort.""".stripMargin,
+    "p16_mixture_sample" ->
+      """Mixture sampling: stratum counts → temperature weights → keep-rate
+        |thresholds is a lang-cardinality aggregate broadcast back onto the
+        |scan; membership is a per-row md5 string compare inside the
+        |BroadcastHashJoin condition, so the sample SELECTION never
+        |shuffles, and the rate branch's scan is pruned to the single lang
+        |column. Data-proportional work: one corpus scan.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

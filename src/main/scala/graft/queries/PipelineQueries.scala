@@ -642,13 +642,17 @@ object PipelineQueries {
       import s.implicits._
       val queries = Seq((0, "table"), (0, "scan"), (1, "window"), (1, "agg"),
         (2, "hash"), (2, "join")).toDF("query_id", "token")
+      // tf is the single token-exploding scan; df, dl and the corpus
+      // stats all DERIVE from it (df = rows per token, dl = Σtf per
+      // doc) so Catalyst's ReuseExchange collapses what would be four
+      // explode+shuffle passes over the corpus into one.
       val toks = Tables.documents(s, dir).select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val idf = df.crossJoin(broadcast(stats))
         .select(col("token"), floor(lit(1000000.0) * log(
           ((col("n_docs") - col("df")).cast("double") + lit(0.5))
