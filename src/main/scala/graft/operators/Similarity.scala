@@ -225,6 +225,69 @@ object Similarity {
       .select(col(blockCol), col("a_id"), col("b_id"), col("cos_bp"))
   }
 
+  /** Product-quantization ADC top-k (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    * 64-dim vector into `m` subspaces, encode each subvector as the id
+    * of its nearest codeword (argmin of squared L2 over the codebook),
+    * and answer queries by ASYMMETRIC DISTANCE: precompute the query's
+    * distance to every (subspace, codeword) cell — an m×C table — and
+    * score a database vector as the SUM of table lookups selected by
+    * its code. The database never touches raw vectors at query time;
+    * at 100 TB the codes table is 8 bytes/vector instead of 256, the
+    * compression that makes billion-vector ANN feasible, and IVF (s6)
+    * composes with it as the standard IVF-PQ pipeline.
+    *
+    * Determinism discipline (same as the rest of this file): vectors
+    * quantize to integers once, every distance is exact bigint
+    * arithmetic, argmin ties break on the smallest codeword id via
+    * struct-min — so encoding, the ADC table, and the final ranking
+    * are all engine-reproducible and the DuckDB oracle replays the
+    * WHOLE pipeline hash-exactly (no recall coupling).
+    *
+    * Shape: the codebook (C rows) and the query's ADC table (m×C
+    * rows) broadcast; encoding is a broadcast cross-product projected
+    * to (vector, subspace, codeword-distance) rows with the argmin as
+    * a partial-aggregated groupBy on (vector, subspace) — the only
+    * shuffles carry n×m narrow rows, never vectors. Codebook choice
+    * here is designated ids (deterministic, like the IVF centroids);
+    * a production build would k-means them — only the cell QUALITY
+    * changes, not the plan.
+    */
+  def pqTopK(emb: DataFrame, queryId: Long, k: Int, codebookIds: Seq[Long],
+      m: Int = 8, dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dSub = dims / m
+    def quant(c: String): Column = expr(
+      s"transform($c, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))")
+    def subDist(a: String, b: String): String =
+      s"""transform(sequence(0, ${m - 1}), j ->
+         |  aggregate(zip_with(slice($a, j*$dSub + 1, $dSub),
+         |                     slice($b, j*$dSub + 1, $dSub),
+         |                     (x, y) -> (x - y) * (x - y)),
+         |            CAST(0 AS BIGINT), (acc, v) -> acc + v))""".stripMargin
+    val cb = emb.filter(col(idCol).isin(codebookIds: _*))
+      .select(col(idCol).cast("long").as("c"), quant(vecCol).as("cq"))
+    val e = emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol), quant(vecCol).as("vq"))
+    // (vector, subspace, codeword) → subspace distance; argmin per
+    // (vector, subspace) with codeword id as deterministic tiebreak.
+    val sub = e.crossJoin(broadcast(cb))
+      .select(col(idCol), col("c"), posexplode(expr(subDist("vq", "cq"))))
+      .select(col(idCol), col("pos").as("j"), col("c"), col("col").as("d2"))
+    val codes = sub.groupBy(col(idCol), col("j"))
+      .agg(min(struct(col("d2"), col("c"))).as("mc"))
+      .select(col(idCol), col("j"), col("mc.c").as("c"))
+    val q = emb.filter(col(idCol) === queryId).select(quant(vecCol).as("qq"))
+    val qtab = cb.crossJoin(broadcast(q))
+      .select(col("c"), posexplode(expr(subDist("qq", "cq"))))
+      .select(col("c"), col("pos").as("j"), col("col").as("qd2"))
+    codes.join(broadcast(qtab), Seq("j", "c"))
+      .groupBy(col(idCol))
+      .agg(sum("qd2").as("adist"))
+      .orderBy(col("adist").asc, col(idCol))
+      .limit(k)
+  }
+
   /** Scale path for near-dup pairs: block on (label × LSH bucket) so
     * each block is ~n/(labels·2^planes) vectors and the pairwise work
     * stays near-linear in n. High-cosine pairs land in the same bucket

@@ -213,5 +213,52 @@ object SimilarityQueries {
         Similarity.blockedCosinePairs(Tables.embeddings(s, dir), minCosBp = 3000))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id")
+    },
+
+    // ---- product-quantization ADC top-k (full-pipeline oracle) ----
+    // 8 subspaces × 8 dims, 16 designated codewords (vec_ids 1–16,
+    // present at every sf). Because encoding, the query's ADC table,
+    // and the final sum are all exact integer arithmetic with
+    // struct-min tiebreaks, DuckDB replays the ENTIRE PQ pipeline —
+    // encode, table, lookup-sum, ranking — and the oracle is
+    // hash-exact with no recall coupling (contrast s5/d9, where only
+    // a contract is checkable). Approximation quality vs s1 is
+    // intrinsic to PQ, not to the engine.
+    QueryDef("s8_ann_pq",
+      """WITH cb AS (
+        |  SELECT vec_id AS c, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cq
+        |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vq
+        |  FROM embeddings WHERE vec_id <> 0
+        |), js AS (SELECT unnest(range(0, 8)) AS j
+        |), sub AS (
+        |  SELECT e.vec_id, js.j, cb.c,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> (vq[js.j*8 + i] - cq[js.j*8 + i]) * (vq[js.j*8 + i] - cq[js.j*8 + i]))) AS BIGINT) AS d2
+        |  FROM e CROSS JOIN js CROSS JOIN cb
+        |), codes AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+        |    FROM sub)
+        |  WHERE rn = 1
+        |), q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qq
+        |  FROM embeddings WHERE vec_id = 0
+        |), qtab AS (
+        |  SELECT js.j, cb.c,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> (qq[js.j*8 + i] - cq[js.j*8 + i]) * (qq[js.j*8 + i] - cq[js.j*8 + i]))) AS BIGINT) AS qd2
+        |  FROM cb CROSS JOIN js CROSS JOIN q
+        |)
+        |SELECT codes.vec_id, CAST(SUM(qtab.qd2) AS BIGINT) AS adist
+        |FROM codes JOIN qtab ON codes.j = qtab.j AND codes.c = qtab.c
+        |GROUP BY codes.vec_id
+        |ORDER BY adist, codes.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10,
+        codebookIds = (1L to 16L))
     })
 }
