@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.TextOps
-import graft.sources.{Constraints, Tables}
+import graft.operators.{Curation, TextOps}
+import graft.sources.{Constraints, Tables, Warehouse}
 
 /** Composed pipelines: constraint-validation suite (SURVEY §1.3) and
   * an end-to-end training-corpus filter chaining dedup + language ID +
@@ -724,5 +724,69 @@ object PipelineQueries {
           format_string("%04x", col("thr")))
         .select(col("doc_id"), col("lang"), col("thr"))
         .orderBy("doc_id")
+    },
+
+    // ---- C4/Gopher repetition gate (dup-n-gram mass) ----
+    // Per-document duplicated-bigram/-trigram mass and top-bigram
+    // share in basis points; boilerplate-heavy docs fail the gate.
+    // Both gram sizes ride ONE explode (gram size is a payload column)
+    // → the corpus is scanned once; shuffle is bounded by per-doc
+    // distinct grams, the same scalable trade as p11.
+    QueryDef("p17_repetition_gate",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, 2 AS n,
+        |    unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |      i -> array_to_string(t[i:i+1], ' '))) AS g
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n,
+        |    unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS g
+        |  FROM toks
+        |), cnt AS (
+        |  SELECT doc_id, n, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, n, g
+        |)
+        |SELECT doc_id,
+        |  CAST(floor(10000.0 * SUM(CASE WHEN n = 2 AND cnt >= 2 THEN cnt ELSE 0 END)
+        |    / SUM(CASE WHEN n = 2 THEN cnt ELSE 0 END)) AS BIGINT) AS dup2_bp,
+        |  CAST(floor(10000.0 * MAX(CASE WHEN n = 2 THEN cnt END)
+        |    / SUM(CASE WHEN n = 2 THEN cnt ELSE 0 END)) AS BIGINT) AS top2_bp,
+        |  CAST(floor(10000.0 * SUM(CASE WHEN n = 3 AND cnt >= 2 THEN cnt ELSE 0 END)
+        |    / SUM(CASE WHEN n = 3 THEN cnt ELSE 0 END)) AS BIGINT) AS dup3_bp,
+        |  floor(10000.0 * SUM(CASE WHEN n = 2 AND cnt >= 2 THEN cnt ELSE 0 END)
+        |      / SUM(CASE WHEN n = 2 THEN cnt ELSE 0 END)) < 1000
+        |    AND floor(10000.0 * SUM(CASE WHEN n = 3 AND cnt >= 2 THEN cnt ELSE 0 END)
+        |      / SUM(CASE WHEN n = 3 THEN cnt ELSE 0 END)) < 500 AS keep
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.repetitionStats(Tables.documents(s, dir),
+        dup2Max = 1000, dup3Max = 500).orderBy("doc_id")
+    },
+
+    // ---- deterministic shard assignment + partitioned read-back ----
+    // Documents land in 8 content-hash shards via partitionBy("shard")
+    // (Warehouse.documentsByShard); the manifest aggregates the READ-
+    // BACK layout while the oracle recomputes shard ids from the raw
+    // table — equality proves the round trip preserved the assignment
+    // exactly. This is the dataloader contract: shard k always holds
+    // the same docs, and a reader opens only its own directory
+    // (partition pruning; proven in SourcesSpec).
+    QueryDef("p18_shard_manifest",
+      """SELECT
+        |  CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM documents
+        |GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+      Warehouse.documentsByShard(s, dir)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("shard")
     })
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Curation, Dedup, TextOps}
 import graft.sources.Tables
 
 /** Text-analysis + deduplication queries over `documents`
@@ -405,5 +405,76 @@ object TextQueries {
         .where(col("ed") <= 45)
         .select("a_id", "b_id", "ed")
         .orderBy("a_id", "b_id")
+    },
+
+    // ---- benchmark decontamination (word 4-gram overlap) ----
+    // Flags every train document sharing a word 4-gram with the
+    // benchmark slice (doc_id % 101 = 0 stands in for a held-out eval
+    // suite). Eval suites are tiny at any corpus scale, so the bench
+    // gram set is BROADCAST: the train side is scan + broadcast-semi
+    // + one doc-keyed agg — no shuffle proportional to corpus size.
+    QueryDef("d14_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 101 = 0 AS is_bench,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, is_bench,
+        |    unnest(list_distinct(list_transform(range(1, greatest(len(t) - 3, 0) + 1),
+        |      i -> array_to_string(t[i:i+3], ' ')))) AS g
+        |  FROM toks
+        |), bench AS (
+        |  SELECT DISTINCT g FROM grams WHERE is_bench
+        |), hits AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM grams WHERE NOT is_bench AND g IN (SELECT g FROM bench)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 101 != 0
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Curation.decontaminate(Tables.documents(s, dir),
+          isBench = col("doc_id") % 101 === 0, n = 4)
+        .orderBy("doc_id")
+    },
+
+    // ---- PII redaction (email/phone scrub + residual audit) ----
+    // The corpus is synthetic word-salad with no real PII, so the raw
+    // column deterministically embeds a doc-derived email and phone
+    // IN BOTH ENGINES — the oracle then checks the regex counting,
+    // the scrub itself (full redacted strings hash-compared), and the
+    // converged `clean` audit. Row-local expressions only: the scrub
+    // runs scan-speed inside whole-stage codegen at any scale.
+    QueryDef("d15_pii_redact",
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 415-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(regexp_replace(regexp_replace(raw,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) = 0
+        |  AND len(regexp_extract_all(regexp_replace(regexp_replace(raw,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}')) = 0 AS clean
+        |FROM raw ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" "), col("text")).as("raw"))
+      Curation.piiRedact(docs, col("raw")).orderBy("doc_id")
     })
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned-parquet warehouse layer: materialize a fact table
@@ -105,5 +105,32 @@ object Warehouse {
       s.read
         .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
         .json(path)
+    }
+
+  /** Deterministic content-hash shard id in [0, nShards): first hex
+    * char of md5(doc_id) → value, mod shards. Engine-portable (the
+    * DuckDB oracle replays the same arithmetic from the raw table) and
+    * stable across runs/machines — the property a training dataloader
+    * needs so that shard N always holds the same documents.
+    */
+  def shardId(docId: Column, nShards: Int = 8): Column =
+    pmod(conv(substring(md5(docId.cast("string")), 1, 1), 16, 10).cast("int"),
+      lit(nShards))
+
+  /** Documents written `partitionBy("shard")` and read back — the
+    * dataloader-facing layout: each training reader opens exactly its
+    * own shard directory (partition pruning, no row-level filtering).
+    * At 100 TB nShards scales to reader count; the write shuffles
+    * nothing (shard is a row-local expression and the writer splits
+    * files per partition value within each task).
+    */
+  def documentsByShard(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_by_shard:$dir") {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"spark-warehouse/documents_by_shard$safe"
+      Tables.documents(s, dir)
+        .withColumn("shard", shardId(col("doc_id")))
+        .write.partitionBy("shard").mode("overwrite").parquet(path)
+      s.read.parquet(path)
     }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- decontamination ----
+
+  test("decontaminate flags exactly the train docs sharing a bench 4-gram") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // bench (id % 3 == 0)
+      (1L, "alpha beta gamma delta something else entirely"), // shares 'alpha beta gamma delta'
+      (2L, "no overlap with anything benchy here at all"),
+      (4L, "zeta epsilon delta gamma beta alpha"), // reversed: no shared 4-gram
+      (5L, "x y z beta gamma delta epsilon w") // shares 'beta gamma delta epsilon'
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs, col("doc_id") % 3 === 0, n = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 0L, false), (4L, 0L, false), (5L, 1L, true)))
+  }
+
+  test("decontaminate counts distinct overlapping grams, not occurrences") {
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b c d and again a b c d and once more a b c d")
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs, col("doc_id") === 0, n = 4).collect()
+    assert(out.length == 1)
+    // 'a b c d' appears 3× in doc 1 but is ONE distinct shared gram
+    assert(out.head.getAs[Long]("n_hits") == 1L)
+  }
+
+  test("wordGrams is empty (not descending-sequence garbage) under length") {
+    val df = Seq((1L, "two words")).toDF("doc_id", "text")
+    val g = df.select(Curation.wordGrams(Curation.tokens(col("text")), 4).as("g"))
+      .collect().head.getSeq[String](0)
+    assert(g.isEmpty)
+  }
+
+  // ---- PII redaction ----
+
+  test("piiRedact scrubs emails and phones and reports exact counts") {
+    val docs = Seq(
+      (1L, "write to jane.doe+x@sub.example.org or 415-555-0142 / 212-555-9999 thanks"),
+      (2L, "no pii in this one at all")
+    ).toDF("doc_id", "raw")
+    val out = Curation.piiRedact(docs, col("raw")).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_emails") == 1L)
+    assert(r1.getAs[Long]("n_phones") == 2L)
+    assert(r1.getAs[String]("redacted") ==
+      "write to <EMAIL> or <PHONE> / <PHONE> thanks")
+    assert(r1.getAs[Boolean]("clean"))
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_emails") == 0L && r2.getAs[Long]("n_phones") == 0L)
+    assert(r2.getAs[String]("redacted") == "no pii in this one at all")
+    assert(r2.getAs[Boolean]("clean"))
+  }
+
+  // ---- repetition gate ----
+
+  test("repetitionStats computes exact dup/top basis points") {
+    // doc 1: tokens a b a b a -> bigrams [a b, b a, a b, b a]: all 4 in
+    // dup mass (each gram count 2), top2 = 2/4; trigrams [a b a, b a b,
+    // a b a]: 'a b a' dup (2 of 3).
+    // doc 2: all-distinct tokens -> zero dup mass.
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(docs).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("dup2_bp") == 10000L)
+    assert(r1.getAs[Long]("top2_bp") == 5000L)
+    assert(r1.getAs[Long]("dup3_bp") == math.floor(10000.0 * 2 / 3).toLong)
+    assert(!r1.getAs[Boolean]("keep"))
+    val r2 = out(1)
+    assert(r2.getAs[Long]("dup2_bp") == 0L && r2.getAs[Long]("dup3_bp") == 0L)
+    assert(r2.getAs[Boolean]("keep"))
+  }
+}

@@ -160,6 +160,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == expect, s"partitioned answer $got != flat answer $expect")
   }
 
+  test("shard reader opens only its own shard directory (p18 dataloader contract)") {
+    // A training reader asks for shard k; partition pruning must keep
+    // every other shard's files unopened, and the shard content must
+    // equal the raw table filtered by the same hash arithmetic.
+    val byShard = graft.sources.Warehouse.documentsByShard(spark, dir)
+    val one = byShard.filter(col("shard") === 3)
+    val got = one.count()
+    val scan = one.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters: ["), s"no PartitionFilters:\n$scan")
+    assert(scan.contains("shard"), s"partition key missing:\n$scan")
+    val selected = "partition count: (\\d+)".r
+      .findFirstMatchIn(one.queryExecution.executedPlan.toString)
+    assert(selected.forall(_.group(1).toInt == 1), s"expected 1 partition:\n$scan")
+    val expect = Tables.documents(spark, dir)
+      .filter(graft.sources.Warehouse.shardId(col("doc_id")) === 3).count()
+    assert(got == expect, s"shard 3 count $got != raw-table recompute $expect")
+  }
+
   test("runtime bloom filter from a selective dim filter prunes the fact side") {
     // The 100 TB shuffle-join reducer: when a dim carries a selective
     // predicate, Catalyst's InjectRuntimeFilter builds a bloom filter
