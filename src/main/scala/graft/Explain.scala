@@ -144,7 +144,27 @@ object Explain {
         |scan; membership is a per-row md5 string compare inside the
         |BroadcastHashJoin condition, so the sample SELECTION never
         |shuffles, and the rate branch's scan is pruned to the single lang
-        |column. Data-proportional work: one corpus scan.""".stripMargin)
+        |column. Data-proportional work: one corpus scan.""".stripMargin,
+    "d14_decontaminate" ->
+      """Decontamination never shuffles the corpus: the benchmark slice's
+        |distinct 4-gram set (eval suites are tiny at any corpus scale) is a
+        |BroadcastExchange, the train side's exploded grams hit it in a
+        |BroadcastHashJoin, and the only data-proportional exchange is the
+        |doc-keyed partial_count — bounded by contaminated-doc count. Both
+        |branch scans carry the doc_id % 101 DataFilter and prune to
+        |(doc_id, text).""".stripMargin,
+    "p17_repetition_gate" ->
+      """One corpus scan serves both gram sizes: bigram and trigram structs
+        |ride a single explode (gram size is a payload column), then one
+        |(doc, n, gram) partial-agg exchange and one doc-keyed rollup with
+        |conditional aggregates. Shuffle volume is per-doc distinct grams —
+        |the p11 trade — and the per-row HOF alternative would be O(len²).""".stripMargin,
+    "p18_shard_manifest" ->
+      """The manifest reads the partitionBy("shard") layout back: the scan
+        |lists shard directories as partition values (no row-level shard
+        |recompute), and the aggregation exchange carries 8 rows per task.
+        |The dataloader side of the contract is the ScaleSpec pruning test:
+        |a shard-k reader's scan selects exactly one partition directory.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
