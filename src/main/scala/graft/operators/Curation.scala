@@ -71,15 +71,31 @@ object Curation {
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
 
+  /** The scrub expression itself: emails then phones replaced by typed
+    * placeholder tags. Shared by the batch audit query (d15) and the
+    * streaming ingest feed (DocStream.cleanFeed).
+    */
+  def redact(raw: Column): Column =
+    regexp_replace(regexp_replace(raw, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  /** Distinct word n-grams of a benchmark corpus — the static side of
+    * decontamination (batch d14 builds it inline; the streaming feed
+    * takes it pre-built, since eval suites change rarely and the gram
+    * set is re-broadcast per microbatch anyway).
+    */
+  def benchGramSet(benchDocs: DataFrame, n: Int = 4): DataFrame =
+    benchDocs
+      .select(explode(array_distinct(wordGrams(tokens(col("text")), n))).as("g"))
+      .distinct()
+
   /** PII redaction over a raw text column: count then scrub emails and
     * phone numbers, and assert the scrub converged (`clean` = no
     * residual match in the redacted text). Pure per-row expression
     * work — zero shuffles, stays inside whole-stage codegen.
     */
   def piiRedact(docs: DataFrame, rawCol: Column): DataFrame = {
-    val redacted = regexp_replace(
-      regexp_replace(rawCol, lit(EmailRe), lit("<EMAIL>")),
-      lit(PhoneRe), lit("<PHONE>"))
+    val redacted = redact(rawCol)
     docs.select(
       col("doc_id"),
       regexp_count(rawCol, lit(EmailRe)).cast("long").as("n_emails"),

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextOps
+import graft.operators.{Curation, TextOps}
 
 /** Structured-Streaming shapes for a `documents` stream: near-dup
   * candidate detection while the corpus is still arriving (the
@@ -110,4 +110,24 @@ object DocStream {
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
         size(col("col")).cast("long").as("chunk_tokens"),
         array_join(col("col"), " ").as("chunk_text"))
+
+  /** Ingest-time curation gate: drop documents contaminated by the
+    * (static, pre-built) benchmark gram set, then scrub PII — the
+    * streaming half of d14 + d15. Completely STATELESS: the
+    * decontamination is a stream-static LEFT ANTI join (the static
+    * side re-broadcasts per microbatch; eval suites are tiny), the
+    * gram array is a row-local expression, and the scrub is pure
+    * regexp projection — no watermark, no state store, restart-safe.
+    *
+    * Same gate as batch: a doc passes iff d14 reports
+    * contaminated = false, and `text` leaves redacted exactly as
+    * Curation.redact — the StreamingSpec parity case pins both.
+    */
+  def cleanFeed(docs: DataFrame, benchGrams: DataFrame, n: Int = 4): DataFrame =
+    docs
+      .withColumn("__grams",
+        array_distinct(Curation.wordGrams(Curation.tokens(col("text")), n)))
+      .join(benchGrams, expr("array_contains(__grams, g)"), "left_anti")
+      .withColumn("text", Curation.redact(col("text")))
+      .drop("__grams")
 }

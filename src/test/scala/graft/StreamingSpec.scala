@@ -244,4 +244,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === expect, s"stream $got vs batch $expect")
     } finally q.stop()
   }
+
+  test("streaming clean feed drops contaminated docs and scrubs PII (d14+d15 parity)") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val benchGrams = graft.operators.Curation.benchGramSet(bench, n = 4)
+    val docs: Seq[(Long, String)] = Seq(
+      (1L, "alpha beta gamma delta smuggled into training text"), // contaminated
+      (2L, "mail me at bob@corp.io or dial 650-555-1234 today"), // clean, has PII
+      (3L, "nothing shared and nothing private in this one"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream
+      .cleanFeed(mem.toDF().toDF("doc_id", "text"), benchGrams)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("clean_feed_out").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("clean_feed_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+      // batch expectation: d14's decontaminate keeps 2 and 3; redact
+      // rewrites 2's email+phone.
+      val batchKept = graft.operators.Curation
+        .decontaminate(bench.unionByName(docs.toDF("doc_id", "text")),
+          isBench = col("doc_id") === 0, n = 4)
+        .where(!col("contaminated")).collect().map(_.getLong(0)).toSet
+      assert(got.keySet === batchKept)
+      assert(got(2L) === "mail me at <EMAIL> or dial <PHONE> today")
+      assert(got(3L) === "nothing shared and nothing private in this one")
+    } finally q.stop()
+  }
 }
