@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines. Every
@@ -372,5 +372,57 @@ object Dedup {
       .union(edges.select(col("a").as("doc_id"), col("a").as("cluster_id")))
       .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
     (labels, rounds)
+  }
+
+  /** Incremental-ingest admission: decide, per NEW-batch document,
+    * whether it may enter the EXISTING corpus — reject exact dups
+    * (content hash seen in the corpus) and near-dups (df-cut shingle
+    * Jaccard ≥ `minJaccard` against a CORPUS doc). New×new duplicates
+    * are deliberately admitted together: within-batch dedup is the
+    * at-rest pipeline's job (d1/d10); the incremental contract only
+    * protects the corpus from re-ingesting what it already holds.
+    *
+    * Scale shape: the shingle df-cut is computed over corpus ∪ batch
+    * (one groupBy, map-side combined), the near-dup join is the same
+    * inverted-index equi-join as [[ngramJaccardPairsFromKept]] but
+    * new×corpus only — candidate volume scales with the BATCH, not
+    * the corpus, since every pair needs a new-side shingle. The exact
+    * check is a hash semi-join (broadcast-able: one md5 per batch doc).
+    *
+    * `isNew` must be a deterministic predicate over `docs`' columns.
+    */
+  def incrementalAdmit(docs: DataFrame, isNew: Column,
+      minJaccard: Double = 0.6, maxDf: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tagged = docs.select(col(idCol), col(textCol).as("__text"),
+      isNew.as("is_new"))
+    val sh = tagged
+      .withColumn("g", explode(TextOps.shingles("__text")))
+      .select(col(idCol), col("is_new"), col("g"))
+    val dfMap = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("g")
+    val kept = sh.join(dfMap, Seq("g"), "left_semi")
+    val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val near = kept.where(col("is_new")).select(col(idCol).as("a_id"), col("g"))
+      .join(kept.where(!col("is_new")).select(col(idCol).as("b_id"), col("g")),
+        Seq("g"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
+      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), Seq("b_id"))
+      .where(col("common").cast("double") /
+        (col("a_sz") + col("b_sz") - col("common")) >= minJaccard)
+      .select(col("a_id").as(idCol)).distinct()
+    val exact = tagged.where(col("is_new"))
+      .select(col(idCol), md5(col("__text")).as("h"))
+      .join(tagged.where(!col("is_new")).select(md5(col("__text")).as("h"))
+        .distinct(), Seq("h"), "left_semi")
+      .select(col(idCol))
+    tagged.where(col("is_new")).select(col(idCol))
+      .join(exact.withColumn("exact_dup", lit(true)), Seq(idCol), "left")
+      .join(near.withColumn("near_dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"))
+      .withColumn("admit", !col("exact_dup") && !col("near_dup"))
   }
 }

@@ -788,5 +788,29 @@ object PipelineQueries {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy("shard")
+    },
+
+    // ---- per-stratum quantile normalization of a quality score ----
+    // Raw quality scores aren't comparable across languages (length
+    // distributions differ); training mixes threshold on the PER-LANG
+    // percentile instead. percent_rank is (rank-1)/(n-1) in both
+    // engines — tie-stable and bit-identical in double — floored to
+    // basis points. Deliberately NO global percentile column: an
+    // unpartitioned window is a single-reducer sort at 100 TB; global
+    // calibration belongs to a sampled sketch (e11's approx_percentile
+    // contract), not an exact window.
+    QueryDef("p19_quantile_norm",
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(floor(10000.0 * percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)) AS BIGINT) AS lang_pctl_bp,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) >= 0.9 AS top_decile
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("n_chars")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          floor(lit(10000.0) * percent_rank().over(w)).cast("long")
+            .as("lang_pctl_bp"),
+          (percent_rank().over(w) >= 0.9).as("top_decile"))
+        .orderBy("doc_id")
     })
 }

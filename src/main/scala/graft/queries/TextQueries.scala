@@ -476,5 +476,47 @@ object TextQueries {
             lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
             lit(" "), col("text")).as("raw"))
       Curation.piiRedact(docs, col("raw")).orderBy("doc_id")
+    },
+
+    // ---- incremental-ingest admission (new batch vs corpus) ----
+    // The arriving-data half of dedup: a new batch (doc_id % 5 = 0
+    // stands in for today's crawl) is admitted against the existing
+    // corpus — exact content-hash rejects plus shingle-Jaccard near-dup
+    // rejects, NEW×CORPUS pairs only. The df cut spans corpus ∪ batch
+    // so both engines prune identical stop-shingles.
+    QueryDef("d16_incremental_admit",
+      """WITH sh AS (
+        |  SELECT doc_id, doc_id % 5 = 0 AS is_new,
+        |    unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+        |      i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, is_new, g FROM (
+        |    SELECT doc_id, is_new, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh) t
+        |  WHERE df <= 50
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+        |), near AS (
+        |  SELECT DISTINCT p.a_id AS doc_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |    FROM kept a JOIN kept b ON a.g = b.g AND a.is_new AND NOT b.is_new
+        |    GROUP BY a.doc_id, b.doc_id) p
+        |  JOIN sizes sa ON p.a_id = sa.doc_id
+        |  JOIN sizes sb ON p.b_id = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.6
+        |), exact AS (
+        |  SELECT DISTINCT n.doc_id FROM documents n JOIN documents c
+        |    ON md5(n.text) = md5(c.text) AND n.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+        |)
+        |SELECT d.doc_id,
+        |  d.doc_id IN (SELECT doc_id FROM exact) AS exact_dup,
+        |  d.doc_id IN (SELECT doc_id FROM near) AS near_dup,
+        |  NOT (d.doc_id IN (SELECT doc_id FROM exact)
+        |    OR d.doc_id IN (SELECT doc_id FROM near)) AS admit
+        |FROM documents d WHERE d.doc_id % 5 = 0
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.incrementalAdmit(Tables.documents(s, dir),
+          isNew = col("doc_id") % 5 === 0, minJaccard = 0.6, maxDf = 50)
+        .orderBy("doc_id")
     })
 }

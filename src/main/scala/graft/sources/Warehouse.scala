@@ -107,6 +107,22 @@ object Warehouse {
         .json(path)
     }
 
+  /** Lineitem measures exported to ORC and read back (columnar sink
+    * breadth next to parquet/CSV/JSON; ORC keeps types natively so no
+    * explicit read schema is needed — asserting the round trip is the
+    * oracle's job, which aggregates the raw parquet instead).
+    */
+  def lineitemOrc(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"lineitem_orc:$dir") {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"spark-warehouse/lineitem_orc$safe"
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+    }
+
   /** Deterministic content-hash shard id in [0, nShards): first hex
     * char of md5(doc_id) → value, mod shards. Engine-portable (the
     * DuckDB oracle replays the same arithmetic from the raw table) and

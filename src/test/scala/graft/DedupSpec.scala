@@ -75,4 +75,28 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (0L to 9L).map(_ -> 0L).toMap)
   }
+
+  test("incrementalAdmit rejects exact/near corpus dups, admits new-only dups") {
+    // corpus: ids 1,3 (odd). new batch: ids 2,4,6,8 (even).
+    //  2 = exact copy of 1 → exact_dup
+    //  4 = near copy of 3 (one word changed) → near_dup
+    //  6 = 8 = each other's copy but unseen by the corpus → both admitted
+    val other =
+      "completely different content about spark query engines and columnar formats today"
+    val docs = Seq(
+      (1L, base), (3L, other),
+      (2L, base),
+      (4L, other.replace("today", "and tomorrow")),
+      (6L, "a fresh pair of twin documents arriving together in the very same batch"),
+      (8L, "a fresh pair of twin documents arriving together in the very same batch"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalAdmit(docs, col("doc_id") % 2 === 0)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(2L) == ((true, true, false)), s"2 should be exact+near dup: $got")
+    assert(got(4L)._2 && !got(4L)._1 && !got(4L)._3, s"4 should be near-dup only: $got")
+    assert(got(6L) == ((false, false, true)), s"6 is new to the corpus: $got")
+    assert(got(8L) == ((false, false, true)), s"8 is new to the corpus: $got")
+  }
 }
