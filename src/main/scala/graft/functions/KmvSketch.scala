@@ -100,4 +100,48 @@ object KmvSketch {
   /** Distinct-count estimate over a column of 64-bit hashes. */
   def estimate(k: Int)(hashes: Column): Column =
     udaf(new Kmv(k), Encoders.scalaLong).apply(hashes)
+
+  /** Same sketch, but FINISH RETURNS THE SIGNATURE (the bottom-k hash
+    * set, unsigned-ascending) instead of collapsing to an estimate —
+    * the mergeable artifact for sketch ALGEBRA: group once, then
+    * combine the tiny per-group signatures pairwise (union, and from
+    * it intersection by inclusion-exclusion) without touching the
+    * data again. At 100 TB this is the difference between one scan
+    * producing |groups|·k longs and a per-pair re-scan of the corpus.
+    */
+  final class KmvSig(k: Int) extends Aggregator[Long, KmvBuf, Seq[Long]] {
+    private val inner = new Kmv(k)
+    override def zero: KmvBuf = inner.zero
+    override def reduce(b: KmvBuf, h: Long): KmvBuf = inner.reduce(b, h)
+    override def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf = inner.merge(b1, b2)
+    override def finish(b: KmvBuf): Seq[Long] = b.hashes
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Bottom-k signature over a column of 64-bit hashes. */
+  def signature(k: Int)(hashes: Column): Column =
+    udaf(new KmvSig(k), Encoders.scalaLong).apply(hashes)
+
+  /** Distinct-count estimate of A ∪ B from the two signatures alone:
+    * merge (re-trim to bottom-k) and finish. Exactly the estimate a
+    * single sketch over the concatenated inputs would give (the
+    * semilattice property; property-tested).
+    */
+  def unionEstimate(a: Seq[Long], b: Seq[Long], k: Int): Double = {
+    val inner = new Kmv(k)
+    inner.finish(inner.merge(KmvBuf(a), KmvBuf(b)))
+  }
+
+  /** `unionEstimate` as a column function for pair-table use. A Scala
+    * UDF is the right tool HERE — it runs once per GROUP PAIR (a
+    * control-plane-sized table: |groups|² rows of k-long arrays),
+    * never per data row, so codegen pressure is irrelevant and
+    * reusing the exact merge/finish code beats re-deriving unsigned
+    * comparison in expression space.
+    */
+  def unionEstimateCol(k: Int)(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.udf(
+      (x: Seq[Long], y: Seq[Long]) => unionEstimate(x, y, k)).apply(a, b)
 }

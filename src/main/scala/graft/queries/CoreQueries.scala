@@ -377,5 +377,34 @@ object CoreQueries {
           row_number().over(Window.orderBy(col("n_name").asc_nulls_last)).cast("long"))
         .select("n_name", "sort_order")
         .orderBy("sort_order")
+    },
+
+    // ---- q40: FULL OUTER join of two aggregates ----
+    // Nations with high-balance customers vs high-balance suppliers:
+    // the supplier side is sparse (most nations lack one), so genuine
+    // one-sided rows exercise the outer semantics; counts stay NULL
+    // (not coalesced) to pin NULL-vs-0 behavior across engines. Both
+    // inputs aggregate BEFORE the join — outer-joining raw tables and
+    // aggregating after would break the null-extension semantics and
+    // shuffle far more rows.
+    QueryDef("q40_full_outer",
+      """WITH c AS (
+        |  SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+        |), s AS (
+        |  SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+        |)
+        |SELECT coalesce(c.k, s.k) AS nationkey, c.n_cust, s.n_supp
+        |FROM c FULL OUTER JOIN s ON c.k = s.k
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir).where(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+      val sp = Tables.supplier(s, dir).where(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+      c.join(sp, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+        .orderBy("nationkey")
     })
 }

@@ -790,6 +790,76 @@ object PipelineQueries {
         .orderBy("shard")
     },
 
+    // ---- cross-source set-overlap estimation (KMV sketch algebra) ----
+    // How much does source A's shingle set overlap source B's? The
+    // scalable answer: ONE scan builds a bottom-k signature per source
+    // (20×k longs), then all O(|sources|²) pair overlaps come from
+    // signature merges alone — union by sketch merge, intersection by
+    // inclusion-exclusion. The exact columns exist to AUDIT the
+    // estimate (e7/p14 contract pattern: DuckDB recomputes the exact
+    // values and expects within_tol = TRUE; xxhash64 sketches are not
+    // oracle-reproducible).
+    QueryDef("p20_source_overlap",
+      """WITH sh AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+        |      i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY source
+        |), pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(DISTINCT CASE WHEN x.source = a.source THEN x.g END)
+        |      + COUNT(DISTINCT CASE WHEN x.source = b.source THEN x.g END)
+        |      - COUNT(DISTINCT x.g) AS BIGINT) AS exact_inter,
+        |    CAST(COUNT(DISTINCT x.g) AS BIGINT) AS exact_union
+        |  FROM sizes a JOIN sizes b ON a.source < b.source
+        |  JOIN sh x ON x.source IN (a.source, b.source)
+        |  GROUP BY a.source, b.source
+        |)
+        |SELECT p.src_a, p.src_b, sa.sz AS exact_a, sb.sz AS exact_b,
+        |  p.exact_union, p.exact_inter, TRUE AS within_tol
+        |FROM pairs p
+        |JOIN sizes sa ON p.src_a = sa.source
+        |JOIN sizes sb ON p.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val k = 512
+      val sh = Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.shingles("text")).as("g"))
+        .distinct()
+      val sigs = sh
+        .select(col("source"), xxhash64(col("g")).as("h"))
+        .groupBy("source")
+        .agg(graft.functions.KmvSketch.signature(k)(col("h")).as("sig"),
+          count(lit(1)).as("sz")) // sh is distinct → count = set size
+      val a = sigs.select(col("source").as("src_a"), col("sig").as("sig_a"),
+        col("sz").as("exact_a"))
+      val b = sigs.select(col("source").as("src_b"), col("sig").as("sig_b"),
+        col("sz").as("exact_b"))
+      // exact union per pair (audit only): one more pass, pair-exploded
+      val srcs = sigs.select(col("source"))
+      val pairKeys = srcs.select(col("source").as("src_a"))
+        .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
+      val exactU = sh.join(broadcast(pairKeys),
+          col("source") === col("src_a") || col("source") === col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(countDistinct(col("g")).as("exact_union"))
+      a.join(b, col("src_a") < col("src_b"))
+        .join(exactU, Seq("src_a", "src_b"))
+        .withColumn("est_union",
+          graft.functions.KmvSketch.unionEstimateCol(k)(col("sig_a"), col("sig_b")))
+        .withColumn("exact_inter",
+          (col("exact_a") + col("exact_b") - col("exact_union")).cast("long"))
+        .withColumn("est_inter", // sides are exact counts; union is the estimate
+          col("exact_a") + col("exact_b") - col("est_union"))
+        .withColumn("within_tol",
+          abs(col("est_inter") - col("exact_inter")) <=
+            lit(0.15) * col("exact_union"))
+        .select(col("src_a"), col("src_b"), col("exact_a"), col("exact_b"),
+          col("exact_union"), col("exact_inter"), col("within_tol"))
+        .orderBy("src_a", "src_b")
+    },
+
     // ---- per-stratum quantile normalization of a quality score ----
     // Raw quality scores aren't comparable across languages (length
     // distributions differ); training mixes threshold on the PER-LANG

@@ -106,4 +106,19 @@ class KmvPropertySpec extends AnyFunSuite {
     val relErr = math.abs(est - n) / n
     assert(relErr < 0.15, s"estimate $est vs true $n (rel err $relErr)")
   }
+
+  test("union homomorphism: unionEstimate(sig A, sig B) == estimate over A ++ B") {
+    // The law p20's sketch algebra rests on: combining two signatures
+    // gives EXACTLY the estimate a single sketch over the concatenated
+    // streams would give — unions need no second pass over the data.
+    val prop = Prop.forAll(streamGen, streamGen, kGen) { (xs, ys, k) =>
+      val agg = new KmvSketch.Kmv(k)
+      val sigA = sketchOf(agg, xs).hashes
+      val sigB = sketchOf(agg, ys).hashes
+      val direct = agg.finish(sketchOf(agg, xs ++ ys))
+      KmvSketch.unionEstimate(sigA, sigB, k) == direct
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
