@@ -15,7 +15,7 @@ object SparkEntry {
     TutorialQueries.all ++ HierarchyQueries.all ++ CoreQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ EventQueries.all ++
       SqlQueries.all ++ PipelineQueries.all ++ ScaleQueries.all ++
-      AnalyticsQueries.all ++ SourceQueries.all
+      AnalyticsQueries.all ++ SourceQueries.all ++ GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
