@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
+import graft.functions.MisraGries
 import graft.operators.{Curation, TextOps}
 
 /** Structured-Streaming shapes for a `documents` stream: near-dup
@@ -130,4 +132,39 @@ object DocStream {
       .join(benchGrams, expr("array_contains(__grams, g)"), "left_anti")
       .withColumn("text", Curation.redact(col("text")))
       .drop("__grams")
+
+  case class DocRec(lang: String, doc_id: Long, text: String)
+  case class TokenSketch(lang: String, tokens: Seq[String], counts: Seq[Long])
+
+  /** Trending tokens per language, maintained INCREMENTALLY: the
+    * Misra-Gries summary (functions/MisraGries — the same sketch p9
+    * aggregates in batch) lives in the state store, each micro-batch
+    * folds its new documents' tokens into it via mapGroupsWithState,
+    * and the group emits its updated O(k) snapshot. The MG guarantee
+    * survives streaming verbatim — any token with true frequency
+    * > N/(k+1) over EVERYTHING ingested so far is in the snapshot —
+    * because the state transition IS the batch reduce.
+    *
+    * State is O(k) per language forever (no watermark needed: the
+    * sketch never grows), so this is the rare stateful operator that
+    * is safe WITHOUT timeout-based GC. Determinism contract for the
+    * parity spec: docs fold in (doc_id) order within a batch, tokens
+    * in document order.
+    */
+  def trendingTokens(docs: Dataset[DocRec], k: Int = 8): Dataset[TokenSketch] = {
+    import docs.sparkSession.implicits._
+    val tokenRe = "[a-z0-9]+".r
+    docs.groupByKey(_.lang)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[DocRec],
+         state: GroupState[MisraGries.MGBuf]) =>
+          val agg = new MisraGries.MG(k)
+          val buf = rows.toSeq.sortBy(_.doc_id).foldLeft(
+            state.getOption.getOrElse(agg.zero)) { (b, d) =>
+              tokenRe.findAllIn(d.text.toLowerCase).foldLeft(b)(agg.reduce)
+            }
+          state.update(buf)
+          TokenSketch(lang, buf.tokens, buf.counts)
+      }
+  }
 }

@@ -276,4 +276,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(3L) === "nothing shared and nothing private in this one")
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries state equals the same-order batch fold across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStream.DocRec
+    val k = 3
+    val batch1 = Seq(
+      DocRec("en", 1L, "spark spark spark data data query"),
+      DocRec("en", 2L, "spark table table"),
+      DocRec("de", 10L, "daten daten modell"))
+    val batch2 = Seq(
+      DocRec("en", 3L, "spark query query engine engine engine engine"),
+      DocRec("de", 11L, "daten korpus korpus"))
+    val mem = MemoryStream[DocRec]
+    val q = graft.streaming.DocStream.trendingTokens(mem.toDS(), k)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("trend_out").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      // memory sink in update mode appends each emitted snapshot; the
+      // LAST snapshot per lang is the current state
+      val snaps = spark.table("trend_out").collect()
+        .map(r => (r.getString(0), r.getSeq[String](1).zip(r.getSeq[Long](2)).toMap))
+      val last = snaps.zipWithIndex.groupBy(_._1._1)
+        .map { case (lang, xs) => lang -> xs.maxBy(_._2)._1._2 }
+      // replay the identical fold order locally (doc_id order per batch,
+      // tokens in document order)
+      val agg = new graft.functions.MisraGries.MG(k)
+      val tokenRe = "[a-z0-9]+".r
+      def fold(b: graft.functions.MisraGries.MGBuf, docs: Seq[DocRec]) =
+        docs.sortBy(_.doc_id).foldLeft(b) { (acc, d) =>
+          tokenRe.findAllIn(d.text.toLowerCase).foldLeft(acc)(agg.reduce)
+        }
+      for (lang <- Seq("en", "de")) {
+        val expect = fold(fold(agg.zero, batch1.filter(_.lang == lang)),
+          batch2.filter(_.lang == lang))
+        val em = expect.tokens.zip(expect.counts).toMap
+        assert(last(lang) === em, s"$lang: stream ${last(lang)} vs batch $em")
+      }
+      // the MG guarantee across everything ingested: 'spark' appears 5×
+      // of 16 en tokens > 16/(k+1)=4 → must be tracked
+      assert(last("en").contains("spark"))
+    } finally q.stop()
+  }
 }
