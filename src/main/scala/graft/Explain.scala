@@ -164,7 +164,22 @@ object Explain {
         |lists shard directories as partition values (no row-level shard
         |recompute), and the aggregation exchange carries 8 rows per task.
         |The dataloader side of the contract is the ScaleSpec pruning test:
-        |a shard-k reader's scan selects exactly one partition directory.""".stripMargin)
+        |a shard-k reader's scan selects exactly one partition directory.""".stripMargin,
+    "p20_source_overlap" ->
+      """Sketch algebra: the corpus is scanned once into per-source bottom-k
+        |signatures (one partial-agg exchange keyed by source); every
+        |pairwise overlap then comes from the 20-row signature table —
+        |the pair join is broadcast, and the union-estimate UDF runs 190
+        |times total. The exact-union branch (the audit) is the only
+        |data-proportional pair work and exists for the oracle, not the
+        |production path.""".stripMargin,
+    "g1_pagerank" ->
+      """Each iteration is two shuffles — ranks join onto edges (keyed by
+        |src) and the contribution sum (keyed by dst, map-side combined as
+        |partial_sum of DECIMAL) — with localCheckpoint cutting lineage so
+        |round N's plan does not replay rounds 1..N-1. The edge table is
+        |the reused artifact; at scale it would be bucketed by src to
+        |delete the join exchange from every round.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -85,4 +85,31 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Frame-sampling manifest: expand each "video" payload into one row
+    * per SAMPLED frame (every `stride`-th of its `frameBytes`-sized
+    * fake frames, matching decodeStub's frame arithmetic), carrying a
+    * presentation timestamp and a content fingerprint of the frame's
+    * leading bytes. The real-decoder swap point is the fingerprint
+    * expression; the surrounding shape is production truth: a row-
+    * local generate (posexplode of a computed index sequence), ZERO
+    * shuffles, output partitioning inherited from the scan — at
+    * 100 TB frame expansion must never be a shuffle, only a flatMap.
+    */
+  def sampleFrames(docs: DataFrame, frameBytes: Int = 256, stride: Int = 4,
+      fpWindow: Int = 16, fps: Int = 25): DataFrame = {
+    val frameMs = 1000 / fps
+    docs
+      .select(col("doc_id"), col("text"),
+        (length(col("text")).cast("long") / frameBytes + 1).cast("long")
+          .as("frame_count"))
+      .select(col("doc_id"), col("text"), col("frame_count"),
+        posexplode(sequence(lit(0L), col("frame_count") - 1, lit(stride.toLong))))
+      .select(col("doc_id"),
+        col("col").as("frame_idx"),
+        (col("col") * frameMs).as("ts_ms"),
+        substring(md5(col("text").substr(
+          (col("col") * frameBytes + 1).cast("int"), lit(fpWindow))), 1, 8)
+          .as("frame_fp"))
+  }
 }

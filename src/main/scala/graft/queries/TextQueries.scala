@@ -366,6 +366,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- frame-sampling manifest (video-ish payload → frame rows) ----
+    // Every 4th fake frame (256-byte granularity, m2's arithmetic)
+    // becomes a manifest row with a presentation timestamp and a
+    // leading-bytes fingerprint. Row-local generate, ZERO shuffles —
+    // at 100 TB frame expansion is a flatMap, never an exchange; the
+    // fingerprint expression is the real-decoder swap point.
+    QueryDef("m3_frame_manifest",
+      """WITH f AS (
+        |  SELECT doc_id, text, length(text) // 256 + 1 AS frame_count
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(i * 40 AS BIGINT) AS ts_ms,
+        |  substr(md5(substr(text, CAST(i * 256 + 1 AS INT), 16)), 1, 8) AS frame_fp
+        |FROM f, unnest(range(0, frame_count, 4)) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.sampleFrames(Tables.documents(s, dir))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // ---- blocked edit-distance (Levenshtein) near-dup pairs ----
     // The character-level complement to token Jaccard (d6) and
     // hash sketches (d7/d8): catches small in-place edits that shift
@@ -401,8 +421,15 @@ object TextQueries {
         col("doc_id").as("b_id"), col("p").as("pb"))
       a.join(b, Seq("lang", "bkt"))
         .where(col("a_id") < col("b_id"))
+        // bounded 3-arg levenshtein FIRST: Ukkonen-banded DP that
+        // early-exits past the threshold (O(len·t) vs O(len²), and
+        // random non-matches bail in a few rows) — the full-distance
+        // evaluation below then runs only on the few survivors. Same
+        // declared result as filtering on the 2-arg form; ~5× cheaper
+        // at sf0.1 (the unbounded filter was the whole bench's top
+        // cost at 96 s).
+        .where(levenshtein(col("pa"), col("pb"), 45) >= 0)
         .withColumn("ed", levenshtein(col("pa"), col("pb")).cast("long"))
-        .where(col("ed") <= 45)
         .select("a_id", "b_id", "ed")
         .orderBy("a_id", "b_id")
     },
