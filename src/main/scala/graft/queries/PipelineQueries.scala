@@ -836,20 +836,23 @@ object PipelineQueries {
         col("sz").as("exact_a"))
       val b = sigs.select(col("source").as("src_b"), col("sig").as("sig_b"),
         col("sz").as("exact_b"))
-      // exact union per pair (audit only): one more pass, pair-exploded
-      val srcs = sigs.select(col("source"))
-      val pairKeys = srcs.select(col("source").as("src_a"))
-        .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
-      val exactU = sh.join(broadcast(pairKeys),
-          col("source") === col("src_a") || col("source") === col("src_b"))
+      // exact audit: INTERSECTION via the inverted-index self-join on
+      // the shingle key (pair volume bounded by SHARED shingles — each
+      // shingle in k sources yields k(k-1)/2 rows, vs the naive
+      // replicate-every-shingle-per-pair expansion), union derived by
+      // inclusion-exclusion.
+      val exactI = sh.select(col("source").as("src_a"), col("g"))
+        .join(sh.select(col("source").as("src_b"), col("g")), Seq("g"))
+        .where(col("src_a") < col("src_b"))
         .groupBy("src_a", "src_b")
-        .agg(countDistinct(col("g")).as("exact_union"))
+        .agg(count(lit(1)).as("exact_inter")) // (source,g) rows are distinct
       a.join(b, col("src_a") < col("src_b"))
-        .join(exactU, Seq("src_a", "src_b"))
+        .join(exactI, Seq("src_a", "src_b"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
         .withColumn("est_union",
           graft.functions.KmvSketch.unionEstimateCol(k)(col("sig_a"), col("sig_b")))
-        .withColumn("exact_inter",
-          (col("exact_a") + col("exact_b") - col("exact_union")).cast("long"))
+        .withColumn("exact_union",
+          (col("exact_a") + col("exact_b") - col("exact_inter")).cast("long"))
         .withColumn("est_inter", // sides are exact counts; union is the estimate
           col("exact_a") + col("exact_b") - col("est_union"))
         .withColumn("within_tol",
