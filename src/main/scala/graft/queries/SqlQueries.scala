@@ -126,6 +126,20 @@ object SqlQueries {
       Tables.orders(s, dir).createOrReplaceTempView("orders")
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
       s.sql(SqlText.h9)
+    },
+
+    // ---- LATERAL correlated subquery (top-2 orders per nation) ----
+    // The LATERAL SQL surface: a per-row dependent subquery with ORDER
+    // BY + LIMIT. Catalyst decorrelates it via DecorrelateInnerQuery
+    // into a join + per-key window rank — one shuffle keyed by the
+    // correlation key, never a re-executed subquery per outer row
+    // (which is also exactly how the per-group top-k pipeline ops
+    // p3/p5 plan it explicitly). Shared text with DuckDB.
+    QueryDef("h10_sql_lateral", SqlText.h10) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      s.sql(SqlText.h10)
     })
 
   /** Shared verbatim between the Spark run and the DuckDB oracle. */
@@ -147,5 +161,18 @@ object SqlQueries {
         |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
         |GROUP BY o_orderpriority
         |ORDER BY bucket, o_orderpriority""".stripMargin
+
+    val h10: String =
+      """SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        |FROM nation n
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey,
+        |LATERAL (
+        |  SELECT o.o_orderkey, o.o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |  LIMIT 2
+        |) t
+        |ORDER BY n_name, o_totalprice DESC, o_orderkey""".stripMargin
   }
 }

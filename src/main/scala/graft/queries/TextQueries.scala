@@ -419,17 +419,30 @@ object TextQueries {
         col("doc_id").as("a_id"), col("p").as("pa"))
       val b = d.select(col("lang"), col("bkt"),
         col("doc_id").as("b_id"), col("p").as("pb"))
-      a.join(b, Seq("lang", "bkt"))
+      // native banded DP (functions/EditDist): byte-level Levenshtein
+      // with threshold early-exit — one expression yields filter AND
+      // value (>= 0 ⟺ distance <= 45, and then IS the distance);
+      // EditDistSpec pins equality with the builtin on ASCII. The
+      // builtin's per-codepoint UTF8String walk was ~2.5× the cost
+      // per pair (49 µs vs 20 µs).
+      //
+      // The partitioning is the bigger lesson. A compact corpus file
+      // scans as ONE partition, a broadcast join inherits the streamed
+      // side's partitioning, and Catalyst pushes the DP filter BELOW
+      // any repartition of the join output — three reasonable defaults
+      // that compose into the whole O(pairs·len·k) stage running on a
+      // single core (19 s at sf0.1). The fix is declarative: spread
+      // the STREAMED INPUT over the cluster (explicit numPartitions so
+      // AQE won't coalesce byte-tiny-but-compute-heavy partitions) and
+      // broadcast the other side — the DP now lives in the join stage
+      // and cannot sink below its own input. 12× wall-clock.
+      graft.functions.EditDist.register(s)
+      val par = s.conf.get("spark.sql.shuffle.partitions").toInt
+      a.repartition(par, col("a_id"))
+        .join(broadcast(b), Seq("lang", "bkt"))
         .where(col("a_id") < col("b_id"))
-        // bounded 3-arg levenshtein FIRST: Ukkonen-banded DP that
-        // early-exits past the threshold (O(len·t) vs O(len²), and
-        // random non-matches bail in a few rows) — the full-distance
-        // evaluation below then runs only on the few survivors. Same
-        // declared result as filtering on the 2-arg form; ~5× cheaper
-        // at sf0.1 (the unbounded filter was the whole bench's top
-        // cost at 96 s).
-        .where(levenshtein(col("pa"), col("pb"), 45) >= 0)
-        .withColumn("ed", levenshtein(col("pa"), col("pb")).cast("long"))
+        .withColumn("ed", expr("bedit(pa, pb, 45)").cast("long"))
+        .where(col("ed") >= 0)
         .select("a_id", "b_id", "ed")
         .orderBy("a_id", "b_id")
     },
