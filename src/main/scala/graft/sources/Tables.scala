@@ -65,6 +65,26 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, load(s, d, "embeddings")) // same rationale: qdot/ANN compute
+
+  /** Spread an UNDER-SPLIT scan to cluster parallelism. The text
+    * pipeline does heavy per-row compute (shingle explodes, n-gram
+    * generation, DP filters, sketch folds), and everything before the
+    * first exchange runs at the SCAN's parallelism — a compact
+    * single-file corpus is one partition, so those map stages were
+    * measured running on ONE core of 32 (d13's quadratic stage: 19 s
+    * serial vs 0.7 s spread). A real 100 TB corpus arrives as
+    * thousands of splits, making this a NO-OP (the condition guards
+    * it); at test scale the explicit-numPartitions round-robin
+    * repartition (explicit so AQE cannot coalesce compute-heavy but
+    * byte-tiny partitions back together) is the honest stand-in for
+    * that layout. Cost when it does fire: one shuffle of the raw rows.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val par = s.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
 }

@@ -92,9 +92,14 @@ class SimilaritySpec extends AnyFunSuite {
         array(array(lit(1.0), lit(-0.5)))))
       .select("native")
     // "*(n)" prefixes mark WholeStageCodegen stages in the plan string;
-    // a CodegenFallback expression would strip the star from Project
+    // a CodegenFallback expression would strip the star from Project.
+    // Execute first: with AQE + the source-layer spread exchange the
+    // pre-execution string is an unfinalized AdaptiveSparkPlan that
+    // hides codegen annotations.
+    real.collect()
     val plan = real.queryExecution.executedPlan.toString
-    assert(plan.contains("*(1) Project"), s"expected codegen'd Project:\n$plan")
+    assert(plan.contains("*(1) Project") || plan.contains("*(2) Project"),
+      s"expected codegen'd Project:\n$plan")
   }
 
   test("IVF recall rises with nprobe and is exact at nprobe = K") {
