@@ -863,6 +863,45 @@ object PipelineQueries {
         .orderBy("src_a", "src_b")
     },
 
+    // ---- deterministic systematic PPS sampling (weighted, per lang) ----
+    // Probability-proportional-to-size selection without randomness:
+    // per-lang cumulative weight intervals, one pick per k-th of the
+    // total mass — a doc is selected iff its interval crosses a step
+    // boundary. ALL-INTEGER arithmetic ((cum·k) div total strictly
+    // increases across the row), so the pick set is bit-identical on
+    // both engines — no pow/ln whose libm rounding could flip a
+    // selection (the reason this is systematic PPS rather than
+    // Efraimidis–Spirakis exponential keys). One window pass + one
+    // broadcast of per-lang totals; ordering by doc_id makes the
+    // sample reproducible run-over-run — the eval-set construction
+    // contract.
+    QueryDef("p21_pps_sample",
+      """WITH w AS (
+        |  SELECT doc_id, lang, n_chars AS wt,
+        |    SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n_chars) OVER (PARTITION BY lang) AS total
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, CAST(wt AS BIGINT) AS wt
+        |FROM w
+        |WHERE (cum * 10) // total > ((cum - wt) * 10) // total
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy("lang")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars").as("wt"),
+          sum(col("n_chars")).over(byDoc).as("cum"),
+          sum(col("n_chars")).over(whole).as("total"))
+        // `div`, not `/`+floor: long division stays exact at any scale
+        // (double division is only floor-safe below 2^53)
+        .where(expr("(cum * 10) div total > ((cum - wt) * 10) div total"))
+        .select(col("doc_id"), col("lang"), col("wt").cast("long").as("wt"))
+        .orderBy("doc_id")
+    },
+
     // ---- per-stratum quantile normalization of a quality score ----
     // Raw quality scores aren't comparable across languages (length
     // distributions differ); training mixes threshold on the PER-LANG

@@ -179,6 +179,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == expect, s"shard 3 count $got != raw-table recompute $expect")
   }
 
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
+    // The other half of q23's static pruning story: when the partition
+    // key arrives through a JOIN (dim filtered at runtime), Spark's DPP
+    // plants a dynamicpruning subquery in the fact scan's
+    // PartitionFilters, so only the dim's surviving months are listed —
+    // the mechanism that makes dim-driven fact scans cheap at 100 TB.
+    import spark.implicits._
+    val byMonth = graft.sources.Warehouse.ordersByMonth(spark, dir)
+    val months = byMonth.select("o_month").distinct().as[String].collect().sorted
+    // the dim must be a REAL scan: a local relation constant-folds its
+    // filter away at plan time and DPP never sees a selective predicate
+    val dimPath = "spark-warehouse/dpp_months_dim"
+    months.zipWithIndex.toSeq.toDF("m", "idx")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("idx") < 3)
+    val joined = byMonth.join(dim, col("o_month") === col("m"))
+      .groupBy("o_month").count()
+    val initial = joined.queryExecution.executedPlan.toString
+    assert(initial.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in PartitionFilters:\n$initial")
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = byMonth.where(col("o_month").isin(months.take(3): _*))
+      .groupBy("o_month").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect, s"DPP answer $got != static-filter answer $expect")
+  }
+
   test("runtime bloom filter from a selective dim filter prunes the fact side") {
     // The 100 TB shuffle-join reducer: when a dim carries a selective
     // predicate, Catalyst's InjectRuntimeFilter builds a bloom filter
