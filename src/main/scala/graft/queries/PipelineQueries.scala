@@ -863,6 +863,44 @@ object PipelineQueries {
         .orderBy("src_a", "src_b")
     },
 
+    // ---- T5-style span corruption (masked-LM training prep) ----
+    // Deterministic span masking: every 8th position starts a 3-token
+    // masked span; the corrupted input keeps one sentinel per span and
+    // the target string carries sentinel→span pairs (the seq2seq
+    // denoising objective's input/label pair). Positions, not hashes,
+    // drive the mask so both engines (and reruns) corrupt identically.
+    // Pure row-local HOF work — zero shuffles, scan-speed at 100 TB,
+    // the same narrow-transform shape as chunking (p12).
+    QueryDef("p22_span_corruption",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+        |)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_filter(list_transform(list_zip(t, range(0, len(t))),
+        |    p -> CASE WHEN (p[2] % 8) = 0 THEN '<X' || CAST(p[2] // 8 AS VARCHAR) || '>'
+        |              WHEN (p[2] % 8) < 3 THEN ''
+        |              ELSE p[1] END), x -> x != ''), ' ') AS corrupted,
+        |  array_to_string(list_transform(range(0, (len(t) + 7) // 8),
+        |    k -> '<X' || CAST(k AS VARCHAR) || '>'
+        |      || array_to_string(t[k*8+1:least(k*8+3, len(t))], ' ')), '|') AS targets
+        |FROM toks ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          expr("""array_join(filter(transform(t, (x, i) ->
+            CASE WHEN i % 8 = 0 THEN concat('<X', CAST(i div 8 AS STRING), '>')
+                 WHEN i % 8 < 3 THEN ''
+                 ELSE x END), x -> x != ''), ' ')""").as("corrupted"),
+          expr("""CASE WHEN size(t) > 0 THEN
+              array_join(transform(sequence(0, (size(t) + 7) div 8 - 1),
+                k -> concat('<X', CAST(k AS STRING), '>',
+                  array_join(slice(t, k*8+1, 3), ' '))), '|')
+            ELSE '' END""").as("targets"))
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic systematic PPS sampling (weighted, per lang) ----
     // Probability-proportional-to-size selection without randomness:
     // per-lang cumulative weight intervals, one pick per k-th of the

@@ -260,5 +260,50 @@ object SimilarityQueries {
         |ORDER BY adist, codes.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10,
         codebookIds = (1L to 16L))
+    },
+
+    // ---- int8 embedding quantization + reconstruction-error audit ----
+    // Symmetric per-vector int8 quantization (scale = 127/max|x|,
+    // q = floor(x·scale + 0.5)) — the storage/serving format for
+    // embedding tables at scale (4× smaller, SIMD-friendly dot
+    // products). floor(+0.5), not round(): round's half-even/half-up
+    // tie rules differ between engines, floor of identical doubles
+    // cannot. qsum integer-exactly audits every element; the error
+    // bound max|x - q/scale| ≤ 0.5/scale certifies the quantizer on
+    // every vector. Row-local HOFs: zero shuffles.
+    QueryDef("s9_int8_quant",
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    127.0 / greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), CAST(1e-30 AS DOUBLE)) AS scale,
+        |    embedding
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))) AS BIGINT) AS qsum,
+        |  CAST(list_max(list_transform(embedding,
+        |    x -> CAST(abs(floor(CAST(x AS DOUBLE) * scale + 0.5)) AS BIGINT))) AS BIGINT) AS qmax,
+        |  list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale)))
+        |    <= 0.5 / scale + CAST(1e-12 AS DOUBLE) AS within_bound
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          (lit(127.0) / greatest(
+            expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"),
+            lit(1e-30))).as("scale"),
+          col("embedding"))
+        .select(col("vec_id"),
+          expr("""CAST(aggregate(transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)),
+            CAST(0 AS BIGINT), (a, v) -> a + v) AS BIGINT)""").as("qsum"),
+          expr("""array_max(transform(embedding,
+            x -> CAST(abs(floor(CAST(x AS DOUBLE) * scale + 0.5)) AS BIGINT)))""")
+            .as("qmax"),
+          (expr("""array_max(transform(embedding,
+            x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale)))""")
+            <= lit(0.5) / col("scale") + lit(1e-12)).as("within_bound"))
+        .orderBy("vec_id")
     })
 }
