@@ -29,14 +29,19 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg) is loop-invariant: materialize ONCE so each
+    // iteration pays one join + one aggregation, not a degree
+    // recompute. This is the artifact to persist BUCKETED by src on a
+    // real cluster — the rank join's exchange then disappears from
+    // every round.
+    val ewd = e.join(deg, Seq("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
     var ranks = nodes.withColumn("r", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(deg, Seq("src"))
+      val contrib = ewd
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           (col("r") / col("outdeg")).cast("decimal(30,15)").as("c"))
