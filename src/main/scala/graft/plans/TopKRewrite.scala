@@ -180,6 +180,8 @@ class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   * the rewrite).
   */
 object GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(new TopKRewrite(_))
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
 }

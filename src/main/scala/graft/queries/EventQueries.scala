@@ -184,6 +184,40 @@ object EventQueries {
         .orderBy("purchase_id")
     },
 
+    // ---- the SAME as-of semantics through the NATIVE operator ----
+    // e6's union-merge composes existing nodes; e14 runs the custom
+    // LogicalPlan → Strategy → AsofMergeJoinExec stack
+    // (plans/AsofMergeJoin): one exchange + sort per side and a
+    // single-pass zipped merge with O(1) state — no window, no union
+    // padding. Same DuckDB ASOF oracle, so the physical operator is
+    // hash-checked end to end against a native engine implementation.
+    QueryDef("e14_asof_native",
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS v_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id, v.v_id AS view_id,
+        |  (p.ts_us - v.ts_us) // 1000000 AS gap_s
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("v_id"))
+        .select(col("user_id").as("v_user"), col("ts_us").as("v_ts_us"),
+          col("v_id"))
+      graft.plans.AsofMergeJoin.asofJoin(purchases, views,
+          keys = Seq("user_id"), leftTs = "ts_us", rightTs = "v_ts_us",
+          rightKeys = Seq("v_user"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("v_id").as("view_id"),
+          expr("CAST((ts_us - v_ts_us) div 1000000 AS BIGINT)").as("gap_s"))
+        .orderBy("purchase_id")
+    },
+
     // ---- approx_count_distinct with a hash-checked error contract ----
     // HLL sketches differ between engines, so the approximate VALUE
     // can't be oracle-compared — but its accuracy contract can: the
