@@ -180,6 +180,14 @@ object Explain {
         |round N's plan does not replay rounds 1..N-1. The edge table is
         |the reused artifact; at scale it would be bucketed by src to
         |delete the join exchange from every round.""".stripMargin,
+    "e14_asof_native" ->
+      """The custom physical operator in place: AsofMergeJoin sits where a
+        |window-over-union (e6) or a nested-loop range join would — each
+        |child gets exactly one hash exchange on the key plus one
+        |in-partition sort, and the merge itself is a streaming pass with
+        |O(1) state. requiredChildDistribution/Ordering drive
+        |EnsureRequirements to build this shape; no Window node, no
+        |null-slot union schema anywhere in the plan.""".stripMargin,
     "d13_editdist_pairs" ->
       """Three stage-shape facts compose here. (1) The candidate join is an
         |equi-join on the (lang, length-bucket) block key with the dim side
