@@ -863,6 +863,52 @@ object PipelineQueries {
         .orderBy("src_a", "src_b")
     },
 
+    // ---- corpus report card (the pipeline's summary artifact) ----
+    // One scan answers the dataset-card questions per language: volume,
+    // exact-dup mass (docs minus distinct fingerprints), quality-gate
+    // pass rate (p11's thresholds, evaluated ROW-LOCALLY with HOFs so
+    // no second explode+groupBy pass is needed), and token volume.
+    // Rates in basis points (floor → integer, engine-portable).
+    QueryDef("p23_corpus_report",
+      """WITH d AS (
+        |  SELECT lang, md5(text) AS fp, n_chars,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+        |    len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_distinct,
+        |    list_max(list_transform(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+        |      w -> len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x = w)))) AS max_cnt
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+        |  CAST(floor(10000.0 * (COUNT(*) - COUNT(DISTINCT fp)) / COUNT(*)) AS BIGINT) AS dup_bp,
+        |  CAST(floor(10000.0 * SUM(CASE WHEN n_words BETWEEN 30 AND 100000
+        |    AND floor(10000.0 * max_cnt / n_words) < 2000
+        |    AND floor(10000.0 * n_distinct / n_words) > 300 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS keep_bp,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("lang"),
+        md5(col("text")).as("fp"), col("n_chars"),
+        expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").as("n_words"),
+        expr("size(array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))").as("n_distinct"),
+        expr("""array_max(transform(array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0)),
+          w -> size(filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0), x -> x = w))))""").as("max_cnt"))
+      val keep = col("n_words").between(30, 100000) &&
+        floor(lit(10000.0) * col("max_cnt") / col("n_words")) < 2000 &&
+        floor(lit(10000.0) * col("n_distinct") / col("n_words")) > 300
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          floor(lit(10000.0) * (count(lit(1)) - countDistinct(col("fp"))) /
+            count(lit(1))).cast("long").as("dup_bp"),
+          floor(lit(10000.0) * sum(when(keep, 1).otherwise(0)) /
+            count(lit(1))).cast("long").as("keep_bp"),
+          sum(col("n_words")).cast("long").as("total_tokens"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("lang")
+    },
+
     // ---- T5-style span corruption (masked-LM training prep) ----
     // Deterministic span masking: every 8th position starts a 3-token
     // masked span; the corrupted input keeps one sentinel per span and
