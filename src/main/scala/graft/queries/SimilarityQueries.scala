@@ -209,7 +209,11 @@ object SimilarityQueries {
         |)
         |SELECT src AS vec_id, MIN(dst) AS cluster_id
         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      graft.operators.Dedup.duplicateClusters(
+      // log-round large-star/small-star CC (d10 keeps the simple
+      // min-label loop exercised; embedding clusters go through the
+      // O(log n)-round variant — same fixpoint, fewer Spark rounds,
+      // which is what dominates at bench scale)
+      graft.operators.Dedup.duplicateClustersLogN(
         Similarity.blockedCosinePairs(Tables.embeddings(s, dir), minCosBp = 3000))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id")
