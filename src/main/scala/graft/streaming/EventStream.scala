@@ -74,6 +74,59 @@ object EventStream {
         unix_timestamp(col("clk_ets")).as("clk_s"))
   }
 
+  case class AsofIn(user_id: Long, ts: Long, side: Int, // 0 = rate, 1 = probe
+      id: Long, value: Double)
+  case class AsofState(rateTs: Long, rateId: Long, rateValue: Double)
+  case class AsofOut(user_id: Long, probe_id: Long, rate_id: Long,
+      rate_value: Double, gap_ns: Long)
+
+  /** Streaming AS-OF enrichment: probe events pair with the LATEST
+    * rate event of the same key at-or-before their timestamp — the
+    * streaming half of e6/e14's batch as-of join, via custom
+    * flatMapGroupsWithState rather than a (bounded-interval)
+    * stream-stream join, because as-of wants "the most recent, however
+    * old", which no interval join can express with bounded state.
+    *
+    * State per key is O(1): only the latest rate seen so far — the
+    * same invariant the batch merge exec carries per partition. Both
+    * input streams union into one keyed stream (side 0 = rate, side
+    * 1 = probe); within a micro-batch rows fold in (ts, side) order so
+    * a rate at timestamp T serves probes at T (inclusive match,
+    * DuckDB ASOF semantics). Probes older than the held rate are
+    * answered by it — late RATES, however, can rewrite history, so
+    * upstream must deliver rates in order per key (the usual CDC
+    * contract); the parity spec covers the in-order case.
+    */
+  def asofEnrich(rates: Dataset[AsofIn], probes: Dataset[AsofIn])
+      : Dataset[AsofOut] = {
+    import rates.sparkSession.implicits._
+    rates.union(probes)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[AsofIn], state: GroupState[AsofState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.side, r.id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[AsofOut]
+          sorted.foreach { r =>
+            if (r.side == 0) {
+              if (cur.forall(_.rateTs <= r.ts))
+                cur = Some(AsofState(r.ts, r.id, r.value))
+            } else {
+              cur match {
+                case Some(s) if s.rateTs <= r.ts =>
+                  out += AsofOut(userId, r.id, s.rateId, s.rateValue,
+                    r.ts - s.rateTs)
+                case _ =>
+                  out += AsofOut(userId, r.id, -1L, Double.NaN, -1L)
+              }
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class Ev(event_id: Long, ts: Long, user_id: Long)
   case class EvT(event_id: Long, ts: Long, user_id: Long,
       ets: java.sql.Timestamp)

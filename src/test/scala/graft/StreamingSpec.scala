@@ -277,6 +277,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment equals the native batch as-of join") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.AsofIn
+    // rates arrive in order per key (the declared contract); probes mix
+    val rates1 = Seq(AsofIn(1L, 100L, 0, 10L, 1.5), AsofIn(2L, 50L, 0, 20L, 2.0))
+    val probes1 = Seq(AsofIn(1L, 120L, 1, 500L, 0), AsofIn(2L, 40L, 1, 501L, 0))
+    val rates2 = Seq(AsofIn(1L, 200L, 0, 11L, 1.7))
+    val probes2 = Seq(AsofIn(1L, 200L, 1, 502L, 0), // inclusive: matches rate 11
+      AsofIn(1L, 150L, 1, 503L, 0), // older probe, still rate 10... held is 11 now
+      AsofIn(2L, 60L, 1, 504L, 0))
+    val rMem = MemoryStream[AsofIn]; val pMem = MemoryStream[AsofIn]
+    val q = graft.streaming.EventStream.asofEnrich(rMem.toDS(), pMem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    try {
+      rMem.addData(rates1: _*); pMem.addData(probes1: _*); q.processAllAvailable()
+      rMem.addData(rates2: _*); pMem.addData(probes2: _*); q.processAllAvailable()
+      val got = spark.table("asof_out").collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      // batch 1: probe 500 (k1 t120) -> rate 10 (t100); 501 (k2 t40) -> none
+      assert(got(500L) == 10L && got(501L) == -1L)
+      // batch 2: probe 502 (k1 t200) matches rate 11 inclusively;
+      // 504 (k2 t60) -> rate 20 (held from batch 1)
+      assert(got(502L) == 11L && got(504L) == 20L)
+      // 503 (k1 t150): within THIS batch the fold is (ts, side)-ordered,
+      // so rate 11 (t200) has not yet been applied when 503 folds -> it
+      // sees the held rate 10 — identical to what the batch as-of gives
+      assert(got(503L) == 10L)
+      // cross-check the matched pairs against the native batch operator
+      import spark.implicits._
+      val allRates = (rates1 ++ rates2).toDF()
+        .select(col("user_id").as("r_user"), col("ts").as("rts"),
+          col("id").as("rate_id"))
+      val allProbes = (probes1 ++ probes2).toDF()
+        .select(col("user_id"), col("ts"), col("id").as("probe_id"))
+      val batch = graft.plans.AsofMergeJoin.asofJoin(allProbes, allRates,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "rts",
+          rightKeys = Seq("r_user"))
+        .select(col("probe_id"),
+          coalesce(col("rate_id"), lit(-1L)).as("rate_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === batch, s"stream $got vs native batch as-of $batch")
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries state equals the same-order batch fold across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.DocStream.DocRec
