@@ -99,6 +99,12 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
 
+  // the merge is row-preserving on the left side, so the left child's
+  // hash partitioning survives — a downstream groupBy on the key reuses
+  // it instead of re-exchanging (proven in the spec)
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     // capture only serializable expressions/schemas; codegen'd
     // projections are built PER PARTITION on the executor

@@ -62,6 +62,20 @@ class AsofMergeJoinSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
 
+  test("downstream key aggregation reuses the join's partitioning (no 3rd exchange)") {
+    val (left, right0) = randomSides(51)
+    val right = right0.withColumnRenamed("k", "rk")
+    val agged = AsofMergeJoin.asofJoin(left, right, Seq("k"), "ts", "rts",
+        rightKeys = Seq("rk"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("r_val").as("s"))
+    agged.collect()
+    val plan = agged.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"groupBy(k) must reuse the as-of exec's partitioning, got $exchanges exchanges:\n$plan")
+  }
+
   test("left rows with no earlier match null-extend (asof LEFT semantics)") {
     val left = Seq((1L, 5L, 100L), (1L, 50L, 101L)).toDF("k", "ts", "l_id")
     val right = Seq((1L, 10L, 7L)).toDF("k", "rts", "r_val")
