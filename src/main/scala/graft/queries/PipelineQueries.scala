@@ -307,7 +307,17 @@ object PipelineQueries {
         |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR)
         |  FROM orders
         |ORDER BY col_name""".stripMargin) { (s, dir) =>
-      val wide = Tables.orders(s, dir).agg(
+      // AGGREGATE-STRATEGY SPLIT: a min/max over a STRING column has an
+      // immutable agg buffer, which demotes the WHOLE aggregate — the
+      // multi-distinct Expand pipeline included — to SortAggregate,
+      // i.e. a full sort of the ×6-expanded fact table on 6 keys
+      // (measured 2.8 s at sf0.1; string group KEYS are fine, string
+      // BUFFERS are not). So the string min/maxes move to their own
+      // global aggregate: empty grouping keys need no sort, it's one
+      // map-side-combined pass, and its 1-row result cross-joins back.
+      // Both branches prune to disjoint parquet columns, so total bytes
+      // read stay those of the single 5-column scan.
+      val hashFriendly = Tables.orders(s, dir).agg(
         count(lit(1)).as("n_rows"),
         count(col("o_custkey")).as("nn_custkey"),
         countDistinct(col("o_custkey")).as("nd_custkey"),
@@ -319,16 +329,18 @@ object PipelineQueries {
         date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("mx_orderdate"),
         count(col("o_orderpriority")).as("nn_orderpriority"),
         countDistinct(col("o_orderpriority")).as("nd_orderpriority"),
-        min(col("o_orderpriority")).as("mn_orderpriority"),
-        max(col("o_orderpriority")).as("mx_orderpriority"),
         count(col("o_orderstatus")).as("nn_orderstatus"),
         countDistinct(col("o_orderstatus")).as("nd_orderstatus"),
-        min(col("o_orderstatus")).as("mn_orderstatus"),
-        max(col("o_orderstatus")).as("mx_orderstatus"),
         count(col("o_totalprice")).as("nn_totalprice"),
         countDistinct(col("o_totalprice")).as("nd_totalprice"),
         min(col("o_totalprice")).cast(DecimalType(12, 2)).cast("string").as("mn_totalprice"),
         max(col("o_totalprice")).cast(DecimalType(12, 2)).cast("string").as("mx_totalprice"))
+      val stringMinMax = Tables.orders(s, dir).agg(
+        min(col("o_orderpriority")).as("mn_orderpriority"),
+        max(col("o_orderpriority")).as("mx_orderpriority"),
+        min(col("o_orderstatus")).as("mn_orderstatus"),
+        max(col("o_orderstatus")).as("mx_orderstatus"))
+      val wide = hashFriendly.crossJoin(broadcast(stringMinMax))
       wide.select(expr(
         """stack(5,
           |  'o_custkey', nn_custkey, nd_custkey, mn_custkey, mx_custkey,
