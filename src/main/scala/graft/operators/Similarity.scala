@@ -265,18 +265,35 @@ object Similarity {
          |                     slice($b, j*$dSub + 1, $dSub),
          |                     (x, y) -> (x - y) * (x - y)),
          |            CAST(0 AS BIGINT), (acc, v) -> acc + v))""".stripMargin
+    // codewords carry a DENSE ordinal (rank of the raw id among the
+    // sorted codebook ids) rather than the raw vector id: the ordinal
+    // is < 2^16 at any corpus size, which the packed argmin below
+    // needs, and it orders identically to the raw id so the
+    // deterministic tiebreak is unchanged. The ordinal never leaves
+    // this pipeline (the output is (vec_id, adist)).
+    require(codebookIds.size < 65536, "PQ codebook must fit 16-bit ordinals")
+    val ordArr = array(codebookIds.sorted.map(lit(_)): _*)
     val cb = emb.filter(col(idCol).isin(codebookIds: _*))
-      .select(col(idCol).cast("long").as("c"), quant(vecCol).as("cq"))
+      .select((array_position(ordArr, col(idCol)) - 1).cast("long").as("c"),
+        quant(vecCol).as("cq"))
     val e = emb.filter(col(idCol) =!= queryId)
       .select(col(idCol), quant(vecCol).as("vq"))
     // (vector, subspace, codeword) → subspace distance; argmin per
     // (vector, subspace) with codeword id as deterministic tiebreak.
+    // The (d2, c) pair packs into ONE bigint — d2·2^16 + c preserves
+    // the lexicographic order exactly (c < 2^16 by construction; d2 ≤
+    // dims·(2·1000·max|x|)² ≪ 2^46 for unit-scale embeddings) — so the
+    // argmin buffer is a mutable long and the n×m×C-row aggregate
+    // stays a HashAggregate. A min(struct(d2, c)) buffer is immutable
+    // and demotes this, the widest shuffle of the pipeline, to a
+    // sort-based aggregate (caught by PlanAudit).
     val sub = e.crossJoin(broadcast(cb))
       .select(col(idCol), col("c"), posexplode(expr(subDist("vq", "cq"))))
-      .select(col(idCol), col("pos").as("j"), col("c"), col("col").as("d2"))
+      .select(col(idCol), col("pos").as("j"),
+        (col("col") * lit(65536L) + col("c")).as("dc"))
     val codes = sub.groupBy(col(idCol), col("j"))
-      .agg(min(struct(col("d2"), col("c"))).as("mc"))
-      .select(col(idCol), col("j"), col("mc.c").as("c"))
+      .agg(min(col("dc")).as("mdc"))
+      .select(col(idCol), col("j"), pmod(col("mdc"), lit(65536L)).as("c"))
     val q = emb.filter(col(idCol) === queryId).select(quant(vecCol).as("qq"))
     val qtab = cb.crossJoin(broadcast(q))
       .select(col("c"), posexplode(expr(subDist("qq", "cq"))))
