@@ -69,6 +69,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), s"expected no expand-based distinct:\n$plan")
   }
 
+  test("v2 profile's multi-distinct Expand pipeline stays hash-based") {
+    // string min/max buffers are immutable and would demote the WHOLE
+    // multi-distinct aggregate to SortAggregate (a full sort of the
+    // ×6-expanded fact); the query isolates them in a tiny global agg.
+    // Expected shape: the Expand feeds HashAggregates; the only
+    // SortAggregates are the empty-key string-minmax pair (no sort).
+    val df = SparkEntry.queries("v2_profile")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Expand"), s"expected expand-based distincts:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+    val sortAggs = "SortAggregate".r.findAllIn(plan).size
+    assert(sortAggs <= 2,
+      s"multi-distinct pipeline demoted to sort-based aggregation:\n$plan")
+  }
+
+  test("PQ codeword argmin aggregates hash-based (packed long, no struct-min)") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val df = graft.operators.Similarity.pqTopK(
+      emb, queryId = 0L, k = 10, codebookIds = (1L to 16L).toSeq)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"PQ argmin demoted to sort-based aggregation:\n$plan")
+  }
+
   test("cube report is one Expand + one aggregation exchange") {
     val df = graft.operators.GroupingOps.cubeReport(
       graft.sources.Tables.orders(spark, dir)
