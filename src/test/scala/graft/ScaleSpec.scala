@@ -135,6 +135,47 @@ class ScaleSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AQE splits a skewed join partition at runtime (no manual salt)") {
+    import spark.implicits._
+    // one hot key carrying ~90% of the left side; thresholds lowered so
+    // the skew is visible at test volume (defaults are 256 MB). Session
+    // confs restored after — the suite shares the session.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // the group-by above the join means the split "adds" a shuffle in
+      // AQE's cost check even though that exchange exists either way;
+      // force mirrors what a real skewed ETL would configure
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = (1 to 60000).map(i =>
+        (if (i % 10 == 0) (i % 50).toLong else 7L, s"payload_$i"))
+        .toDF("k", "pay")
+      val right = (0L to 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      // max(pay) keeps the unique payload strings flowing through the
+      // join shuffle — a pruned all-constant key column compresses
+      // below any skew threshold at test volume
+      val joined = left.hint("merge")
+        .join(right.hint("merge"), Seq("k"))
+        .groupBy("name").agg(count(lit(1)).as("n"), max("pay").as("p"))
+      val rows = joined.collect()
+      assert(rows.map(_.getLong(1)).sum == 60000L)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin(skew=true)") &&
+        plan.contains("AQEShuffleRead skewed"),
+        s"expected AQE to mark and split the skewed side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned scan prunes partitions (PartitionFilters reach the scan)") {
     val byMonth = graft.sources.Warehouse.ordersByMonth(spark, dir)
     val months = byMonth.select("o_month").distinct().count()
