@@ -283,16 +283,19 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
+      // the node's own previous label rides through the SAME aggregate
+      // (tagged `own`; exactly one own row per id), so convergence is a
+      // filter-count on the already-materialized round output — no
+      // extra comparison join per round
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-      val next = labels.union(neighborMin)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(edges("src").as("id"), col("label"), lit(false).as("own"))
+      val next = labels.withColumn("own", lit(true))
+        .unionByName(neighborMin)
+        .groupBy("id").agg(min("label").as("label"),
+          max(when(col("own"), col("label"))).as("prev"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .where(col("label") =!= col("prev"))
-        .count()
-      labels = next
+      changed = next.where(col("label") =!= col("prev")).count()
+      labels = next.select("id", "label")
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
@@ -311,8 +314,8 @@ object Dedup {
     * Each round is two groupBy-join passes over the canonical edge
     * set (both shuffles on the node id key), lineage cut per round;
     * convergence = the small-star pass reproduces its input edge set
-    * (checked by count + one-sided anti-join — control-flow actions
-    * only, never data to the driver).
+    * (one tag-sum symmetric-difference job per round — control-flow
+    * actions only, never data to the driver).
     */
   def duplicateClustersLogN(pairs: DataFrame,
       aCol: String = "a_id", bCol: String = "b_id"): DataFrame =
@@ -359,10 +362,15 @@ object Dedup {
         .where(col("a") =!= col("b"))
         .distinct()
         .localCheckpoint()
-      // Converged when the pass was a no-op on the edge set. Counts
-      // equal + empty one-sided difference ⇒ set equality.
-      converged = small.count() == edges.count() &&
-        small.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      // Converged when the pass was a no-op on the edge set. Both
+      // sides are distinct, so tag-summing the union detects ANY
+      // asymmetry (1 = only small, 3 = only edges, 4 = both) in ONE
+      // job instead of count + count + anti-join.
+      converged = small.withColumn("s", lit(1L))
+        .unionByName(edges.withColumn("s", lit(3L)))
+        .groupBy("a", "b").agg(sum("s").as("t"))
+        .where(col("t") =!= 4L)
+        .isEmpty
       edges = small
       rounds += 1
     }
