@@ -7,11 +7,24 @@ import org.apache.spark.sql.functions._
   * loop-with-lineage-cut discipline as plans/Recursion (localCheckpoint
   * per round, no RDD API, no GraphX dependency).
   *
-  * Scale shape per iteration: one shuffle keyed by edge source (join
-  * ranks onto edges) and one keyed by destination (contribution sum) —
-  * both map-side combined. Ranks are one row per node; edges dominate
-  * and are reused across iterations, so at 100 TB the edge table is
-  * the thing to pre-partition (or bucket) on src.
+  * Scale shape per iteration: ONE shuffle — the contribution sum keyed
+  * by destination (map-side combined). The rank-onto-edge join is
+  * exchange-free by construction: the edge table is materialized
+  * hash-partitioned by `src` once, and each round's rank table emerges
+  * from its aggregate hash-partitioned by `node`, which the projection
+  * aliases to `src` — Spark's alias-aware output partitioning lets
+  * EnsureRequirements match the two sides without a new Exchange.
+  * Ranks are one row per node; edges dominate and never move after the
+  * initial materialization, so at 100 TB the edge table is the thing
+  * to pre-partition (or bucket by `src`) and everything that re-flows
+  * per round is O(nodes).
+  *
+  * Dangling-node handling is fused into the same aggregate: instead of
+  * a per-round `nodes LEFT JOIN contributions` (a third stage), the
+  * node set is unioned in as zero-valued contributions before the
+  * groupBy — the union is narrow, and a DECIMAL sum with extra exact
+  * zeros is bit-identical to the coalesce(NULL, 0) formulation it
+  * replaces.
   *
   * CROSS-ENGINE FLOAT DISCIPLINE (oracle parity, same as p10/p15):
   * per-edge contribution rank/outdeg is a single double division
@@ -20,6 +33,60 @@ import org.apache.spark.sql.functions._
   * before the aggregate (exact, order-free) and back to DOUBLE after.
   */
 object Graph {
+
+  /** Materialized loop state shared by the fixed-iteration and
+    * convergence drivers: edges-with-degree (src, dst, outdeg)
+    * hash-partitioned by src, the node set hash-partitioned by node,
+    * and the node count. On a real cluster, persist `ewd` as a
+    * `bucketBy("src")` table once and feed it back through
+    * [[pageRankPrepared]] — every iteration's rank join then reads the
+    * bucketed scan with zero exchange on the edge side (proved in
+    * ScaleSpec).
+    */
+  case class Prepared(ewd: DataFrame, nodes: DataFrame, n: Long)
+
+  def prepare(edges: DataFrame): Prepared = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg) is loop-invariant: materialize ONCE so each
+    // iteration pays one join + one aggregation, not a degree
+    // recompute. This is the artifact to persist BUCKETED by src on a
+    // real cluster. The equi-join on src already leaves the output
+    // hash-partitioned by src (no explicit repartition needed — that
+    // was a whole redundant exchange of the edge table), and
+    // LogicalRDD keeps that partitioning across the lineage cut, so
+    // every iteration's rank join is exchange-free on BOTH sides (see
+    // class doc) and the edge table never reshuffles.
+    val ewd = e.join(deg, Seq("src")).localCheckpoint()
+    // derive the node set from the ALREADY-MATERIALIZED edge table
+    // (inner join with deg drops no rows — every src has a degree), so
+    // the upstream edge derivation runs exactly once, not once per
+    // consumer. distinct() leaves it hash-partitioned by node.
+    val nodes = ewd.select(col("src").as("node"))
+      .union(ewd.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    Prepared(ewd, nodes, nodes.count())
+  }
+
+  /** One damped-PageRank round: contributions flow src→dst through the
+    * partitioning-aligned edge join, the node set is unioned in as
+    * exact zeros, and ONE hash aggregate keyed by node produces the
+    * next rank table (hash-partitioned by node, feeding the next
+    * round's join for free).
+    */
+  private def step(p: Prepared, ranks: DataFrame, damping: Double): DataFrame = {
+    val contrib = p.ewd
+      .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      .select(col("dst").as("node"),
+        (col("r") / col("outdeg")).cast("decimal(30,15)").as("c"))
+    contrib
+      .union(p.nodes.select(col("node"), lit(0).cast("decimal(30,15)").as("c")))
+      .groupBy("node")
+      .agg(sum("c").as("csum"))
+      .select(col("node"),
+        (lit((1.0 - damping) / p.n) +
+          lit(damping) * col("csum").cast("double")).as("r"))
+  }
 
   /** `iters` rounds of damped PageRank over a DIRECTED edge list
     * (src, dst) — pass both directions for an undirected graph.
@@ -35,46 +102,57 @@ object Graph {
     * checkpointInterval.
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame =
+    pageRankPrepared(prepare(edges), iters, damping, checkpointEvery)
+
+  /** Fixed-iteration PageRank over ALREADY-PREPARED loop state — the
+    * 100 TB entry point: `p.ewd` can be a persisted `bucketBy("src")`
+    * table (scan partitioning then stands in for the localCheckpoint
+    * partitioning, and no round ever exchanges the edge side).
+    */
+  def pageRankPrepared(p: Prepared, iters: Int = 3,
       damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg) is loop-invariant: materialize ONCE so each
-    // iteration pays one join + one aggregation, not a degree
-    // recompute. This is the artifact to persist BUCKETED by src on a
-    // real cluster — the rank join's exchange then disappears from
-    // every round.
-    // hash-partition by src BEFORE the lineage cut: LogicalRDD keeps
-    // the partitioning, so every iteration's rank join exchanges ONLY
-    // the (node, rank) side — the edge table never reshuffles. This is
-    // the localCheckpoint analogue of persisting the edge table
-    // bucketed by src on a real cluster.
-    val ewd = e.join(deg, Seq("src"))
-      .repartition(col("src")).localCheckpoint()
-    // derive the node set from the ALREADY-MATERIALIZED edge table
-    // (inner join with deg drops no rows — every src has a degree), so
-    // the upstream edge derivation runs exactly once, not once per
-    // consumer
-    val nodes = ewd.select(col("src").as("node"))
-      .union(ewd.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
-    val n = nodes.count()
-    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    var ranks = p.nodes.withColumn("r", lit(1.0 / p.n))
     for (i <- 1 to iters) {
-      val contrib = ewd
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"),
-          (col("r") / col("outdeg")).cast("decimal(30,15)").as("c"))
-        .groupBy("node")
-        .agg(sum("c").as("csum"))
-      ranks = nodes
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("csum").cast("double"), lit(0.0)))
-            .as("r"))
+      ranks = step(p, ranks, damping)
       if (i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint() // periodic lineage cut
     }
     ranks
+  }
+
+  /** Damped PageRank iterated to a CONVERGENCE TOLERANCE instead of a
+    * fixed round count: stops when max |rank_i − rank_{i−1}| < `tol`
+    * over all nodes, checked every `checkEvery` rounds so the delta
+    * job piggybacks on the periodic lineage cut (same one-control-job-
+    * per-block discipline as `Dedup.duplicateClusters`). The driver
+    * only ever sees the scalar max-delta — no rank data crosses to the
+    * driver. Returns (node, rank, iters_run).
+    *
+    * The delta join is exchange-free: both the old and new rank tables
+    * are localCheckpointed hash-partitioned by node.
+    */
+  def pageRankConverged(edges: DataFrame, tol: Double = 1e-7,
+      maxIters: Int = 50, damping: Double = 0.85,
+      checkEvery: Int = 3): DataFrame = {
+    require(tol > 0, "tol must be positive — use pageRank for fixed rounds")
+    val p = prepare(edges)
+    var ranks = p.nodes.withColumn("r", lit(1.0 / p.n)).localCheckpoint()
+    var done = 0
+    var converged = false
+    while (!converged && done < maxIters) {
+      val block = math.min(checkEvery, maxIters - done)
+      var next = ranks
+      for (_ <- 1 to block) next = step(p, next, damping)
+      next = next.localCheckpoint() // lineage cut = the block boundary
+      done += block
+      // one scalar control job per block: the max absolute movement
+      val delta = next.withColumnRenamed("r", "r2")
+        .join(ranks, Seq("node"))
+        .agg(max(abs(col("r2") - col("r")))).head().getDouble(0)
+      ranks = next
+      if (delta < tol) converged = true
+    }
+    ranks.withColumn("iters_run", lit(done))
   }
 }

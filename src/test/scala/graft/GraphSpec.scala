@@ -41,4 +41,60 @@ class GraphSpec extends AnyFunSuite {
     val r = Graph.pageRank(edges, iters = 5).collect().map(_.getDouble(1))
     assert(r.forall(x => math.abs(x - 0.25) < 1e-12), s"uniform: ${r.toSeq}")
   }
+
+  test("pageRank: dangling nodes get the baseline via the fused zero-union") {
+    // DIRECTED chain 0→1→2: node 2 has out-degree 0 (dangling — it
+    // appears only as a dst), node 0 has no in-edges. The fused
+    // aggregate must keep all three nodes with exact semantics:
+    // r(0) = (1−d)/3 every round (no in-flow), and ranks for 1 and 2
+    // follow the standard no-dangling-redistribution recurrence the
+    // DuckDB oracle replays (contribution sum over in-edges only).
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val d = 0.85
+    val r = Graph.pageRank(edges, iters = 2, damping = d).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size == 3, s"dangling node must survive: $r")
+    val base = (1.0 - d) / 3
+    // hand-rolled recurrence, decimal-exact at these magnitudes
+    val r1 = Map(0L -> base, 1L -> (base + d * (1.0 / 3)), 2L -> (base + d * (1.0 / 3)))
+    val exp = Map(0L -> base, 1L -> (base + d * r1(0L)), 2L -> (base + d * r1(1L)))
+    exp.foreach { case (k, v) =>
+      assert(math.abs(r(k) - v) < 1e-12, s"node $k: got ${r(k)} want $v") }
+  }
+
+  test("pageRankConverged: reaches the fixed-iteration fixpoint and stops early") {
+    val rnd = new scala.util.Random(11)
+    val e = (1 to 80).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val conv = Graph.pageRankConverged(edges, tol = 1e-9, maxIters = 60)
+    val rows = conv.collect()
+    val itersRun = rows.head.getInt(2)
+    assert(itersRun < 60, s"should converge before maxIters, ran $itersRun")
+    // the converged ranks match a long fixed-iteration run within tol
+    val fixed = Graph.pageRank(edges, iters = 60, checkpointEvery = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - fixed(r.getLong(0))) < 1e-8,
+        s"node ${r.getLong(0)} diverges from fixpoint")
+    }
+  }
+
+  test("pageRank plan: one shuffle per iteration — the edge side never re-exchanges") {
+    // The scale contract: ewd is materialized hash-partitioned by src
+    // once; each round's rank table emerges hash-partitioned by node
+    // (aliased to src), so the ONLY per-round exchange is the
+    // contribution aggregate's. A 3-round fused DAG must therefore
+    // contain exactly 3 exchanges, none of them re-partitioning the
+    // checkpointed edge table.
+    val rnd = new scala.util.Random(3)
+    val e = (1 to 200).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, iters = 3)
+    pr.write.format("noop").mode("overwrite").save() // resolve AQE final plan
+    val plan = pr.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"expected ≤3 exchanges (one agg per round), got $exchanges:\n$plan")
+  }
 }

@@ -283,4 +283,83 @@ class ScaleSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("bucketed edge table drives PageRank with zero exchange on the edge side") {
+    // The 100 TB PageRank layout the Graph scaladoc promises: persist
+    // the loop-invariant (src, dst, outdeg) table bucketBy("src") once,
+    // then every iteration's rank-onto-edge join reads the bucketed
+    // scan in place — the only per-round exchange is the contribution
+    // aggregate's, and NOTHING ever re-partitions by src. Broadcast is
+    // disabled so the tiny test ranks can't hide the property under a
+    // BroadcastHashJoin.
+    import graft.operators.Graph
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val raw = (1 to 300).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val p0 = Graph.prepare(edges)
+    spark.sql("DROP TABLE IF EXISTS pr_ewd_b")
+    p0.ewd.write.bucketBy(8, "src").sortBy("src")
+      .mode("overwrite").saveAsTable("pr_ewd_b")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = Graph.Prepared(spark.table("pr_ewd_b"), p0.nodes, p0.n)
+      val pr = Graph.pageRankPrepared(bucketed, iters = 3)
+      pr.write.format("noop").mode("overwrite").save()
+      val plan = pr.queryExecution.executedPlan
+      assert(plan.toString.contains("Bucketed: true"),
+        s"expected bucketed edge scans:\n$plan")
+      // Structural proof that only the O(nodes) rank side moves: each
+      // per-round join has exactly one aggregate-free side — the edge
+      // side — and that side is the bucketed scan with NO shuffle
+      // between it and the join. (The rank side DOES re-exchange to
+      // align with the bucket count; that is the O(nodes) cost the
+      // design pays on purpose.)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      // collect through the AQE wrappers collect() refuses to descend
+      def flat(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+        case s: QueryStageExec => flat(s.plan)
+        case other => other.children.flatMap(flat)
+      })
+      val joins = flat(plan).collect {
+        case j: SortMergeJoinExec => (j.left, j.right)
+        case j: ShuffledHashJoinExec => (j.left, j.right)
+      }
+      assert(joins.size == 3, s"expected 3 per-round joins, got ${joins.size}:\n$plan")
+      joins.foreach { case (l, r) =>
+        // the edge side is the one that IS the bucketed scan (no
+        // aggregate above it); deeper rounds' rank sides also contain
+        // the scan transitively, but always under their aggregate
+        val edgeSides = Seq(l, r).filter { s =>
+          val fs = flat(s)
+          fs.collectFirst { case a: BaseAggregateExec => a }.isEmpty &&
+            fs.exists {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+                f.tableIdentifier.exists(_.table == "pr_ewd_b")
+              case _ => false
+            }
+        }
+        assert(edgeSides.size == 1, s"expected one bucketed-scan edge side:\n$plan")
+        assert(flat(edgeSides.head).collectFirst {
+          case e: ShuffleExchangeLike => e }.isEmpty,
+          s"edge side must never re-exchange:\n$plan")
+      }
+      // bit-identical ranks vs the localCheckpoint path (decimal
+      // contribution sums are order-free)
+      val got = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expect = Graph.pageRankPrepared(p0, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS pr_ewd_b")
+    }
+  }
 }
