@@ -136,30 +136,48 @@ object Similarity {
 
   /** IVF (inverted-file) cell assignments: each vector is assigned to
     * its nearest centroid by quantized cosine. Centroids are actual
-    * corpus vectors picked by a deterministic id stride (no RNG, no
-    * k-means iterations — reproducible across engines and runs; a
-    * k-means refinement would only move cell boundaries, not the
-    * algorithm shape). Returns (idCol, cell_id).
+    * corpus vectors picked by a deterministic id stride (no RNG;
+    * [[trainedCentroids]] offers a bounded Lloyd's refinement that
+    * only moves cell boundaries, not the algorithm shape). Returns
+    * (idCol, cell_id).
     *
     * Scale shape: centroids are broadcast (K ≪ n); assignment is one
     * map-side n×K scoring pass + a groupBy(id) argmax — no shuffle of
-    * the vectors themselves beyond the aggregation.
+    * the vectors themselves beyond the aggregation. The argmax key is
+    * a single BIGINT (the same mutable-buffer discipline as the PQ
+    * argmin and v2 — a struct-max buffer is immutable and demotes this
+    * n×K aggregate, the widest of the pipeline, to a SortAggregate):
+    * sign(qd)·(qd²·100 div n2) is an EXACT integer, monotone in the
+    * cosine qd/√n2 (never order-inverting; at worst it collapses
+    * near-ties ~1e-9 apart into the deterministic min-cell tiebreak),
+    * and packs with the 16-bit centroid ordinal as key·2¹⁶ +
+    * (65535 − ord), so max() picks highest score then lowest cell id.
+    * Overflow bound: unit-scale embeddings give |qd| ≤ 64·10⁶, so
+    * qd²·100 ≤ 4.1e17 < 2⁶³.
     */
   def ivfAssignments(emb: DataFrame, centroidIds: Seq[Long],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroidIds.size < 65536, "IVF cells must fit 16-bit ordinals")
     val reg = registered(emb)
+    val sortedIds = centroidIds.sorted
+    val ordArr = array(sortedIds.map(lit(_)): _*)
     val cents = reg.filter(col(idCol).isin(centroidIds: _*))
       .select(col(idCol).as("cell_id"), col(vecCol).as("cent_vec"),
         qnorm2(vecCol).as("cent_n2"))
+      .withColumn("ord", (array_position(ordArr, col("cell_id")) - 1).cast("long"))
     reg.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(cents))
-      // cosine vs centroid in double from exact quantized ints;
-      // argmax via struct-max with cell_id as deterministic tiebreak
-      .withColumn("score",
-        expr("CAST(qdot(" + vecCol + ", cent_vec) AS DOUBLE) / sqrt(CAST(cent_n2 AS DOUBLE))"))
+      .withColumn("qd", expr(s"CAST(qdot($vecCol, cent_vec) AS BIGINT)"))
+      .withColumn("skey", expr(
+        // positive-only DIV (truncation == floor), mirrored by sign —
+        // identical integer semantics on any engine
+        "CASE WHEN qd >= 0 THEN (qd * qd * 100) DIV cent_n2 " +
+          "ELSE -((qd * qd * 100) DIV cent_n2) END"))
       .groupBy(col(idCol))
-      .agg(max(struct(col("score"), (-col("cell_id")).as("neg_cell"))).as("m"))
-      .select(col(idCol), (-col("m.neg_cell")).cast("long").as("cell_id"))
+      .agg(max(col("skey") * lit(65536L) + (lit(65535L) - col("ord"))).as("mp"))
+      .select(col(idCol),
+        element_at(ordArr, (lit(65536L) - pmod(col("mp"), lit(65536L))).cast("int"))
+          .as("cell_id"))
   }
 
   /** IVF top-k: score only vectors whose cell is among the query's

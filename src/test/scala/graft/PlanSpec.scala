@@ -98,6 +98,22 @@ class PlanSpec extends AnyFunSuite {
       s"PQ argmin demoted to sort-based aggregation:\n$plan")
   }
 
+  test("IVF cell-assignment argmax aggregates hash-based (packed long, no struct-max)") {
+    // the n×K assignment aggregate is the widest shuffle of the IVF
+    // pipeline; a max(struct(score, cell)) buffer is immutable and
+    // demotes it to SortAggregate — the packed exact-integer key keeps
+    // a mutable long buffer (same class as the PQ argmin and v2 fixes)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val df = graft.operators.Similarity.ivfAssignments(
+      emb, centroidIds = (0L to 7L).map(_ * 50L))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"IVF argmax demoted to sort-based aggregation:\n$plan")
+  }
+
   test("cube report is one Expand + one aggregation exchange") {
     val df = graft.operators.GroupingOps.cubeReport(
       graft.sources.Tables.orders(spark, dir)
