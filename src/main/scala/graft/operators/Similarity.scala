@@ -273,7 +273,17 @@ object Similarity {
     */
   def pqTopK(emb: DataFrame, queryId: Long, k: Int, codebookIds: Seq[Long],
       m: Int = 8, dims: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    pqAdc(emb, None, queryId, k, codebookIds, m, dims, idCol, vecCol)
+
+  /** PQ-ADC core shared by [[pqTopK]] (whole-corpus database) and
+    * [[ivfPqTopK]] (database restricted to IVF-probed candidates via
+    * `dbIds`). Codebook and query always come from the full `emb` so a
+    * restricted database can still encode against the global codebook.
+    */
+  private def pqAdc(emb: DataFrame, dbIds: Option[DataFrame], queryId: Long,
+      k: Int, codebookIds: Seq[Long], m: Int, dims: Int, idCol: String,
+      vecCol: String): DataFrame = {
     val dSub = dims / m
     def quant(c: String): Column = expr(
       s"transform($c, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))")
@@ -294,8 +304,10 @@ object Similarity {
     val cb = emb.filter(col(idCol).isin(codebookIds: _*))
       .select((array_position(ordArr, col(idCol)) - 1).cast("long").as("c"),
         quant(vecCol).as("cq"))
-    val e = emb.filter(col(idCol) =!= queryId)
+    val eAll = emb.filter(col(idCol) =!= queryId)
       .select(col(idCol), quant(vecCol).as("vq"))
+    val e = dbIds.map(ids => eAll.join(ids, Seq(idCol), "left_semi"))
+      .getOrElse(eAll)
     // (vector, subspace, codeword) → subspace distance; argmin per
     // (vector, subspace) with codeword id as deterministic tiebreak.
     // The (d2, c) pair packs into ONE bigint — d2·2^16 + c preserves
@@ -320,6 +332,156 @@ object Similarity {
       .groupBy(col(idCol))
       .agg(sum("qd2").as("adist"))
       .orderBy(col("adist").asc, col(idCol))
+      .limit(k)
+  }
+
+  /** Quantize an array<float> column to exact bigint components —
+    * floor(x·1000), the same grid every similarity operator scores on.
+    */
+  private def quantArr(c: String): Column = expr(
+    s"transform($c, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))")
+
+  /** Exact squared-L2 between two quantized bigint arrays. Interpreted
+    * HOF — fine for K-bounded cross products (n×K centroid scoring);
+    * the hot n×n paths use the native qdot instead.
+    */
+  private def qL2(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+  /** Packed-argmin cell assignment against a quantized centroid table
+    * (`ord` < 2¹⁶, `cq` array<bigint>): min(d2·2¹⁶ + ord) keeps the
+    * n×K aggregate hash-based (mutable long buffer) and breaks ties on
+    * the lowest ordinal. `vq` must carry (idCol, vq).
+    */
+  private def argminCell(vq: DataFrame, cents: DataFrame,
+      idCol: String): DataFrame =
+    vq.crossJoin(broadcast(cents.select(col("ord"), col("cq"))))
+      .withColumn("d2", qL2("vq", "cq"))
+      .groupBy(col(idCol))
+      .agg(min(col("d2") * lit(65536L) + col("ord")).as("mp"))
+      .select(col(idCol), pmod(col("mp"), lit(65536L)).as("cell"))
+
+  /** Bounded Lloyd's k-means over QUANTIZED vectors — the trained
+    * upgrade for the deterministic stride seeding (the seeding stays;
+    * this refines it). Returns (ord, cq): integer centroids on the
+    * same floor(x·1000) grid the assignment scores on, so every
+    * distance in training AND serving is exact bigint arithmetic and
+    * the whole trained table is engine-replayable (a DuckDB oracle
+    * re-derives assignments from the exported table bit-for-bit).
+    *
+    * Determinism: seeds are corpus vectors (sorted-id ordinals);
+    * assignment ties break on the lowest ordinal (packed argmin);
+    * centroid update is floor(sum/count) — component sums < 2⁵³ make
+    * the double division exact-rounded identically on any engine.
+    * Fixed `iters`, no RNG, no convergence test — same bounded-loop
+    * discipline as Graph.pageRank (eager K-row checkpoint per round).
+    *
+    * Scale shape per iteration: vq is materialized once pre-partitioned
+    * by id, so the assignment groupBy AND the member join are
+    * exchange-free; the only shuffle is the per-cell component-sum
+    * aggregate, whose partials reduce to K×65 longs per partition
+    * before the exchange. Empty cells drop out (standard Lloyd's).
+    */
+  def kmeansQuantized(emb: DataFrame, seedIds: Seq[Long], iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
+    require(seedIds.nonEmpty && seedIds.size < 65536,
+      "k-means cells must fit 16-bit ordinals")
+    val vq = emb.select(col(idCol), quantArr(vecCol).as("vq"))
+      .repartition(col(idCol)).localCheckpoint()
+    val sorted = seedIds.sorted
+    val ordArr = array(sorted.map(lit(_)): _*)
+    var cents = vq.filter(col(idCol).isin(seedIds: _*))
+      .select((array_position(ordArr, col(idCol)) - 1).cast("long").as("ord"),
+        col("vq").as("cq"))
+      .localCheckpoint(true)
+    val sumCols = (1 to dims).map(j => sum(element_at(col("vq"), j)).as(s"s_$j"))
+    for (_ <- 1 to iters) {
+      val assigned = argminCell(vq, cents, idCol)
+      cents = vq.join(assigned, Seq(idCol))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"), sumCols: _*)
+        .select(col("cell").as("ord"),
+          array((1 to dims).map(j =>
+            floor(col(s"s_$j").cast("double") / col("cnt").cast("double"))
+              .cast("long")): _*).as("cq"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** Serve-side cell assignment against a trained centroid table (the
+    * output of [[kmeansQuantized]], possibly round-tripped through
+    * parquet). Returns (idCol, cell_id). Same packed argmin as
+    * training, so serving assignments replay training exactly.
+    */
+  def assignToCells(emb: DataFrame, cents: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vq = emb.select(col(idCol), quantArr(vecCol).as("vq"))
+    argminCell(vq, cents, idCol)
+      .select(col(idCol), col("cell").as("cell_id"))
+  }
+
+  /** Composed IVF-PQ top-k — the standard billion-vector serving
+    * layout (IVF cells bound the candidate set, PQ-ADC scores it
+    * without touching raw vectors): probe the `nprobe` cells whose
+    * TRAINED centroids are L2-closest to the query, then rank ONLY
+    * vectors assigned to those cells by asymmetric PQ distance.
+    * Candidate volume is ~n·nprobe/K; encode/score shuffles carry
+    * narrow (id, subspace, code) rows for candidates only. Output
+    * (idCol, adist) matches [[pqTopK]]'s contract.
+    */
+  def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int, cents: DataFrame,
+      codebookIds: Seq[Long], nprobe: Int, m: Int = 8, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vqAll = emb.select(col(idCol), quantArr(vecCol).as("vq"))
+    val assign = argminCell(vqAll, cents, idCol)
+    val qv = vqAll.filter(col(idCol) === queryId).select(col("vq").as("qvq"))
+    // rank the K cells by exact L2 to the query; keep nprobe (tiny
+    // window over K rows — the global sort is centroid-sized)
+    val probed = cents.crossJoin(broadcast(qv))
+      .withColumn("qd2", qL2("cq", "qvq"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("qd2").asc, col("ord"))))
+      .where(col("rk") <= nprobe)
+      .select(col("ord").as("cell"))
+    val candIds = assign.join(broadcast(probed), Seq("cell"), "left_semi")
+      .filter(col(idCol) =!= queryId)
+      .select(idCol)
+    pqAdc(emb, Some(candIds), queryId, k, codebookIds, m, dims, idCol, vecCol)
+  }
+
+  /** IVF top-k over TRAINED centroids with exact quantized-dot
+    * scoring — [[ivfTopK]]'s twin for [[kmeansQuantized]] cells
+    * (ivfTopK probes member-vector centroids; this probes trained
+    * ones). Same probe discipline: cells ranked by exact L2 to the
+    * query, candidates = vectors assigned to the nprobe closest.
+    */
+  def ivfTopKTrained(emb: DataFrame, queryId: Long, k: Int,
+      cents: DataFrame, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val reg = registered(emb)
+    val vqAll = emb.select(col(idCol), quantArr(vecCol).as("vq"))
+    val assign = argminCell(vqAll, cents, idCol)
+    val qvq = vqAll.filter(col(idCol) === queryId).select(col("vq").as("qvq"))
+    val probed = cents.crossJoin(broadcast(qvq))
+      .withColumn("qd2", qL2("cq", "qvq"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("qd2").asc, col("ord"))))
+      .where(col("rk") <= nprobe)
+      .select(col("ord").as("cell"))
+    val candIds = assign.join(broadcast(probed), Seq("cell"), "left_semi")
+      .filter(col(idCol) =!= queryId)
+      .select(idCol)
+    val q = reg.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    reg.join(candIds, Seq(idCol))
+      .crossJoin(broadcast(q))
+      .withColumn("score", qdot(vecCol, "qv"))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
 

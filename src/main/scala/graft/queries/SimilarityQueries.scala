@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
-import graft.sources.Tables
+import graft.sources.{Tables, Warehouse}
 
 /** Similarity-search queries over `embeddings` (array<float>, 64-dim).
   * Scores use quantized integer arithmetic (see Similarity scaladoc)
@@ -264,6 +264,71 @@ object SimilarityQueries {
         |ORDER BY adist, codes.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10,
         codebookIds = (1L to 16L))
+    },
+
+    // ---- composed IVF-PQ with TRAINED centroids (billion-vector layout) ----
+    // The serving stack the s6/s8 scaladocs promise, end to end: cells
+    // come from bounded Lloyd's k-means (kmeansQuantized — exact
+    // integer training, exported to parquet), the query probes its
+    // nprobe closest cells, and only vectors ASSIGNED to probed cells
+    // are PQ-encoded and ADC-ranked. The oracle reads the SAME
+    // exported centroid table and replays assignment → probe → encode
+    // → lookup-sum bit-for-bit (every step integer arithmetic with
+    // ordinal tiebreaks). Candidate volume is ~n·nprobe/K; at 100 TB
+    // the assignment table is the persisted artifact and the probe
+    // fan-out is the standard IVF cost knob.
+    QueryDef("s10_ann_ivfpq",
+      s"""WITH cents AS (
+        |  SELECT ord, cq FROM read_parquet('${Warehouse.ivfCentroidsPath}/*.parquet')
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vq
+        |  FROM embeddings
+        |), ad AS (
+        |  SELECT e.vec_id, cents.ord,
+        |    CAST(list_sum(list_transform(list_zip(vq, cq),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+        |  FROM e CROSS JOIN cents
+        |), assign AS (
+        |  SELECT vec_id, ord AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ord) AS rn
+        |    FROM ad) WHERE rn = 1
+        |), probed AS (
+        |  SELECT ord AS cell FROM (
+        |    SELECT ad.ord, ROW_NUMBER() OVER (ORDER BY ad.d2, ad.ord) AS rk
+        |    FROM ad WHERE ad.vec_id = 0) WHERE rk <= 4
+        |), cand AS (
+        |  SELECT e.vec_id, e.vq
+        |  FROM e JOIN assign USING (vec_id) JOIN probed ON assign.cell = probed.cell
+        |  WHERE e.vec_id <> 0
+        |), cb AS (
+        |  SELECT vec_id AS c, vq AS kq FROM e WHERE vec_id BETWEEN 1 AND 16
+        |), js AS (SELECT unnest(range(0, 8)) AS j
+        |), sub AS (
+        |  SELECT cand.vec_id, js.j, cb.c,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> (vq[js.j*8 + i] - kq[js.j*8 + i]) * (vq[js.j*8 + i] - kq[js.j*8 + i]))) AS BIGINT) AS d2
+        |  FROM cand CROSS JOIN js CROSS JOIN cb
+        |), codes AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+        |    FROM sub)
+        |  WHERE rn = 1
+        |), q AS (
+        |  SELECT vq AS qq FROM e WHERE vec_id = 0
+        |), qtab AS (
+        |  SELECT js.j, cb.c,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> (qq[js.j*8 + i] - kq[js.j*8 + i]) * (qq[js.j*8 + i] - kq[js.j*8 + i]))) AS BIGINT) AS qd2
+        |  FROM cb CROSS JOIN js CROSS JOIN q
+        |)
+        |SELECT codes.vec_id, CAST(SUM(qtab.qd2) AS BIGINT) AS adist
+        |FROM codes JOIN qtab ON codes.j = qtab.j AND codes.c = qtab.c
+        |GROUP BY codes.vec_id
+        |ORDER BY adist, codes.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val cents = Warehouse.ivfCentroidsExport(s, dir)
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10,
+        cents = cents, codebookIds = (1L to 16L), nprobe = 4)
     },
 
     // ---- int8 embedding quantization + reconstruction-error audit ----

@@ -123,6 +123,30 @@ object Warehouse {
       s.read.orc(path)
     }
 
+  /** Absolute path of the trained-IVF-centroid export — same
+    * single-process oracle contract as [[simhashExportPath]]: the
+    * DuckDB oracle re-reads the identical trained table, so assignment
+    * / probe / ADC replay from the same centroids the Spark side
+    * served from.
+    */
+  val ivfCentroidsPath: String =
+    new java.io.File("spark-warehouse/ivf_centroids_export").getAbsolutePath
+
+  /** Trained IVF centroids (ord, cq): bounded Lloyd's k-means over the
+    * embeddings table (8 cells, deterministic id-stride seeds, 3
+    * iterations), persisted to parquet and read back — the input both
+    * to the composed IVF-PQ query (s10) and to its DuckDB oracle.
+    */
+  def ivfCentroidsExport(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"ivf_centroids:$dir") {
+      val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val seeds = (0 until 8).map(i => (i * (n / 8)).toLong)
+      graft.operators.Similarity.kmeansQuantized(
+          Tables.embeddings(s, dir), seeds, iters = 3)
+        .coalesce(1).write.mode("overwrite").parquet(ivfCentroidsPath)
+      s.read.parquet(ivfCentroidsPath)
+    }
+
   /** Deterministic content-hash shard id in [0, nShards): first hex
     * char of md5(doc_id) → value, mod shards. Engine-portable (the
     * DuckDB oracle replays the same arithmetic from the raw table) and

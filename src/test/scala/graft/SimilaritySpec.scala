@@ -119,4 +119,70 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r4 >= r1 - 0.02 && r4 >= 0.8, s"recall@4=$r4 (recall@1=$r1)")
     assert(r8 == 1.0, s"nprobe=K must be exhaustive, recall@8=$r8")
   }
+
+  test("kmeansQuantized is deterministic and reduces assignment SSE") {
+    import org.apache.spark.sql.functions._
+    val real = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = graft.sources.Tables.parquetRowCount(spark,
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = (0 until 8).map(i => (i * (n / 8)).toLong)
+    def sse(cents: org.apache.spark.sql.DataFrame): Long = {
+      // sum over vectors of min-cell squared L2 (own expr — qL2 is
+      // operator-internal)
+      val vq = real.selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vq")
+      vq.crossJoin(broadcast(cents))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(vq, cq, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+        .groupBy("vec_id").agg(min("d2").as("md"))
+        .agg(sum("md")).head().getLong(0)
+    }
+    val seeded = Similarity.kmeansQuantized(real, seeds, iters = 0)
+    val trained = Similarity.kmeansQuantized(real, seeds, iters = 3)
+    assert(sse(trained) < sse(seeded),
+      s"Lloyd's must not increase SSE: ${sse(trained)} vs ${sse(seeded)}")
+    // bit-for-bit deterministic across runs
+    val again = Similarity.kmeansQuantized(real, seeds, iters = 3)
+    val a = trained.orderBy("ord").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val b = again.orderBy("ord").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("trained centroids match or beat stride centroids on recall at equal nprobe") {
+    val real = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = graft.sources.Tables.parquetRowCount(spark,
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = (0 until 8).map(i => (i * (n / 8)).toLong)
+    val trained = Similarity.kmeansQuantized(real, seeds, iters = 3)
+    // averaged over several query points so one lucky/unlucky cell
+    // boundary doesn't decide the comparison
+    val queries = Seq(0L, 7L, 23L, 101L, 250L)
+    def recallSum(f: Long => Set[Long]): Double = queries.map { q =>
+      val truth = Similarity.bruteForceTopK(real, q, 50)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (f(q) & truth).size.toDouble / truth.size
+    }.sum
+    val stride = recallSum(q => Similarity.ivfTopK(real, q, 50, seeds, nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet)
+    val km = recallSum(q => Similarity.ivfTopKTrained(real, q, 50, trained, nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet)
+    assert(km >= stride,
+      s"trained cells should not lose recall: trained=$km stride=$stride")
+  }
+
+  test("ivfPqTopK equals pqTopK restricted to its probed candidate set") {
+    // composition sanity: with nprobe = K the candidate set is the
+    // whole corpus, so IVF-PQ must equal plain PQ bit-for-bit
+    val real = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = graft.sources.Tables.parquetRowCount(spark,
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = (0 until 8).map(i => (i * (n / 8)).toLong)
+    val trained = Similarity.kmeansQuantized(real, seeds, iters = 3)
+    val full = Similarity.pqTopK(real, 0L, 10, (1L to 16L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ivfpq = Similarity.ivfPqTopK(real, 0L, 10, trained, (1L to 16L),
+        nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ivfpq == full, s"nprobe=K IVF-PQ must equal PQ: $ivfpq vs $full")
+  }
 }
