@@ -126,8 +126,14 @@ object Curation {
     // conditional aggregates (the DSL's FILTER clause): one rollup pass
     // produces both gram sizes' stats.
     def onN(n: Int, c: Column): Column = when(col("n") === n, c)
+    // guarded against an empty gram class: a doc with exactly 2 tokens
+    // has bigram rows (so it reaches this rollup) but NO trigrams —
+    // 0.0/0 is NaN→null on Spark while DECIMAL engines raise or differ;
+    // both sides pin the empty class to 0 bp instead (mirrored CASE in
+    // the p17 oracle SQL)
     def bp(x: Column, tot: Column): Column =
-      floor(lit(10000.0) * x / tot).cast("long")
+      when(tot > 0, floor(lit(10000.0) * x / tot).cast("long"))
+        .otherwise(lit(0L))
     def dupMass(n: Int): Column =
       sum(when(col("n") === n && col("cnt") >= 2, col("cnt")).otherwise(lit(0)))
     def total(n: Int): Column = sum(onN(n, col("cnt")).otherwise(lit(0)))

@@ -8,16 +8,66 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads with typed metadata, decoded/featurized
   * per-partition.
   *
-  * The decode step is a clearly-marked STUB — no media codecs exist in
-  * this environment — producing a deterministic fake feature vector
-  * (byte histogram moments). Everything around it is the real
+  * The decode step is behind the typed [[Decoder]] interface — a
+  * compile-checked swap point instead of a comment. The only decoder
+  * that can exist in this environment is a clearly-marked STUB (no
+  * media codecs in the sandbox) producing deterministic fake features
+  * (byte-histogram moments). Everything around it is the real
   * distributed shape: binary column + schema, `mapPartitions` batch
   * processing (the Scala analogue of `mapInPandas` batches: amortizes
-  * per-partition setup such as codec/model initialization), explicit
-  * output schema, and no driver-side collection. Swapping the stub for
-  * a real decoder changes one function.
+  * per-partition setup such as codec/model initialization via
+  * [[Decoder.open]]), explicit output schema, and no driver-side
+  * collection. A production build registers a real codec under a name
+  * and selects it with `spark.graft.multimodal.decoder`.
   */
 object Multimodal {
+
+  /** Typed decode interface: one payload in, fixed feature contract
+    * out. Implementations must be Serializable (shipped to executors);
+    * [[open]] runs once per partition before any [[decode]] call — the
+    * place to initialize a codec/model and amortize it over the batch.
+    */
+  trait Decoder extends Serializable {
+    def open(): Unit = ()
+    def decode(payload: Array[Byte]): Decoded
+  }
+
+  /** Decoder output contract (frame count, mean byte, feature vector);
+    * `n_bytes` is added by the plumbing, not the decoder.
+    */
+  case class Decoded(frameCount: Long, meanByte: Double,
+      features: Array[Double])
+
+  /** STUB decoder: deterministic fake "decode" of a binary payload —
+    * 16-bin byte histogram (normalized) standing in for real image/
+    * audio features. The m1-m3 oracles replay exactly this arithmetic.
+    */
+  object ByteHistogramDecoder extends Decoder {
+    override def decode(payload: Array[Byte]): Decoded = {
+      val hist = new Array[Double](16)
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) {
+        val b = payload(i) & 0xff
+        hist(b >> 4) += 1.0
+        sum += b
+        i += 1
+      }
+      val n = math.max(payload.length, 1)
+      val mean = sum.toDouble / n
+      val frames = payload.length / 256L + 1L // fake frame sampling
+      Decoded(frames, mean, hist.map(_ / n))
+    }
+  }
+
+  /** Name → decoder registry for config-based selection. Only the
+    * sandbox stub ships; a real build adds codec-backed entries here.
+    */
+  def decoderForName(name: String): Decoder = name match {
+    case "byte-histogram" => ByteHistogramDecoder
+    case other => throw new IllegalArgumentException(
+      s"unknown multimodal decoder '$other' (registered: byte-histogram)")
+  }
 
   // Non-nullable primitives: the typed encoder derives this from the
   // case class (primitives can't be null — tighter than the old
@@ -28,26 +78,6 @@ object Multimodal {
     StructField("frame_count", LongType, nullable = false),
     StructField("mean_byte", DoubleType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false))))
-
-  /** STUB decoder: deterministic fake "decode" of a binary payload —
-    * 16-bin byte histogram (normalized) standing in for real image/
-    * audio features. Replace with a codec call in production.
-    */
-  private def decodeStub(payload: Array[Byte]): (Long, Double, Array[Double]) = {
-    val hist = new Array[Double](16)
-    var sum = 0L
-    var i = 0
-    while (i < payload.length) {
-      val b = payload(i) & 0xff
-      hist(b >> 4) += 1.0
-      sum += b
-      i += 1
-    }
-    val n = math.max(payload.length, 1)
-    val mean = sum.toDouble / n
-    val frames = payload.length / 256L + 1L // fake frame sampling
-    (frames, mean, hist.map(_ / n))
-  }
 
   /** Attach a binary payload column (here: utf-8 bytes of the text —
     * the testdata has no real media; the *plumbing* is what's real).
@@ -62,25 +92,32 @@ object Multimodal {
   /** Per-partition batch decode: binary payloads → typed features, as
     * a TYPED Dataset.mapPartitions (encoder-backed — stays on the
     * Tungsten serialization path rather than dropping to the RDD API
-    * with driver-supplied Row schemas). The per-PARTITION iterator is
-    * where a real decoder would hoist codec/model init, amortized over
-    * the batch — the same shape `mapInPandas` gives Python. Zero
+    * with driver-supplied Row schemas). `decoder.open()` runs once per
+    * partition before the batch — where a real decoder hoists
+    * codec/model init, the same shape `mapInPandas` gives Python. Zero
     * shuffle; partition sizing inherited from the source (at 100 TB:
     * bound via spark.sql.files.maxPartitionBytes so payload batches
     * fit in executor memory).
+    *
+    * The decoder defaults to the session config
+    * `spark.graft.multimodal.decoder` (default: the sandbox stub);
+    * pass one explicitly to bypass the registry.
     */
   def decodeFeatures(docsWithPayload: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", decoder: Decoder = null): DataFrame = {
     val spark = docsWithPayload.sparkSession
+    val dec = Option(decoder).getOrElse(decoderForName(
+      spark.conf.get("spark.graft.multimodal.decoder", "byte-histogram")))
     import spark.implicits._
     docsWithPayload
       .select(col(idCol).cast("long").as("doc_id"), col("payload"))
       .as[PayloadIn]
       .mapPartitions { batch =>
-        // real-decoder version: init codec ONCE here, reuse across rows
+        dec.open() // once per partition: codec/model init amortization
         batch.map { p =>
-          val (frames, mean, feats) = decodeStub(p.payload)
-          FeatureOut(p.doc_id, p.payload.length.toLong, frames, mean, feats)
+          val d = dec.decode(p.payload)
+          FeatureOut(p.doc_id, p.payload.length.toLong, d.frameCount,
+            d.meanByte, d.features)
         }
       }
       .toDF()
@@ -88,20 +125,24 @@ object Multimodal {
 
   /** Frame-sampling manifest: expand each "video" payload into one row
     * per SAMPLED frame (every `stride`-th of its `frameBytes`-sized
-    * fake frames, matching decodeStub's frame arithmetic), carrying a
-    * presentation timestamp and a content fingerprint of the frame's
-    * leading bytes. The real-decoder swap point is the fingerprint
-    * expression; the surrounding shape is production truth: a row-
-    * local generate (posexplode of a computed index sequence), ZERO
-    * shuffles, output partitioning inherited from the scan — at
+    * fake frames, matching ByteHistogramDecoder's frame arithmetic),
+    * carrying a presentation timestamp and a content fingerprint of the
+    * frame's leading bytes. The real-decoder swap point is the
+    * fingerprint expression; the surrounding shape is production truth:
+    * a row-local generate (posexplode of a computed index sequence),
+    * ZERO shuffles, output partitioning inherited from the scan — at
     * 100 TB frame expansion must never be a shuffle, only a flatMap.
+    *
+    * frame_count uses INTEGER division (`div`), matching the oracle's
+    * `//` at any magnitude — a double divide + cast-truncate is only
+    * floor-equal below 2^53 and for non-negative lengths.
     */
   def sampleFrames(docs: DataFrame, frameBytes: Int = 256, stride: Int = 4,
       fpWindow: Int = 16, fps: Int = 25): DataFrame = {
     val frameMs = 1000 / fps
     docs
       .select(col("doc_id"), col("text"),
-        (length(col("text")).cast("long") / frameBytes + 1).cast("long")
+        expr(s"CAST(length(text) AS BIGINT) div $frameBytes + 1")
           .as("frame_count"))
       .select(col("doc_id"), col("text"), col("frame_count"),
         posexplode(sequence(lit(0L), col("frame_count") - 1, lit(stride.toLong))))

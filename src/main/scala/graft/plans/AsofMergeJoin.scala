@@ -3,11 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.graftbridge.PlanBridge
@@ -128,35 +128,58 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
       // (BindReferences takes nullability from the INPUT schema, so the
       // widened attrs must appear on both sides of the binding)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
-      val keyOrd = TypeUtils.getInterpretedOrdering(keySchema)
-      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      // CODEGEN'D orderings (the same generator sort-merge join probes
+      // with) instead of interpreted per-row compare() calls; the ts
+      // ordering compares the projected 1-column rows directly, so no
+      // value is ever extracted from a reused projection buffer (a
+      // string/decimal ts extracted by get() would alias the buffer
+      // and corrupt on the next advanceRight)
+      val keyOrd = GenerateOrdering.create(keySchema)
+      val tsSchema = DataTypeUtils.fromAttributes(
+        Seq(AttributeReference("ts", tsType)()))
+      val tsOrd = GenerateOrdering.create(tsSchema)
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
       new Iterator[InternalRow] {
         private var rRow: InternalRow = _
         private var rKey: InternalRow = _
-        private var rTs: Any = _
+        private var rTs: InternalRow = _
         private var held: InternalRow = _ // last right row ≤ current probe
         private var heldKey: InternalRow = _
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
+        // SQL null semantics (equi-join discipline, unlike a raw
+        // ordering where NULL == NULL): right rows with a null key or
+        // null ts can never match — skip them on ingest
+        private def advanceRight(): Unit = {
+          rRow = null; rKey = null; rTs = null
+          var scan = rIter.hasNext
+          while (scan) {
             val r = rIter.next()
-            rRow = r.copy()
-            rKey = rKeyProj(rRow).copy()
-            rTs = rTsProj(rRow).get(0, tsType)
-          } else { rRow = null; rKey = null; rTs = null }
+            val k = rKeyProj(r)
+            val t = rTsProj(r)
+            if (!k.anyNull && !t.isNullAt(0)) {
+              rRow = r.copy()
+              rKey = rKeyProj(rRow).copy()
+              rTs = rTsProj(rRow).copy()
+              scan = false
+            } else scan = rIter.hasNext
+          }
+        }
         advanceRight()
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
-          val lTs = lTsProj(l).get(0, tsType)
+          val lTsRow = lTsProj(l)
+          // a null-keyed or null-ts left row matches nothing (it also
+          // sorts before all non-null rows, so no drain is needed)
+          if (lKey.anyNull || lTsRow.isNullAt(0))
+            return resultProj(joined(l, nullRight))
           // drain right rows at-or-before (lKey, lTs); remember the
           // latest per key — O(1) state, single pass over both sides
           var continue = rRow != null
           while (continue) {
             val kc = keyOrd.compare(rKey, lKey)
-            if (kc < 0 || (kc == 0 && tsOrd.compare(rTs, lTs) <= 0)) {
+            if (kc < 0 || (kc == 0 && tsOrd.compare(rTs, lTsRow) <= 0)) {
               if (kc == 0) { held = rRow; heldKey = rKey }
               advanceRight()
               continue = rRow != null

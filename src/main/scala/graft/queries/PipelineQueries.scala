@@ -761,18 +761,24 @@ object PipelineQueries {
         |), cnt AS (
         |  SELECT doc_id, n, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, n, g
         |)
-        |SELECT doc_id,
-        |  CAST(floor(10000.0 * SUM(CASE WHEN n = 2 AND cnt >= 2 THEN cnt ELSE 0 END)
-        |    / SUM(CASE WHEN n = 2 THEN cnt ELSE 0 END)) AS BIGINT) AS dup2_bp,
-        |  CAST(floor(10000.0 * MAX(CASE WHEN n = 2 THEN cnt END)
-        |    / SUM(CASE WHEN n = 2 THEN cnt ELSE 0 END)) AS BIGINT) AS top2_bp,
-        |  CAST(floor(10000.0 * SUM(CASE WHEN n = 3 AND cnt >= 2 THEN cnt ELSE 0 END)
-        |    / SUM(CASE WHEN n = 3 THEN cnt ELSE 0 END)) AS BIGINT) AS dup3_bp,
-        |  floor(10000.0 * SUM(CASE WHEN n = 2 AND cnt >= 2 THEN cnt ELSE 0 END)
-        |      / SUM(CASE WHEN n = 2 THEN cnt ELSE 0 END)) < 1000
-        |    AND floor(10000.0 * SUM(CASE WHEN n = 3 AND cnt >= 2 THEN cnt ELSE 0 END)
-        |      / SUM(CASE WHEN n = 3 THEN cnt ELSE 0 END)) < 500 AS keep
-        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |, agg AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN n = 2 AND cnt >= 2 THEN cnt ELSE 0 END) AS dup2,
+        |    SUM(CASE WHEN n = 2 THEN cnt ELSE 0 END) AS tot2,
+        |    MAX(CASE WHEN n = 2 THEN cnt END) AS top2,
+        |    SUM(CASE WHEN n = 3 AND cnt >= 2 THEN cnt ELSE 0 END) AS dup3,
+        |    SUM(CASE WHEN n = 3 THEN cnt ELSE 0 END) AS tot3
+        |  FROM cnt GROUP BY doc_id
+        |)
+        |SELECT doc_id, dup2_bp, top2_bp, dup3_bp,
+        |  (dup2_bp < 1000 AND dup3_bp < 500) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN tot2 > 0 THEN CAST(floor(10000.0 * dup2 / tot2) AS BIGINT) ELSE 0 END AS dup2_bp,
+        |    CASE WHEN tot2 > 0 THEN CAST(floor(10000.0 * top2 / tot2) AS BIGINT) ELSE 0 END AS top2_bp,
+        |    CASE WHEN tot3 > 0 THEN CAST(floor(10000.0 * dup3 / tot3) AS BIGINT) ELSE 0 END AS dup3_bp
+        |  FROM agg)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Curation.repetitionStats(Tables.documents(s, dir),
         dup2Max = 1000, dup3Max = 500).orderBy("doc_id")
     },

@@ -92,4 +92,44 @@ class AsofMergeJoinSpec extends AnyFunSuite {
       .select("r_val").collect().map(_.getLong(0))
     assert(got.toSeq == Seq(7L))
   }
+
+  test("null keys and null timestamps never match (SQL equi-join semantics)") {
+    // a null-keyed left row must NOT pair with a null-keyed right row
+    // (raw orderings would treat NULL == NULL), and null-ts rows on
+    // either side are non-matching; all left rows still emit
+    val left = Seq(
+      (Some(1L), Some(10L), 100L),  // normal match
+      (None, Some(10L), 101L),      // null key → unmatched
+      (Some(1L), None, 102L),       // null ts → unmatched
+      (Some(2L), Some(10L), 103L)   // right side has only null-ts row → unmatched
+    ).toDF("k", "ts", "l_id")
+    val right = Seq(
+      (Some(1L), Some(5L), 7L),
+      (None.asInstanceOf[Option[Long]], Some(5L), 8L), // null key: never held
+      (Some(2L), None.asInstanceOf[Option[Long]], 9L)  // null ts: never held
+    ).toDF("k", "rts", "r_val")
+    val got = AsofMergeJoin.asofJoin(left, right, Seq("k"), "ts", "rts")
+      .select("l_id", "r_val").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(100L -> 7L, 101L -> -1L, 102L -> -1L, 103L -> -1L))
+  }
+
+  test("string timestamps survive buffer reuse across advanceRight") {
+    // the ts ordering compares COPIED 1-column rows; with a string ts
+    // an aliased buffer would corrupt the held comparison value as the
+    // right iterator advances through many rows
+    val left = Seq((1L, "2024-06-15", 100L), (1L, "2024-01-01", 101L))
+      .toDF("k", "ts", "l_id")
+    val right = (1 to 200).map(i => (1L, f"2024-03-${i % 28 + 1}%02d", i.toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      .toDF("k", "rts", "r_val")
+    val got = AsofMergeJoin.asofJoin(left, right, Seq("k"), "ts", "rts")
+      .select("l_id", "r_val").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // expected: latest rts <= each left ts, by string order
+    val rs = right.collect().map(r => (r.getString(1), r.getLong(2)))
+    def expect(ts: String): Long =
+      rs.filter(_._1 <= ts).sortBy(_._1).lastOption.map(_._2).getOrElse(-1L)
+    assert(got === Map(100L -> expect("2024-06-15"), 101L -> expect("2024-01-01")))
+  }
 }

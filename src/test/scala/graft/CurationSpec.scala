@@ -85,4 +85,19 @@ class CurationSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("dup2_bp") == 0L && r2.getAs[Long]("dup3_bp") == 0L)
     assert(r2.getAs[Boolean]("keep"))
   }
+
+  test("repetitionStats pins a 2-token doc (bigrams but no trigrams) to 0 bp") {
+    // exactly 2 tokens → one bigram row (reaches the rollup) but zero
+    // trigrams: the unguarded 0.0/0 was NaN→null on Spark and a
+    // cross-engine divergence; both sides now pin the empty class to 0
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("dup2_bp") == 0L)
+    assert(r.getAs[Long]("top2_bp") == 10000L) // the single bigram is the top
+    assert(r.getAs[Long]("dup3_bp") == 0L)     // guarded: no trigram class
+    assert(!r.isNullAt(r.fieldIndex("dup3_bp")))
+    assert(r.getAs[Boolean]("keep"))
+  }
 }

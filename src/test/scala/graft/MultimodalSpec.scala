@@ -4,6 +4,21 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal
 
+/** Fake second "codec" for the Decoder swap-point test: byte-count
+  * parity features. File-scope so the closure captures no spec state.
+  */
+object ParityDecoder extends Multimodal.Decoder {
+  @transient private var opened = false
+  override def open(): Unit = { opened = true } // per-partition init hook
+  override def decode(payload: Array[Byte]): Multimodal.Decoded = {
+    require(opened, "open() must run before decode()")
+    Multimodal.Decoded(
+      frameCount = payload.length.toLong % 2 + 1,
+      meanByte = payload.length.toDouble,
+      features = Array(payload.count(b => (b & 1) == 1).toDouble))
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -19,5 +34,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1L).getAs[Double]("mean_byte") == 98.0)
     assert(math.abs(rows(1L).getAs[Seq[Double]]("features").sum - 1.0) < 1e-9)
     assert(rows(2L).getAs[Long]("n_bytes") == 0L)
+  }
+
+  test("a second codec flows through the same typed plumbing (Decoder swap point)") {
+    // any Decoder implementation rides the identical mapPartitions
+    // path, schema and all; only the decode arithmetic changes
+    val docs = Seq((1L, "abc"), (2L, "abcd")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.withPayload(docs), decoder = ParityDecoder)
+    assert(feats.schema == Multimodal.featureSchema)
+    val rows = feats.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("frame_count") == 2L) // 3 bytes → odd
+    assert(rows(2L).getAs[Long]("frame_count") == 1L)
+    assert(rows(1L).getAs[scala.collection.Seq[Double]]("features").toSeq ==
+      Seq(2.0)) // a=97, c=99 odd; b=98 even
+  }
+
+  test("config-selected decoder registry resolves and rejects unknowns") {
+    assert(Multimodal.decoderForName("byte-histogram") eq
+      Multimodal.ByteHistogramDecoder)
+    intercept[IllegalArgumentException] {
+      Multimodal.decoderForName("nope")
+    }
   }
 }
