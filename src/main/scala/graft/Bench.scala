@@ -108,12 +108,27 @@ object Bench {
     val errors = results.collect { case (k, _, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._3).sum
-    val head =
-      s""""metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir""""
-    println(s"{$head}")
+    // The driver keeps only a bounded stdout tail (~2000 chars), and the
+    // full per-query map can NEVER fit it: the query NAMES alone exceed
+    // the buffer at this board size. So the stdout line carries the
+    // slowest queries that fit a strict budget (the informative ones for
+    // perf review), an explicit omission count, and a pointer to the
+    // full committed record; bench_out.json always holds everything.
+    val lineBudget = 1700
+    val byCost = results.sortBy { case (_, _, m) => -m.getOrElse(-1.0) }
+    val fixed =
+      s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"sf":"$sfDir","detail":"bench_out.json""""
+    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = fixed.length + 60 // slack for the queries/omitted wrapper
+    byCost.foreach { case (k, _, m) =>
+      val entry = "\"" + k + "\":" + fmt(m.getOrElse(-1.0))
+      if (used + entry.length + 1 <= lineBudget) { picked += entry; used += entry.length + 1 }
+    }
+    val omitted = results.size - picked.size
+    println(s"{$fixed,\"queries\":${picked.mkString("{", ",", "}")},\"queries_omitted\":$omitted}")
     Files.writeString(
       Paths.get("bench_out.json"),
-      s"""{$head,"runs":$allRuns,"warmup":$warmupJson}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","runs":$allRuns,"warmup":$warmupJson}""")
     spark.stop()
   }
 }
