@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  // loop discipline shared with the CC loops: AQE coalescing of the
+  // tiny per-round rank exchange would break the static co-partitioning
+  // with the edge table and force an edge reshuffle per round — see
+  // plans/Loops.withStablePartitioning
+  private def withStablePartitioning[T](
+      spark: org.apache.spark.sql.SparkSession)(f: => T): T =
+    graft.plans.Loops.withStablePartitioning(spark)(f)
+
   /** Materialized loop state shared by the fixed-iteration and
     * convergence drivers: edges-with-degree (src, dst, outdeg)
     * hash-partitioned by src, the node set hash-partitioned by node,
@@ -43,9 +51,28 @@ object Graph {
     * bucketed scan with zero exchange on the edge side (proved in
     * ScaleSpec).
     */
-  case class Prepared(ewd: DataFrame, nodes: DataFrame, n: Long)
+  case class Prepared(ewd: DataFrame, nodes: DataFrame, n: Long,
+      symmetric: Boolean = false)
 
-  def prepare(edges: DataFrame): Prepared = {
+  /** `symmetric = true` asserts every node of the graph appears as a
+    * `src` (true whenever the caller feeds both edge directions, the
+    * undirected convention). The node set is then the distinct `src`
+    * of the ALREADY src-partitioned edge table — an exchange-free
+    * aggregate, no union with the dst side, and no separate
+    * materialization job (round 1 computes it inside its own stage).
+    * It also drops the per-round dangling-zeros union: with every
+    * node receiving contributions, the zero rows change nothing (the
+    * DECIMAL sum is exact, so dropping exact zeros is bit-identical).
+    */
+  def prepare(edges: DataFrame, symmetric: Boolean = false): Prepared = {
+    if (symmetric) {
+      val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val ewd = e.join(deg, Seq("src")).localCheckpoint()
+      // lazy: consumed once by the r0 init (partitioned by src already)
+      val nodes = ewd.select(col("src").as("node")).distinct()
+      return Prepared(ewd, nodes, nodes.count(), symmetric = true)
+    }
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) is loop-invariant: materialize ONCE so each
@@ -79,8 +106,11 @@ object Graph {
       .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
       .select(col("dst").as("node"),
         (col("r") / col("outdeg")).cast("decimal(30,15)").as("c"))
-    contrib
+    // symmetric graphs: every node has in-edges, so the dangling-zeros
+    // union is a no-op on an exact DECIMAL sum — skip it
+    val withZeros = if (p.symmetric) contrib else contrib
       .union(p.nodes.select(col("node"), lit(0).cast("decimal(30,15)").as("c")))
+    withZeros
       .groupBy("node")
       .agg(sum("c").as("csum"))
       .select(col("node"),
@@ -102,8 +132,9 @@ object Graph {
     * checkpointInterval.
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
-      damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame =
-    pageRankPrepared(prepare(edges), iters, damping, checkpointEvery)
+      damping: Double = 0.85, checkpointEvery: Int = 5,
+      symmetric: Boolean = false): DataFrame =
+    pageRankPrepared(prepare(edges, symmetric), iters, damping, checkpointEvery)
 
   /** Fixed-iteration PageRank over ALREADY-PREPARED loop state — the
     * 100 TB entry point: `p.ewd` can be a persisted `bucketBy("src")`
@@ -111,7 +142,23 @@ object Graph {
     * partitioning, and no round ever exchanges the edge side).
     */
   def pageRankPrepared(p: Prepared, iters: Int = 3,
-      damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame =
+    withStablePartitioning(p.ewd.sparkSession) {
+      // eager final materialization so the whole loop EXECUTES inside
+      // the stable-partitioning scope (a lazily-returned plan would run
+      // at the caller's collect time, after the conf is restored); the
+      // caller's post-processing then reads one checkpointed O(nodes)
+      // table
+      pageRankLoop(p, iters, damping, checkpointEvery).localCheckpoint()
+    }
+
+  /** The lazy loop plan behind [[pageRankPrepared]] — internal so the
+    * plan tests can inspect the per-round join/aggregate structure
+    * (the public entry returns the checkpointed RESULT, whose plan is
+    * just an RDD scan).
+    */
+  private[graft] def pageRankLoop(p: Prepared, iters: Int,
+      damping: Double, checkpointEvery: Int = 5): DataFrame = {
     var ranks = p.nodes.withColumn("r", lit(1.0 / p.n))
     for (i <- 1 to iters) {
       ranks = step(p, ranks, damping)
@@ -137,22 +184,24 @@ object Graph {
       checkEvery: Int = 3): DataFrame = {
     require(tol > 0, "tol must be positive — use pageRank for fixed rounds")
     val p = prepare(edges)
-    var ranks = p.nodes.withColumn("r", lit(1.0 / p.n)).localCheckpoint()
-    var done = 0
-    var converged = false
-    while (!converged && done < maxIters) {
-      val block = math.min(checkEvery, maxIters - done)
-      var next = ranks
-      for (_ <- 1 to block) next = step(p, next, damping)
-      next = next.localCheckpoint() // lineage cut = the block boundary
-      done += block
-      // one scalar control job per block: the max absolute movement
-      val delta = next.withColumnRenamed("r", "r2")
-        .join(ranks, Seq("node"))
-        .agg(max(abs(col("r2") - col("r")))).head().getDouble(0)
-      ranks = next
-      if (delta < tol) converged = true
+    withStablePartitioning(p.ewd.sparkSession) {
+      var ranks = p.nodes.withColumn("r", lit(1.0 / p.n)).localCheckpoint()
+      var done = 0
+      var converged = false
+      while (!converged && done < maxIters) {
+        val block = math.min(checkEvery, maxIters - done)
+        var next = ranks
+        for (_ <- 1 to block) next = step(p, next, damping)
+        next = next.localCheckpoint() // lineage cut = the block boundary
+        done += block
+        // one scalar control job per block: the max absolute movement
+        val delta = next.withColumnRenamed("r", "r2")
+          .join(ranks, Seq("node"))
+          .agg(max(abs(col("r2") - col("r")))).head().getDouble(0)
+        ranks = next
+        if (delta < tol) converged = true
+      }
+      ranks.withColumn("iters_run", lit(done))
     }
-    ranks.withColumn("iters_run", lit(done))
   }
 }

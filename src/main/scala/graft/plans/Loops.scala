@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared discipline for driver-controlled iterative operators
+  * (PageRank, connected components, k-means): execution-scope tweaks
+  * that apply to a LOOP's jobs but must not leak into the session.
+  */
+object Loops {
+
+  /** Run `f` with AQE partition coalescing disabled, restoring the
+    * caller's setting after.
+    *
+    * Why: an iterative operator materializes loop-invariant state
+    * (edge tables, centroid inputs) hash-partitioned on the loop key
+    * once, and relies on each round's aggregate emerging partitioned
+    * the SAME way so the next round's join moves only the small
+    * re-flowing side. The rounds' shuffles are byte-tiny (the state
+    * that re-flows is O(nodes), not O(edges)), so AQE's runtime
+    * coalescing happily collapses them — and the next join must then
+    * re-exchange the BIG side to match, once per round. Partition
+    * count inside a loop is already sized to the cluster; coalescing
+    * buys nothing and costs an edge-table reshuffle per round. Skew
+    * split and broadcast-flip stay on. Measured at sf0.1: 3-round
+    * PageRank drops ~3×, CC fixpoint rounds shed the same per-round
+    * tax (BENCHNOTES round-7 ledger).
+    *
+    * The scope must cover EXECUTION, not just plan building — eager
+    * actions (localCheckpoint, count) inside `f` are what bind the
+    * conf; a lazy plan returned out of the scope executes under the
+    * caller's conf.
+    */
+  def withStablePartitioning[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}

@@ -70,7 +70,7 @@ object GraphQueries {
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      Graph.pageRank(sym, iters = 3, damping = 0.85)
+      Graph.pageRank(sym, iters = 3, damping = 0.85, symmetric = true)
         .select(col("node"),
           floor(lit(1000000000.0) * col("r")).cast("long").as("rank_bp"))
         .orderBy(col("rank_bp").desc, col("node"))

@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+import graft.operators.Graph
+import graft.sources.Tables
+
+/** Ad-hoc stage profiler for perf work (not part of the driver
+  * contract): times each phase of a query under investigation so
+  * optimization targets the measured cost, not a guess. Run:
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.ProfileMain g1 /root/testdata/sf0.1"
+  */
+object ProfileMain {
+  def main(args: Array[String]): Unit = {
+    val what = args.headOption.getOrElse("g1")
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
+    what match {
+      case "g1" =>
+        // replicate g1_pagerank phase by phase, twice (warm second pass)
+        for (pass <- 1 to 2) {
+          println(s"[profile] ---- pass $pass ----")
+          val e0 = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+            .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst"))
+            .distinct()
+          val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          val e = sym.select(col("src").cast("long"), col("dst").cast("long"))
+          val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+          val ewd = timed("ewd checkpoint")(e.join(deg, Seq("src")).localCheckpoint())
+          val nodes = timed("nodes checkpoint")(
+            ewd.select(col("src").as("node"))
+              .union(ewd.select(col("dst").as("node"))).distinct()
+              .localCheckpoint())
+          val n = timed("nodes.count")(nodes.count())
+          val p = Graph.Prepared(ewd, nodes, n)
+          val ranks = timed("3 rounds (lazy build)")(Graph.pageRankPrepared(p, iters = 3))
+          val out = ranks
+            .select(col("node"),
+              floor(lit(1000000000.0) * col("r")).cast("long").as("rank_bp"))
+            .orderBy(col("rank_bp").desc, col("node"))
+            .limit(50)
+          timed("execute loop+topk (noop)") {
+            out.write.format("noop").mode("overwrite").save()
+          }
+        }
+      case "g1b" =>
+        // variant: explode-based symmetrization (single e0 subtree) and
+        // AQE toggled off around the fixed-shape loop
+        for (pass <- 1 to 2; aqe <- Seq(true, false)) {
+          println(s"[profile] ---- pass $pass aqe=$aqe ----")
+          spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+          val e0 = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+            .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst"))
+            .distinct()
+          val sym = e0.select(explode(array(
+              struct(col("src"), col("dst")),
+              struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+            .select(col("e.src"), col("e.dst"))
+          val p = timed("prepare (explode sym)")(Graph.prepare(sym))
+          val out = Graph.pageRankPrepared(p, iters = 3)
+            .select(col("node"),
+              floor(lit(1000000000.0) * col("r")).cast("long").as("rank_bp"))
+            .orderBy(col("rank_bp").desc, col("node"))
+            .limit(50)
+          timed("execute loop+topk (noop)") {
+            out.write.format("noop").mode("overwrite").save()
+          }
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+        }
+      case "g1c" =>
+        // which AQE feature costs: broadcast-flip vs coalescing
+        val variants = Seq(
+          "baseline" -> Seq(),
+          "nobcast" -> Seq("spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"),
+          "nocoalesce" -> Seq("spark.sql.adaptive.coalescePartitions.enabled" -> "false"),
+          "neither" -> Seq(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+            "spark.sql.adaptive.coalescePartitions.enabled" -> "false"))
+        for (pass <- 1 to 2; (vname, confs) <- variants) {
+          confs.foreach { case (k, v) => spark.conf.set(k, v) }
+          val e0 = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+            .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst"))
+            .distinct()
+          val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          val p = Graph.prepare(sym)
+          val out = Graph.pageRankPrepared(p, iters = 3)
+            .select(col("node"),
+              floor(lit(1000000000.0) * col("r")).cast("long").as("rank_bp"))
+            .orderBy(col("rank_bp").desc, col("node"))
+            .limit(50)
+          timed(s"pass$pass $vname loop+topk") {
+            out.write.format("noop").mode("overwrite").save()
+          }
+          confs.foreach { case (k, _) => spark.conf.unset(k) }
+        }
+      case _ => sys.error(s"unknown profile target: $what")
+    }
+    spark.stop()
+  }
+}

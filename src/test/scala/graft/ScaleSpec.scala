@@ -306,7 +306,9 @@ class ScaleSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val bucketed = Graph.Prepared(spark.table("pr_ewd_b"), p0.nodes, p0.n)
-      val pr = Graph.pageRankPrepared(bucketed, iters = 3)
+      // the LAZY loop plan: the public entry checkpoints the result, so
+      // its plan is an RDD scan — the per-round structure lives here
+      val pr = Graph.pageRankLoop(bucketed, iters = 3, damping = 0.85)
       pr.write.format("noop").mode("overwrite").save()
       val plan = pr.queryExecution.executedPlan
       assert(plan.toString.contains("Bucketed: true"),
