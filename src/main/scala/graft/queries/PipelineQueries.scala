@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Curation, TextOps}
+import graft.operators.{Curation, Overlap, TextOps}
 import graft.sources.{Constraints, Tables, Warehouse}
 
 /** Composed pipelines: constraint-validation suite (SURVEY §1.3) and
@@ -841,44 +841,15 @@ object PipelineQueries {
         |JOIN sizes sa ON p.src_a = sa.source
         |JOIN sizes sb ON p.src_b = sb.source
         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
-      val k = 512
-      val sh = Tables.documents(s, dir)
-        .select(col("source"), explode(TextOps.shingles("text")).as("g"))
-        .distinct()
-      val sigs = sh
-        .select(col("source"), xxhash64(col("g")).as("h"))
-        .groupBy("source")
-        .agg(graft.functions.KmvSketch.signature(k)(col("h")).as("sig"),
-          count(lit(1)).as("sz")) // sh is distinct → count = set size
-      val a = sigs.select(col("source").as("src_a"), col("sig").as("sig_a"),
-        col("sz").as("exact_a"))
-      val b = sigs.select(col("source").as("src_b"), col("sig").as("sig_b"),
-        col("sz").as("exact_b"))
-      // exact audit: INTERSECTION via the inverted-index self-join on
-      // the shingle key (pair volume bounded by SHARED shingles — each
-      // shingle in k sources yields k(k-1)/2 rows, vs the naive
-      // replicate-every-shingle-per-pair expansion), union derived by
-      // inclusion-exclusion.
-      val exactI = sh.select(col("source").as("src_a"), col("g"))
-        .join(sh.select(col("source").as("src_b"), col("g")), Seq("g"))
-        .where(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(count(lit(1)).as("exact_inter")) // (source,g) rows are distinct
-      a.join(b, col("src_a") < col("src_b"))
-        .join(exactI, Seq("src_a", "src_b"), "left")
-        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
-        .withColumn("est_union",
-          graft.functions.KmvSketch.unionEstimateCol(k)(col("sig_a"), col("sig_b")))
-        .withColumn("exact_union",
-          (col("exact_a") + col("exact_b") - col("exact_inter")).cast("long"))
-        .withColumn("est_inter", // sides are exact counts; union is the estimate
-          col("exact_a") + col("exact_b") - col("est_union"))
-        .withColumn("within_tol",
-          abs(col("est_inter") - col("exact_inter")) <=
-            lit(0.15) * col("exact_union"))
-        .select(col("src_a"), col("src_b"), col("exact_a"), col("exact_b"),
-          col("exact_union"), col("exact_inter"), col("within_tol"))
-        .orderBy("src_a", "src_b")
+      // exact audit via BITMASK aggregation (operators/Overlap): one
+      // data-proportional bit_or shuffle; the S² pair fan-out happens
+      // on the tiny distinct-mask table, never on the shingle rows —
+      // see the Overlap scaladoc (the self-join formulation this
+      // replaced lives in git history). The oracle still computes via
+      // COUNT(DISTINCT CASE ...), so the two derivations are
+      // cross-checked on every run.
+      Overlap.sourceOverlapExact(Tables.documents(s, dir),
+        TextOps.shingles("text"), k = 512)
     },
 
     // ---- corpus report card (the pipeline's summary artifact) ----
