@@ -273,31 +273,40 @@ object Dedup {
       aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
     // Undirected edge list, materialized once: upstream pair
     // generation (inverted index / LSH) is far too expensive to
-    // recompute every round.
+    // recompute every round. Partitioned by DST — the key every
+    // round's label-propagation join probes — so the edge side never
+    // re-exchanges inside the loop (the distinct's (src,dst)
+    // partitioning satisfies no single-key clustering; without the
+    // explicit repartition each round paid a full edge shuffle). Same
+    // loop-invariant-alignment discipline as Graph.prepare's
+    // src-partitioned ewd table.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      // the node's own previous label rides through the SAME aggregate
-      // (tagged `own`; exactly one own row per id), so convergence is a
-      // filter-count on the already-materialized round output — no
-      // extra comparison join per round
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"), lit(false).as("own"))
-      val next = labels.withColumn("own", lit(true))
-        .unionByName(neighborMin)
-        .groupBy("id").agg(min("label").as("label"),
-          max(when(col("own"), col("label"))).as("prev"))
+    graft.plans.Loops.withStablePartitioning(pairs.sparkSession) {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
         .localCheckpoint()
-      changed = next.where(col("label") =!= col("prev")).count()
-      labels = next.select("id", "label")
+      var changed = 1L
+      while (changed > 0) {
+        // the node's own previous label rides through the SAME aggregate
+        // (tagged `own`; exactly one own row per id), so convergence is a
+        // filter-count on the already-materialized round output — no
+        // extra comparison join per round
+        val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+          .select(edges("src").as("id"), col("label"), lit(false).as("own"))
+        val next = labels.withColumn("own", lit(true))
+          .unionByName(neighborMin)
+          .groupBy("id").agg(min("label").as("label"),
+            max(when(col("own"), col("label"))).as("prev"))
+          .localCheckpoint()
+        changed = next.where(col("label") =!= col("prev")).count()
+        labels = next.select("id", "label")
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** O(log n)-round connected components via alternating
@@ -336,6 +345,9 @@ object Dedup {
       .localCheckpoint()
     var rounds = 0
     var converged = edges.isEmpty
+    // same loop discipline as the fixpoint variant: keep round-to-round
+    // partition counts stable so the contraction passes stay aligned
+    graft.plans.Loops.withStablePartitioning(pairs.sparkSession) {
     while (!converged && rounds < maxRounds) {
       // LARGE-STAR: around each node u, connect every LARGER neighbor
       // to m(u) = min(N(u) ∪ {u}). Each canonical edge is emitted
@@ -374,6 +386,7 @@ object Dedup {
       edges = small
       rounds += 1
     }
+    } // withStablePartitioning
     // At the fixpoint every component is a star rooted at its min:
     // each edge (root, v) labels v; roots label themselves.
     val labels = edges.select(col("b").as("doc_id"), col("a").as("cluster_id"))
