@@ -124,6 +124,34 @@ object KmvSketch {
   def signature(k: Int)(hashes: Column): Column =
     udaf(new KmvSig(k), Encoders.scalaLong).apply(hashes)
 
+  /** Bottom-k signature over a column of SIGNATURES: the semilattice
+    * merge lifted to an aggregate. Lets a pipeline sketch once per
+    * fine-grained group (cheap, near the data) and re-aggregate to
+    * coarser groups from the signatures alone — the result is
+    * bit-identical to sketching the coarse group directly
+    * (associativity; property-tested in KmvPropertySpec). Overlap uses
+    * it to turn the per-source signature build into control-plane
+    * arithmetic over the per-pattern signatures.
+    */
+  final class KmvSigMerge(k: Int)
+      extends Aggregator[Seq[Long], KmvBuf, Seq[Long]] {
+    private val inner = new Kmv(k)
+    override def zero: KmvBuf = inner.zero
+    override def reduce(b: KmvBuf, sig: Seq[Long]): KmvBuf =
+      inner.merge(b, KmvBuf(sig))
+    override def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf = inner.merge(b1, b2)
+    override def finish(b: KmvBuf): Seq[Long] = b.hashes
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Merge a column of bottom-k signatures into one. */
+  def mergeSignatures(k: Int)(sigs: Column): Column =
+    udaf(new KmvSigMerge(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      .apply(sigs)
+
   /** Distinct-count estimate of A ∪ B from the two signatures alone:
     * merge (re-trim to bottom-k) and finish. Exactly the estimate a
     * single sketch over the concatenated inputs would give (the

@@ -275,20 +275,32 @@ object Dedup {
     // generation (inverted index / LSH) is far too expensive to
     // recompute every round. Partitioned by DST — the key every
     // round's label-propagation join probes — so the edge side never
-    // re-exchanges inside the loop (the distinct's (src,dst)
-    // partitioning satisfies no single-key clustering; without the
+    // re-exchanges inside the loop (a distinct's (src,dst)
+    // partitioning would satisfy no single-key clustering; without the
     // explicit repartition each round paid a full edge shuffle). Same
     // loop-invariant-alignment discipline as Graph.prepare's
     // src-partitioned ewd table.
+    //
+    // No distinct pass: every producer in this library emits pairs
+    // from a groupBy(a_id, b_id) with a < b, so the flipped union is
+    // duplicate-free by construction — and min-label propagation is
+    // idempotent over multi-edges anyway (a repeated edge feeds the
+    // same min twice), so a caller handing in duplicates costs
+    // proportional work, never a wrong cluster. The distinct this
+    // replaces was a full extra exchange+aggregate of the edge table
+    // per invocation (the round-7 p6/d10 regression).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
       .repartition(col("dst"))
       .localCheckpoint()
     graft.plans.Loops.withStablePartitioning(pairs.sparkSession) {
-      var labels = edges.select(col("src").as("id")).distinct()
+      // Node set = distinct dst of the ALREADY dst-partitioned edge
+      // table: exchange-free, and left LAZY — round 1 fuses the init
+      // into its own job instead of paying a separate
+      // materialization (both directions are present, so distinct dst
+      // and distinct src are the same set).
+      var labels = edges.select(col("dst").as("id")).distinct()
         .withColumn("label", col("id"))
-        .localCheckpoint()
       var changed = 1L
       while (changed > 0) {
         // the node's own previous label rides through the SAME aggregate
@@ -422,7 +434,18 @@ object Dedup {
       .select(col(idCol), col("is_new"), col("g"))
     val dfMap = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select("g")
-    val kept = sh.join(dfMap, Seq("g"), "left_semi")
+    // The df-cut index is read FOUR times downstream (sizes, both
+    // sides of the candidate join — and the explode feeding it twice
+    // more via dfMap). Materialize it once: the explode over the full
+    // corpus text is the expensive stage, and without the cut each
+    // consumer replays it. The checkpoint emerges partitioned by "g"
+    // (the semi-join key), which is exactly what the new×corpus
+    // candidate equi-join wants — both sides read it exchange-free.
+    // At warehouse scale this is the same artifact as keptShingles
+    // persisted `bucketBy("g")` (ScaleSpec proves that layout); the
+    // incremental batch would join against the bucketed corpus index
+    // rather than rebuild it.
+    val kept = sh.join(dfMap, Seq("g"), "left_semi").localCheckpoint()
     val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val near = kept.where(col("is_new")).select(col(idCol).as("a_id"), col("g"))
       .join(kept.where(!col("is_new")).select(col(idCol).as("b_id"), col("g")),

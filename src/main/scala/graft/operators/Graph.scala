@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on plain DataFrames — the same
@@ -63,6 +63,13 @@ object Graph {
     * It also drops the per-round dangling-zeros union: with every
     * node receiving contributions, the zero rows change nothing (the
     * DECIMAL sum is exact, so dropping exact zeros is bit-identical).
+    *
+    * NOTE the assertion is the caller's responsibility and is NOT
+    * checked (checking would cost the exact dst-minus-src anti-join
+    * this path exists to avoid): a node appearing only as `dst`
+    * silently drops from the node set and every rank shifts with no
+    * error raised. Feed both directions of every edge (as
+    * [[pageRankSymmetric]]'s callers do) or use the default path.
     */
   def prepare(edges: DataFrame, symmetric: Boolean = false): Prepared = {
     if (symmetric) {
@@ -117,6 +124,78 @@ object Graph {
         (lit((1.0 - damping) / p.n) +
           lit(damping) * col("csum").cast("double")).as("r"))
   }
+
+  /** Damped PageRank over a SYMMETRIC edge list (both directions
+    * present), iterated in SCALE-FREE form: the loop carries
+    * s = N·rank (s⁰ = 1 uniformly; s' = (1−d) + d·Σ s/outdeg over
+    * in-edges), and the division by N happens once on the O(nodes)
+    * result. Mathematically identical to [[pageRank]] — every round is
+    * the same linear operator, just not pre-multiplied by the 1/N
+    * constant — and numerically well-defined on both engines (each
+    * round is one double division per edge, one exact DECIMAL(30,15)
+    * sum per node, one fma-free double affine step; the oracle replays
+    * the identical expression shapes).
+    *
+    * Why a separate entry point — this is the minimum-job shape of the
+    * operator, and on dimension-sized graphs the job/stage count IS
+    * the cost:
+    *   - Round 1 needs NO rank join and no node table: every scaled
+    *     rank is the literal 1.0, so the first contributions come
+    *     straight off the edge table (`1.0/outdeg`). The general path
+    *     spends a distinct + a join getting the same rows.
+    *   - N is not needed until AFTER the loop, so the driver-side
+    *     `nodes.count()` job disappears: N rides in as a one-row
+    *     aggregate (exchange-free over the src-partitioned edge
+    *     checkpoint) broadcast onto the final projection.
+    *   - Per round the ONLY exchange is the contribution aggregate's
+    *     (same invariant as the general path, proved in GraphSpec).
+    * Three jobs total: edge materialization, the fused loop, and the
+    * caller's output action.
+    */
+  def pageRankSymmetric(edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, "pageRankSymmetric needs at least one round")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // one exchange by src feeds both the degree aggregate and the
+    // join (reused), and the checkpointed table keeps that
+    // partitioning for every loop round — see prepare()
+    val ewd = e.join(deg, Seq("src")).localCheckpoint()
+    val ranksScaled = withStablePartitioning(ewd.sparkSession) {
+      // round 1 off the edge table alone: s⁰ ≡ 1.0
+      var s = ewd
+        .select(col("dst").as("node"),
+          (lit(1.0) / col("outdeg")).cast("decimal(30,15)").as("c"))
+        .groupBy("node").agg(sum("c").as("csum"))
+        .select(col("node"), scaledAffine(damping).as("s"))
+      for (i <- 2 to iters) {
+        s = ewd
+          .join(s.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"),
+            (col("s") / col("outdeg")).cast("decimal(30,15)").as("c"))
+          .groupBy("node").agg(sum("c").as("csum"))
+          .select(col("node"), scaledAffine(damping).as("s"))
+        if (i % checkpointEvery == 0 && i < iters)
+          s = s.localCheckpoint()
+      }
+      s.localCheckpoint() // executes the loop inside the conf scope
+    }
+    // N as data, not as a driver literal: exchange-free distinct over
+    // the src-partitioned checkpoint, one row, broadcast onto the
+    // O(nodes) result — no count job, no extra scan
+    val nRow = ewd.select(col("src")).distinct()
+      .agg(count(lit(1)).cast("double").as("n"))
+    ranksScaled.crossJoin(broadcast(nRow))
+      .select(col("node"), (col("s") / col("n")).as("r"))
+  }
+
+  /** s' = (1−d) + d·csum, the scale-free affine step (csum is the
+    * exact DECIMAL contribution sum). (1−d) is constant-folded by
+    * BOTH engines from the same literal subtraction — IEEE 1.0−0.85
+    * is 0.15000000000000002, not 0.15.
+    */
+  private def scaledAffine(damping: Double): Column =
+    lit(1.0 - damping) + lit(damping) * col("csum").cast("double")
 
   /** `iters` rounds of damped PageRank over a DIRECTED edge list
     * (src, dst) — pass both directions for an undirected graph.

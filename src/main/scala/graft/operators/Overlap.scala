@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-source set-overlap via BITMASK aggregation.
@@ -12,98 +11,103 @@ import org.apache.spark.sql.functions._
   * source PAIR containing it. With S sources this is O(shared · S²)
   * rows through a shuffle.
   *
-  * When S ≤ 64 the whole pair matrix collapses into one aggregate:
-  * give each source a bit, OR the bits per shingle (`bit_or` is
-  * duplicate-idempotent, so the raw exploded rows feed it with NO
-  * pre-distinct pass), then count shingles per DISTINCT MASK. The mask
-  * table is control-plane-sized (≤ 2^S in theory, a few hundred in
-  * practice — masks only exist for co-occurrence patterns that occur),
-  * and every pair intersection, per-source exact size, and union
-  * follows from it by exploding set bits of a few hundred rows:
+  * Instead, give each source a bit (bit `sid % 64` of mask column
+  * `sid / 64` — ⌈S/64⌉ BIGINT columns, so S is unbounded), OR the
+  * bits per shingle (`bit_or` is duplicate-idempotent, so the raw
+  * exploded rows feed it with NO pre-distinct pass), and reduce the
+  * per-shingle masks to counts + KMV signatures per DISTINCT
+  * CO-OCCURRENCE PATTERN. The pattern table is control-plane-sized
+  * (≤ 2^S in theory, a few hundred in practice — patterns only exist
+  * for co-occurrences that occur), and every pair intersection,
+  * per-source exact size, per-source signature, and union follows
+  * from it by exploding set bits of a few hundred rows:
   *
-  *   |A ∩ B|  = Σ cnt over masks with bits a AND b set
-  *   |A|      = Σ cnt over masks with bit a set
+  *   |A ∩ B|  = Σ cnt over patterns with bits a AND b set
+  *   |A|      = Σ cnt over patterns with bit a set
   *   |A ∪ B|  = |A| + |B| − |A ∩ B|
+  *   sig(A)   = KMV-merge of pattern signatures with bit a set
+  *     (exactly the sketch built from A's shingles directly — the
+  *     bottom-k set is a semilattice, KmvPropertySpec)
   *
-  * Scale shape: ONE data-proportional shuffle (the per-shingle bit_or,
-  * map-side combined on a mutable long buffer → HashAggregate), one
-  * tiny mask-count shuffle, then pure control-plane arithmetic. The
-  * S² pair fan-out happens on the mask table, never on the data. This
-  * is the layout a 100 TB corpus audit wants — compare the self-join
+  * Scale shape: ONE job touches data-proportional rows — explode →
+  * per-shingle bit_or (map-side combined on mutable long buffers) →
+  * per-pattern count + KMV signature — and checkpoints the
+  * few-hundred-row pattern table. The S² pair fan-out, the sizes,
+  * and the sketch audit all run on that table, never on the data.
+  * The source dimension itself is collected once to the driver
+  * (sources are control-plane, like the reference's dimension
+  * tables) so nothing downstream re-scans the corpus for it. This is
+  * the layout a 100 TB corpus audit wants — compare the self-join
   * formulation it replaces (kept in git history; the DuckDB oracle
   * still computes via COUNT(DISTINCT CASE ...) so the equality is
   * cross-checked per run).
   */
 object Overlap {
 
-  /** Dense bit ids for the distinct sources, deterministic by name
-    * order. Dim-sized global window (same accepted pattern as the W1
-    * global row_number): sources are a control-plane dimension.
-    */
-  private def sourceIds(docs: DataFrame): DataFrame =
-    docs.select(col("source")).distinct()
-      .withColumn("sid",
-        (row_number().over(Window.orderBy("source")) - 1).cast("int"))
-
   /** Exact pairwise overlap of per-source shingle sets, plus the KMV
     * union-estimate audit (`within_tol`) — output schema matches the
     * p20 contract: (src_a, src_b, exact_a, exact_b, exact_union,
     * exact_inter, within_tol) ordered by (src_a, src_b).
     *
-    * Requires ≤ 64 distinct sources (one bit each in a BIGINT mask);
-    * beyond that, partition the source list into 64-wide groups and
-    * run per group-pair — this corpus-audit operator targets the
-    * "how much does CommonCrawl overlap Wikipedia" cardinality, not
-    * per-document blocking (that is Dedup's job).
+    * Any number of sources: sid `i` lives in bit `i % 64` of mask
+    * column `i / 64` (dense ids, deterministic by name order; source
+    * keys are compared AS STRINGS, which is also how the id
+    * assignment sorts them).
     */
   def sourceOverlapExact(docs: DataFrame, shingleCol: Column, k: Int = 512,
       tol: Double = 0.15): DataFrame = {
-    val srcs = sourceIds(docs)
-    val nSrc = srcs.count()
-    require(nSrc <= 64, s"bitmask overlap supports <= 64 sources, got $nSrc")
+    val spark = docs.sparkSession
+    import spark.implicits._
 
-    // raw exploded rows — bit_or is duplicate-idempotent, so no
-    // distinct pass anywhere
-    val sh0 = docs.select(col("source"), explode(shingleCol).as("g"))
-      .join(broadcast(srcs), Seq("source"))
+    // the source dimension, ONCE, driver-side: sources are a
+    // control-plane dimension (the "how much does CommonCrawl overlap
+    // Wikipedia" cardinality — tens to thousands), and collecting it
+    // here feeds the id assignment, the group count, and the final
+    // name back-join without ever re-scanning the corpus
+    val names = docs.select(col("source").cast("string"))
+      .distinct().as[String].collect().sorted
+    val nGroups = (names.length + 63) / 64
+    val srcs = broadcast(
+      names.zipWithIndex.toSeq.toDF("source", "sid")
+        .select(col("source"), col("sid").cast("int").as("sid")))
 
-    // THE one data-proportional pass: explode → exchange by shingle →
-    // per-shingle source bitmask. Materialized once (distinct-shingle-
-    // sized) because every downstream derivation — mask counts, sizes,
-    // intersections AND the KMV signatures — reads it; without the cut
-    // each consumer would replay the explode+aggregate. At corpus
-    // scale this table (shingle, mask) IS the persisted audit index.
-    val masks = sh0.groupBy("g")
-      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), sid)")).as("mask"))
+    // THE one data-proportional job: explode → exchange by shingle →
+    // per-shingle source bitmasks → exchange by pattern → per-pattern
+    // shingle count + bottom-k signature of the shingle hashes. Both
+    // aggregates are map-side combined; what comes out — one row per
+    // distinct co-occurrence pattern — is the entire audit state.
+    val maskCols = (0 until nGroups).map(i =>
+      bit_or(expr(s"CASE WHEN sid DIV 64 = $i THEN shiftleft(CAST(1 AS BIGINT), sid % 64) ELSE CAST(0 AS BIGINT) END"))
+        .as(s"mask_$i"))
+    val sidsOf = expr(
+      (0 until nGroups)
+        .map(i => s"transform(filter(sequence(0, 63), b -> (shiftright(mask_$i, b) & 1) = 1), b -> ${i * 64} + b)")
+        .mkString("flatten(array(", ", ", "))"))
+    val patterns = docs.select(col("source").cast("string").as("source"),
+        explode(shingleCol).as("g"))
+      .join(srcs, Seq("source"))
+      .groupBy("g").agg(maskCols.head, maskCols.tail: _*)
+      .select(xxhash64(col("g")).as("h"), sidsOf.as("sids"))
+      .groupBy("sids")
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.KmvSketch.signature(k)(col("h")).as("sig"))
       .localCheckpoint()
-    // ...then shingle counts per distinct co-occurrence pattern (tiny)
-    val maskCounts = masks.groupBy("mask").agg(count(lit(1)).as("cnt"))
-      .withColumn("arr",
-        expr("filter(sequence(0, 63), i -> (shiftright(mask, i) & 1) = 1)"))
 
-    // per-source exact set size from the mask table
-    val sizes = maskCounts
-      .select(col("cnt"), explode(col("arr")).as("sid"))
+    // ...everything below runs on the few-hundred-row pattern table
+    val sizes = patterns
+      .select(col("cnt"), explode(col("sids")).as("sid"))
       .groupBy("sid").agg(sum("cnt").cast("long").as("sz"))
-
-    // pair intersections from the mask table (S² on a few hundred rows)
-    val inter = maskCounts
-      .select(col("cnt"), explode(col("arr")).as("sa"), col("arr"))
-      .select(col("cnt"), col("sa"), explode(col("arr")).as("sb"))
+    val inter = patterns
+      .select(col("cnt"), explode(col("sids")).as("sa"), col("sids"))
+      .select(col("cnt"), col("sa"), explode(col("sids")).as("sb"))
       .where(col("sa") < col("sb"))
       .groupBy("sa", "sb").agg(sum("cnt").cast("long").as("exact_inter"))
-
-    // KMV signatures from the SAME mask table: shingle g belongs to
-    // source s iff bit s is set — explode the bits and bottom-k per
-    // source (map-side combine keeps k longs per source per partition)
-    val sigs = masks
-      .select(xxhash64(col("g")).as("h"),
-        explode(expr("filter(sequence(0, 63), i -> (shiftright(mask, i) & 1) = 1)"))
-          .as("sid"))
+    val sigs = patterns
+      .select(explode(col("sids")).as("sid"), col("sig"))
       .groupBy("sid")
-      .agg(graft.functions.KmvSketch.signature(k)(col("h")).as("sig"))
+      .agg(graft.functions.KmvSketch.mergeSignatures(k)(col("sig")).as("sig"))
 
-    val withSz = sigs.join(sizes, Seq("sid")).join(broadcast(srcs), Seq("sid"))
+    val withSz = sigs.join(sizes, Seq("sid")).join(srcs, Seq("sid"))
     val a = withSz.select(col("sid").as("sa"), col("source").as("src_a"),
       col("sig").as("sig_a"), col("sz").as("exact_a"))
     val b = withSz.select(col("sid").as("sb"), col("source").as("src_b"),

@@ -29,6 +29,18 @@ object Loops {
     * actions (localCheckpoint, count) inside `f` are what bind the
     * conf; a lazy plan returned out of the scope executes under the
     * caller's conf.
+    *
+    * CONCURRENCY CONTRACT: the toggle mutates the SESSION's SQL conf,
+    * so two loops interleaving on the SAME SparkSession object could
+    * observe (and on unwind, restore) each other's setting. Every
+    * driver in this library (Bench, Verify, the streaming batch
+    * drivers) runs loops one at a time per session; a multi-tenant
+    * driver must give each thread its own `spark.newSession()` —
+    * sessions share the catalog and cached data but have independent
+    * SQL confs, which scopes this toggle per thread. That is the
+    * standard Spark answer for per-workload conf isolation; a
+    * finer-grained mechanism (thread-local conf for one query) does
+    * not exist for DataFrame actions.
     */
   def withStablePartitioning[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.adaptive.coalescePartitions.enabled"

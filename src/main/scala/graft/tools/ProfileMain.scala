@@ -111,6 +111,37 @@ object ProfileMain {
           }
           confs.foreach { case (k, _) => spark.conf.unset(k) }
         }
+      case "curve" =>
+        // sf-scaling curve for selected queries: min-of-N per (query,
+        // sf) — the minimum is the principled statistic on a host with
+        // documented multi-second freeze windows (a stall can only ADD
+        // time), and the curve's shape separates flat stage latency
+        // from data-proportional cost. Queries via SPARK_GRAFT_BENCH_ONLY
+        // (default g1), N via SPARK_GRAFT_BENCH_RUNS (default 5).
+        val qnames = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq("g1_pagerank"))
+        val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+        val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+          "/root/testdata/sf0.1")
+        // one untimed warmup of everything (JIT/codegen)
+        for (q <- qnames; sf <- sfs)
+          graft.SparkEntry.queries(q)(spark, sf)
+            .write.format("noop").mode("overwrite").save()
+        val rows = for (q <- qnames; sf <- sfs) yield {
+          val ts = (1 to runs).map { _ =>
+            val t0 = System.nanoTime()
+            graft.SparkEntry.queries(q)(spark, sf)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val line = f"""{"q":"$q","sf":"${sf.split('/').last}","min":${ts.min}%.3f,"median":${ts.sorted.apply(ts.size / 2)}%.3f,"runs":[${ts.map(t => f"$t%.3f").mkString(",")}]}"""
+          println(s"[curve] $line")
+          line
+        }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("curve_out.json"),
+          rows.mkString("[", ",\n", "]"))
       case _ => sys.error(s"unknown profile target: $what")
     }
     spark.stop()

@@ -72,12 +72,27 @@ class OverlapSpec extends AnyFunSuite {
     assert(row.getLong(2) > 0 && row.getLong(3) > 0)
   }
 
-  test("more than 64 sources is rejected loudly") {
-    val docs = (1 to 70).map(i => (i.toLong, s"s$i", s"text number $i"))
-      .toDF("doc_id", "source", "text")
-    val e = intercept[IllegalArgumentException] {
-      Overlap.sourceOverlapExact(docs, TextOps.shingles("text"))
-    }
-    assert(e.getMessage.contains("64"))
+  test("more than 64 sources spills into extra mask columns (S = 100)") {
+    // 100 sources ⇒ two mask columns; overlap structure crosses the
+    // 64-bit group boundary on purpose: source s_i shares a document
+    // body with s_{i+50}, so ~half the overlapping pairs have one
+    // member in each mask group.
+    val rnd = new scala.util.Random(97)
+    def word() = (1 to (3 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    val docs = (0 until 300).map { i =>
+      val sid = i % 100
+      val text =
+        if (i % 3 == 0) s"shared body number ${i % 50} across the group boundary"
+        else (1 to 6).map(_ => word()).mkString(" ")
+      (i.toLong, f"s$sid%03d", text)
+    }.toDF("doc_id", "source", "text")
+
+    val got = maskSide(docs).collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ref = referenceOverlap(docs).collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === ref.keySet)
+    ref.foreach { case (k, v) => assert(got(k) === v, s"pair $k") }
+    assert(ref.nonEmpty)
   }
 }
