@@ -26,6 +26,17 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Typed-object aggregates (the KMV / Misra-Gries / top-k sketch
+      // UDAFs) run in ObjectHashAggregateExec, which silently falls
+      // back to SORT-based aggregation once a task sees more than this
+      // many distinct groups (default 128) — for p20's few-hundred
+      // co-occurrence patterns that meant sorting millions of shingle
+      // rows by an ARRAY key, dominating the query. Every object
+      // buffer in this library is size-bounded (≤ 2k longs / k
+      // counters), so 8192 in-memory groups is ≤ ~128 MB per task
+      // worst-case — the hash path stays safe. On a cluster this
+      // scales with executor memory the same way.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       // Workaround for a Catalyst constraint-rewrite NoSuchElementException
       // (UnionBase.rewriteConstraints) when unioning localCheckpoint'ed
       // levels whose projections alias one source attribute twice (the

@@ -38,11 +38,44 @@ import org.apache.spark.sql.functions.udaf
   */
 object KmvSketch {
 
-  /** Sketch buffer: the k smallest distinct hashes seen so far, kept
-    * sorted in UNSIGNED order (ascending). Stored as a Seq for
-    * `Encoders.product` determinism.
+  /** Sketch buffer with LAZY COMPACTION. `hashes` holds candidate
+    * hashes; when `sorted` is true it is the canonical state (unsigned
+    * ascending, distinct, ≤ k); when false it carries up-to-2k pending
+    * appends that a compaction will sort/dedup/trim.
+    *
+    * Why: the k-smallest invariant does NOT need to hold per row. An
+    * always-sorted immutable buffer pays an O(k) copy for every
+    * accepted insert — and during the fill phase EVERY row is
+    * accepted, so each (group × partition) pays O(k²) building its
+    * first k entries (measured as the dominant cost of
+    * signature-heavy aggregations). Appending to a Vector is
+    * amortized O(1); compacting every ≥k appends is O(k log k) —
+    * amortized O(log k) per row, with the O(1) unsigned-threshold
+    * reject kicking in once the canonical k-th minimum is known.
+    *
+    * Equality is CANONICAL (compact both sides first): two buffers
+    * holding the same hash SET in different pending states are equal —
+    * this is what the merge/commutativity/identity property tests
+    * compare, and physical layout is an implementation detail.
     */
-  final case class KmvBuf(hashes: Seq[Long])
+  final case class KmvBuf(hashes: Seq[Long], k: Int, sorted: Boolean) {
+    /** Canonical form: unsigned-ascending, distinct, trimmed to k. */
+    def compacted: KmvBuf =
+      if (sorted) this
+      else KmvBuf(hashes.distinct.sortWith(unsignedLt).take(k), k, sorted = true)
+
+    override def equals(o: Any): Boolean = o match {
+      case b: KmvBuf => k == b.k && compacted.hashes == b.compacted.hashes
+      case _ => false
+    }
+    override def hashCode(): Int = compacted.hashes.hashCode() * 31 + k
+  }
+
+  object KmvBuf {
+    /** Canonical buffer from an already-finished signature. */
+    def fromSignature(sig: Seq[Long], k: Int): KmvBuf =
+      KmvBuf(sig, k, sorted = true)
+  }
 
   private def unsignedLt(a: Long, b: Long): Boolean =
     java.lang.Long.compareUnsigned(a, b) < 0
@@ -60,38 +93,34 @@ object KmvSketch {
   final class Kmv(k: Int) extends Aggregator[Long, KmvBuf, Double] {
     require(k >= 2, s"k must be >= 2, got $k")
 
-    override def zero: KmvBuf = KmvBuf(Vector.empty)
+    override def zero: KmvBuf = KmvBuf(Vector.empty, k, sorted = true)
 
-    /** Insert one hash keeping the invariant: sorted (unsigned asc),
-      * distinct, size <= k. A hash not smaller than the current k-th
-      * minimum is dropped without growing the buffer.
+    /** Hot path: O(1) unsigned-threshold reject once the canonical
+      * k-th minimum is known, O(1) amortized append otherwise,
+      * compaction (sort + dedup + trim) every ≥ k pending appends.
       */
-    private def insert(b: KmvBuf, h: Long): KmvBuf = {
-      val v = b.hashes
-      if (v.size >= k && !unsignedLt(h, v.last)) b
-      else if (v.contains(h)) b
+    private[KmvSketch] def insert(b: KmvBuf, h: Long): KmvBuf = {
+      if (b.sorted && b.hashes.size >= k && !unsignedLt(h, b.hashes.last)) b
       else {
-        val idx = v.indexWhere(x => unsignedLt(h, x)) match {
-          case -1 => v.size
-          case i => i
-        }
-        val grown = (v.take(idx) :+ h) ++ v.drop(idx)
-        KmvBuf(if (grown.size > k) grown.take(k) else grown)
+        val appended = KmvBuf(b.hashes :+ h, k, sorted = false)
+        if (appended.hashes.size >= 2 * k) appended.compacted else appended
       }
     }
 
     override def reduce(buf: KmvBuf, h: Long): KmvBuf = insert(buf, h)
 
-    /** Union of the two bottom-k sets re-trimmed to bottom-k — the
+    /** Union of the two candidate sets re-canonicalized — the
       * set-of-k-smallest is a semilattice, so this is exactly
       * associative and commutative (no error growth on merge).
       */
     override def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf =
-      b2.hashes.foldLeft(b1)(insert)
+      KmvBuf(b1.hashes ++ b2.hashes, k, sorted = false).compacted
 
-    override def finish(b: KmvBuf): Double =
-      if (b.hashes.size < k) b.hashes.size.toDouble
-      else (k - 1).toDouble / toUnit(b.hashes.last)
+    override def finish(b: KmvBuf): Double = {
+      val c = b.compacted
+      if (c.hashes.size < k) c.hashes.size.toDouble
+      else (k - 1).toDouble / toUnit(c.hashes.last)
+    }
 
     override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
@@ -114,7 +143,7 @@ object KmvSketch {
     override def zero: KmvBuf = inner.zero
     override def reduce(b: KmvBuf, h: Long): KmvBuf = inner.reduce(b, h)
     override def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf = inner.merge(b1, b2)
-    override def finish(b: KmvBuf): Seq[Long] = b.hashes
+    override def finish(b: KmvBuf): Seq[Long] = b.compacted.hashes
     override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
@@ -138,9 +167,9 @@ object KmvSketch {
     private val inner = new Kmv(k)
     override def zero: KmvBuf = inner.zero
     override def reduce(b: KmvBuf, sig: Seq[Long]): KmvBuf =
-      inner.merge(b, KmvBuf(sig))
+      inner.merge(b, KmvBuf.fromSignature(sig, k))
     override def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf = inner.merge(b1, b2)
-    override def finish(b: KmvBuf): Seq[Long] = b.hashes
+    override def finish(b: KmvBuf): Seq[Long] = b.compacted.hashes
     override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
@@ -159,7 +188,8 @@ object KmvSketch {
     */
   def unionEstimate(a: Seq[Long], b: Seq[Long], k: Int): Double = {
     val inner = new Kmv(k)
-    inner.finish(inner.merge(KmvBuf(a), KmvBuf(b)))
+    inner.finish(inner.merge(
+      KmvBuf.fromSignature(a, k), KmvBuf.fromSignature(b, k)))
   }
 
   /** `unionEstimate` as a column function for pair-table use. A Scala

@@ -289,10 +289,10 @@ object Dedup {
     // proportional work, never a wrong cluster. The distinct this
     // replaces was a full extra exchange+aggregate of the edge table
     // per invocation (the round-7 p6/d10 regression).
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .repartition(col("dst"))
-      .localCheckpoint()
+    val edges = graft.plans.Loops.checkpointPartitioned(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .repartition(col("dst")))
     graft.plans.Loops.withStablePartitioning(pairs.sparkSession) {
       // Node set = distinct dst of the ALREADY dst-partitioned edge
       // table: exchange-free, and left LAZY — round 1 fuses the init
@@ -309,11 +309,11 @@ object Dedup {
         // extra comparison join per round
         val neighborMin = edges.join(labels, edges("dst") === labels("id"))
           .select(edges("src").as("id"), col("label"), lit(false).as("own"))
-        val next = labels.withColumn("own", lit(true))
-          .unionByName(neighborMin)
-          .groupBy("id").agg(min("label").as("label"),
-            max(when(col("own"), col("label"))).as("prev"))
-          .localCheckpoint()
+        val next = graft.plans.Loops.checkpointPartitioned(
+          labels.withColumn("own", lit(true))
+            .unionByName(neighborMin)
+            .groupBy("id").agg(min("label").as("label"),
+              max(when(col("own"), col("label"))).as("prev")))
         changed = next.where(col("label") =!= col("prev")).count()
         labels = next.select("id", "label")
       }
@@ -445,7 +445,8 @@ object Dedup {
     // persisted `bucketBy("g")` (ScaleSpec proves that layout); the
     // incremental batch would join against the bucketed corpus index
     // rather than rebuild it.
-    val kept = sh.join(dfMap, Seq("g"), "left_semi").localCheckpoint()
+    val kept = graft.plans.Loops.checkpointPartitioned(
+      sh.join(dfMap, Seq("g"), "left_semi"))
     val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val near = kept.where(col("is_new")).select(col(idCol).as("a_id"), col("g"))
       .join(kept.where(!col("is_new")).select(col(idCol).as("b_id"), col("g")),

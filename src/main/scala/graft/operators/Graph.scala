@@ -42,6 +42,11 @@ object Graph {
       spark: org.apache.spark.sql.SparkSession)(f: => T): T =
     graft.plans.Loops.withStablePartitioning(spark)(f)
 
+  // loop-invariant / loop-state materialization that KEEPS its hash
+  // partitioning across the lineage cut — see Loops.checkpointPartitioned
+  private def ckpt(df: DataFrame): DataFrame =
+    graft.plans.Loops.checkpointPartitioned(df)
+
   /** Materialized loop state shared by the fixed-iteration and
     * convergence drivers: edges-with-degree (src, dst, outdeg)
     * hash-partitioned by src, the node set hash-partitioned by node,
@@ -75,7 +80,7 @@ object Graph {
     if (symmetric) {
       val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val ewd = e.join(deg, Seq("src")).localCheckpoint()
+      val ewd = ckpt(e.join(deg, Seq("src")))
       // lazy: consumed once by the r0 init (partitioned by src already)
       val nodes = ewd.select(col("src").as("node")).distinct()
       return Prepared(ewd, nodes, nodes.count(), symmetric = true)
@@ -88,17 +93,18 @@ object Graph {
     // real cluster. The equi-join on src already leaves the output
     // hash-partitioned by src (no explicit repartition needed — that
     // was a whole redundant exchange of the edge table), and
-    // LogicalRDD keeps that partitioning across the lineage cut, so
-    // every iteration's rank join is exchange-free on BOTH sides (see
-    // class doc) and the edge table never reshuffles.
-    val ewd = e.join(deg, Seq("src")).localCheckpoint()
+    // checkpointPartitioned carries that partitioning across the
+    // lineage cut (a plain adaptive localCheckpoint LOSES it — see
+    // Loops.checkpointPartitioned), so every iteration's rank join is
+    // exchange-free on BOTH sides (see class doc) and the edge table
+    // never reshuffles — asserted by GraphSpec's loop-plan test.
+    val ewd = ckpt(e.join(deg, Seq("src")))
     // derive the node set from the ALREADY-MATERIALIZED edge table
     // (inner join with deg drops no rows — every src has a degree), so
     // the upstream edge derivation runs exactly once, not once per
     // consumer. distinct() leaves it hash-partitioned by node.
-    val nodes = ewd.select(col("src").as("node"))
-      .union(ewd.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+    val nodes = ckpt(ewd.select(col("src").as("node"))
+      .union(ewd.select(col("dst").as("node"))).distinct())
     Prepared(ewd, nodes, nodes.count())
   }
 
@@ -160,7 +166,7 @@ object Graph {
     // one exchange by src feeds both the degree aggregate and the
     // join (reused), and the checkpointed table keeps that
     // partitioning for every loop round — see prepare()
-    val ewd = e.join(deg, Seq("src")).localCheckpoint()
+    val ewd = ckpt(e.join(deg, Seq("src")))
     val ranksScaled = withStablePartitioning(ewd.sparkSession) {
       // round 1 off the edge table alone: s⁰ ≡ 1.0
       var s = ewd
@@ -176,9 +182,9 @@ object Graph {
           .groupBy("node").agg(sum("c").as("csum"))
           .select(col("node"), scaledAffine(damping).as("s"))
         if (i % checkpointEvery == 0 && i < iters)
-          s = s.localCheckpoint()
+          s = ckpt(s)
       }
-      s.localCheckpoint() // executes the loop inside the conf scope
+      ckpt(s) // executes the loop inside the conf scope
     }
     // N as data, not as a driver literal: exchange-free distinct over
     // the src-partitioned checkpoint, one row, broadcast onto the
@@ -228,7 +234,7 @@ object Graph {
       // at the caller's collect time, after the conf is restored); the
       // caller's post-processing then reads one checkpointed O(nodes)
       // table
-      pageRankLoop(p, iters, damping, checkpointEvery).localCheckpoint()
+      ckpt(pageRankLoop(p, iters, damping, checkpointEvery))
     }
 
   /** The lazy loop plan behind [[pageRankPrepared]] — internal so the
@@ -242,7 +248,7 @@ object Graph {
     for (i <- 1 to iters) {
       ranks = step(p, ranks, damping)
       if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint() // periodic lineage cut
+        ranks = ckpt(ranks) // periodic lineage cut
     }
     ranks
   }
@@ -264,14 +270,14 @@ object Graph {
     require(tol > 0, "tol must be positive — use pageRank for fixed rounds")
     val p = prepare(edges)
     withStablePartitioning(p.ewd.sparkSession) {
-      var ranks = p.nodes.withColumn("r", lit(1.0 / p.n)).localCheckpoint()
+      var ranks = ckpt(p.nodes.withColumn("r", lit(1.0 / p.n)))
       var done = 0
       var converged = false
       while (!converged && done < maxIters) {
         val block = math.min(checkEvery, maxIters - done)
         var next = ranks
         for (_ <- 1 to block) next = step(p, next, damping)
-        next = next.localCheckpoint() // lineage cut = the block boundary
+        next = ckpt(next) // lineage cut = the block boundary
         done += block
         // one scalar control job per block: the max absolute movement
         val delta = next.withColumnRenamed("r", "r2")

@@ -55,6 +55,136 @@ object ProfileMain {
             out.write.format("noop").mode("overwrite").save()
           }
         }
+      case "g1s" =>
+        // the scale-free symmetric path (current g1), phase by phase
+        for (pass <- 1 to 3) {
+          println(s"[profile] ---- pass $pass ----")
+          val e0 = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+            .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst"))
+            .distinct()
+          val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          val e = sym.select(col("src").cast("long"), col("dst").cast("long"))
+          val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+          val ewd = timed("ewd checkpoint")(e.join(deg, Seq("src")).localCheckpoint())
+          val loopOut = timed("3 scaled rounds + ckpt") {
+            graft.plans.Loops.withStablePartitioning(spark) {
+              var s = ewd
+                .select(col("dst").as("node"),
+                  (lit(1.0) / col("outdeg")).cast("decimal(30,15)").as("c"))
+                .groupBy("node").agg(sum("c").as("csum"))
+                .select(col("node"),
+                  (lit(1.0 - 0.85) + lit(0.85) * col("csum").cast("double")).as("s"))
+              for (_ <- 2 to 3) {
+                s = ewd
+                  .join(s.withColumnRenamed("node", "src"), Seq("src"))
+                  .select(col("dst").as("node"),
+                    (col("s") / col("outdeg")).cast("decimal(30,15)").as("c"))
+                  .groupBy("node").agg(sum("c").as("csum"))
+                  .select(col("node"),
+                    (lit(1.0 - 0.85) + lit(0.85) * col("csum").cast("double")).as("s"))
+              }
+              s.localCheckpoint()
+            }
+          }
+          val nRow = ewd.select(col("src")).distinct()
+            .agg(count(lit(1)).cast("double").as("n"))
+          val out = loopOut.crossJoin(broadcast(nRow))
+            .select(col("node"), (col("s") / col("n")).as("r"))
+            .select(col("node"),
+              floor(lit(1000000000.0) * col("r")).cast("long").as("rank_bp"))
+            .orderBy(col("rank_bp").desc, col("node"))
+            .limit(50)
+          timed("divide+topk (noop)") {
+            out.write.format("noop").mode("overwrite").save()
+          }
+        }
+      case "g1plan" =>
+        // executed-plan structure of the 3-round loop job (AQE-final):
+        // the scale contract is 3 exchanges (one agg per round), zero
+        // sorts, zero re-exchanges of the checkpointed edge table
+        val e0 = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val e = sym.select(col("src").cast("long"), col("dst").cast("long"))
+        val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        val aqeOff = sys.env.get("GRAFT_CKPT_AQE_OFF").contains("1")
+        val ewd =
+          if (aqeOff) {
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try e.join(deg, Seq("src")).localCheckpoint()
+            finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+          } else e.join(deg, Seq("src")).localCheckpoint()
+        println("[plan] ckpt aqeOff=" + aqeOff + " logical=" +
+          ewd.queryExecution.optimizedPlan.getClass.getSimpleName)
+        graft.plans.Loops.withStablePartitioning(spark) {
+          var s = ewd
+            .select(col("dst").as("node"),
+              (lit(1.0) / col("outdeg")).cast("decimal(30,15)").as("c"))
+            .groupBy("node").agg(sum("c").as("csum"))
+            .select(col("node"),
+              (lit(1.0 - 0.85) + lit(0.85) * col("csum").cast("double")).as("s"))
+          for (_ <- 2 to 3) {
+            s = ewd
+              .join(s.withColumnRenamed("node", "src"), Seq("src"))
+              .select(col("dst").as("node"),
+                (col("s") / col("outdeg")).cast("decimal(30,15)").as("c"))
+              .groupBy("node").agg(sum("c").as("csum"))
+              .select(col("node"),
+                (lit(1.0 - 0.85) + lit(0.85) * col("csum").cast("double")).as("s"))
+          }
+          s.write.format("noop").mode("overwrite").save()
+          val plan = s.queryExecution.executedPlan.toString
+          println("[plan] ===== loop executed plan =====")
+          plan.linesIterator.foreach(l => println("[plan] " + l))
+          println("[plan] exchanges=" +
+            "Exchange hashpartitioning".r.findAllIn(plan).size +
+            " sorts=" + "(?m)^\\s*[+:*-]*\\s*Sort ".r.findAllIn(plan).size)
+        }
+      case "p20" =>
+        // p20 phase split: explode+mask agg vs the KMV signature agg
+        import graft.operators.TextOps
+        for (pass <- 1 to 3) {
+          println(s"[profile] ---- pass $pass ----")
+          val docs = Tables.documents(spark, dir)
+          import spark.implicits._
+          val names = timed("collect sources")(
+            docs.select(col("source").cast("string"))
+              .distinct().as[String].collect().sorted)
+          val srcs = broadcast(names.zipWithIndex.toSeq.toDF("source", "sid")
+            .select(col("source"), col("sid").cast("int").as("sid")))
+          val masked = docs.select(col("source").cast("string").as("source"),
+              explode(TextOps.shingles("text")).as("g"))
+            .join(srcs, Seq("source"))
+            .groupBy("g")
+            .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), sid % 64)")).as("mask_0"))
+          timed("explode+mask agg only") {
+            masked.write.format("noop").mode("overwrite").save()
+          }
+          val sids = expr("transform(filter(sequence(0, 63), b -> (shiftright(mask_0, b) & 1) = 1), b -> 0 + b)")
+          timed("…+ sids+count (no kmv)") {
+            masked.select(xxhash64(col("g")).as("h"), sids.as("sids"))
+              .groupBy("sids").agg(count(lit(1)).as("cnt"))
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed("…+ kmv signature agg") {
+            masked.select(xxhash64(col("g")).as("h"), sids.as("sids"))
+              .groupBy("sids").agg(count(lit(1)).as("cnt"),
+                graft.functions.KmvSketch.signature(512)(col("h")).as("sig"))
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed("full operator") {
+            graft.operators.Overlap.sourceOverlapExact(docs,
+              graft.operators.TextOps.shingles("text"), k = 512)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
       case "g1b" =>
         // variant: explode-based symmetrization (single e0 subtree) and
         // AQE toggled off around the fixed-shape loop

@@ -91,10 +91,39 @@ class GraphSpec extends AnyFunSuite {
     val e = (1 to 200).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
       .filter(p => p._1 != p._2).distinct
     val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
-    val pr = Graph.pageRank(edges, iters = 3)
-    pr.write.format("noop").mode("overwrite").save() // resolve AQE final plan
-    val plan = pr.queryExecution.executedPlan.toString
+    // Inspect the LAZY loop plan (pageRankLoop), not the public
+    // entry's — that one returns the already-checkpointed result,
+    // whose plan is a bare RDD scan and would make this assertion
+    // vacuous (exactly how the adaptive-checkpoint partitioning loss
+    // slipped through review: the checkpointed LogicalRDD used to come
+    // out unpartitioned and every round silently re-exchanged the edge
+    // table; Loops.checkpointPartitioned is the fix under test).
+    val p = Graph.prepare(edges)
+    val loop = Graph.pageRankLoop(p, iters = 3, damping = 0.85)
+    loop.write.format("noop").mode("overwrite").save()
+    val plan = loop.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // 3 contribution aggregates = 3 exchanges; anything above means a
+    // loop-invariant table re-exchanged
     assert(exchanges <= 3, s"expected ≤3 exchanges (one agg per round), got $exchanges:\n$plan")
+    assert(plan.contains("ExistingRDD"), "loop must read the checkpointed edge table")
+  }
+
+  test("pageRankSymmetric plan: per-round exchanges only, edge table pre-partitioned") {
+    val rnd = new scala.util.Random(5)
+    val e = (1 to 300).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val out = Graph.pageRankSymmetric(edges, iters = 3)
+    out.write.format("noop").mode("overwrite").save()
+    // the returned plan is the final division over the checkpointed
+    // loop result: correctness of the fused shape is proven by the g1
+    // oracle; here assert the symmetric path agrees with the general
+    // path within floating tolerance
+    val sym = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gen = Graph.pageRank(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sym.keySet === gen.keySet)
+    sym.foreach { case (k, v) => assert(math.abs(v - gen(k)) < 1e-12, s"node $k") }
   }
 }

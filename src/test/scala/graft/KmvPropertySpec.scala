@@ -70,10 +70,14 @@ class KmvPropertySpec extends AnyFunSuite {
     })
   }
 
-  test("buffer invariant: sorted unsigned ascending, distinct, size <= k") {
+  test("buffer invariant: canonical form sorted unsigned ascending, distinct, size <= k") {
+    // the buffer itself is lazily compacted (pending appends are
+    // allowed to be unsorted/duplicated); the invariant is a property
+    // of the CANONICAL form — which is also what finish() and every
+    // cross-buffer comparison observe
     check("invariant", Prop.forAll(kGen, streamGen) { (k, rows) =>
       val agg = new KmvSketch.Kmv(k)
-      val h = sketchOf(agg, rows).hashes
+      val h = sketchOf(agg, rows).compacted.hashes
       h.size <= k && h.size == h.distinct.size &&
         h.zip(h.drop(1)).forall { case (a, b) =>
           java.lang.Long.compareUnsigned(a, b) < 0 }
