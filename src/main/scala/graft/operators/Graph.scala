@@ -70,15 +70,31 @@ object Graph {
     * DECIMAL sum is exact, so dropping exact zeros is bit-identical).
     *
     * NOTE the assertion is the caller's responsibility and is NOT
-    * checked (checking would cost the exact dst-minus-src anti-join
-    * this path exists to avoid): a node appearing only as `dst`
-    * silently drops from the node set and every rank shifts with no
-    * error raised. Feed both directions of every edge (as
+    * checked by default (checking costs the exact dst-minus-src
+    * anti-join this path exists to avoid): a node appearing only as
+    * `dst` silently drops from the node set and every rank shifts with
+    * no error raised. Feed both directions of every edge (as
     * [[pageRankSymmetric]]'s callers do) or use the default path.
+    * Debug builds can set `spark.graft.validateSymmetric=true` to pay
+    * one anti-join per prepare() and fail fast instead — GraphSpec
+    * pins the failure on a deliberately asymmetric graph.
     */
   def prepare(edges: DataFrame, symmetric: Boolean = false): Prepared = {
     if (symmetric) {
       val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      if (edges.sparkSession.conf
+          .get("spark.graft.validateSymmetric", "false").toBoolean) {
+        // LEFT ANTI dst∖src: any hit disproves the caller's claim.
+        // Debug-only cost (one shuffle pair); limit(1) stops the scan
+        // at the first witness.
+        val witness = e.select(col("dst").as("node"))
+          .join(e.select(col("src").as("node")), Seq("node"), "left_anti")
+          .limit(1).collect()
+        require(witness.isEmpty,
+          s"prepare(symmetric=true) but node ${witness.headOption.map(_.get(0)).orNull} " +
+            "appears only as dst — its rank would silently vanish. " +
+            "Feed both edge directions or call prepare(symmetric=false).")
+      }
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val ewd = ckpt(e.join(deg, Seq("src")))
       // lazy: consumed once by the r0 init (partitioned by src already)

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Parquet source layer for the driver-generated TPC-H-ish tables
   * (see /root/repo/TESTDATA.md). The reference workload's only I/O is
@@ -20,17 +22,50 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is Parquet INT64 TIMESTAMP(NANOS) which Spark rejects
-    * unless this legacy flag is on; the column then reads as nanosecond
-    * bigint (TESTDATA: FIXTURES.md §2). Runtime-settable SQL conf.
+  /** `events.ts` may arrive as Parquet INT64 TIMESTAMP(NANOS), which
+    * Spark rejects unless this legacy flag is on; the column then reads
+    * as nanosecond bigint (TESTDATA: FIXTURES.md §2). Runtime-settable
+    * SQL conf; harmless for other layouts.
     */
   def configureNanos(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Engine-internal contract: `events.ts` is a NANOSECOND bigint.
+    * Parquet writers differ on the physical layout — TIMESTAMP(NANOS)
+    * (reads as ns-bigint under `nanosAsLong`), standard TIMESTAMP(US)
+    * (reads as TIMESTAMP/TIMESTAMP_NTZ), or an already-long column —
+    * so the loader adapts the schema at the source, once, and every
+    * downstream operator (windowing, as-of, sessionize, gap-fill) sees
+    * one type. The cast is exact: micros × 1000 under the UTC session
+    * (TIMESTAMP_NTZ carries no zone, so UTC makes `cast` the identity
+    * on the stored micros — the same value DuckDB's `epoch_ns` yields).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df // already a (nanosecond) long — the legacy layout
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name (expected one of ${all.mkString(", ")})")
-    if (name == "events") configureNanos(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      configureNanos(spark)
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Streaming source over an events parquet directory with the same
+    * ns-bigint `ts` contract as [[events]]. File streaming needs an
+    * explicit schema; we take it from a batch footer read of the SAME
+    * directory so whichever physical timestamp layout is on disk, the
+    * stream normalizes identically to the batch path.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    configureNanos(spark)
+    val raw = spark.read.parquet(dir).schema
+    normalizeEventTs(spark.readStream.schema(raw).parquet(dir))
   }
 
   /** Exact row count from Parquet footer metadata — a driver-side

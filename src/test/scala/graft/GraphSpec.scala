@@ -109,6 +109,24 @@ class GraphSpec extends AnyFunSuite {
     assert(plan.contains("ExistingRDD"), "loop must read the checkpointed edge table")
   }
 
+  test("prepare(symmetric=true) validation catches an asymmetric edge list") {
+    // node 9 appears only as dst — the symmetric fast path would
+    // silently drop it. With the debug conf on, prepare must fail
+    // fast with a witness instead.
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 9L)).toDF("src", "dst")
+    spark.conf.set("spark.graft.validateSymmetric", "true")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Graph.prepare(edges, symmetric = true)
+      }
+      assert(ex.getMessage.contains("appears only as dst"), ex.getMessage)
+      // a genuinely symmetric list passes the same check
+      val ok = (Seq((0L, 1L), (0L, 9L)) ++ Seq((1L, 0L), (9L, 0L)))
+        .toDF("src", "dst")
+      assert(Graph.prepare(ok, symmetric = true).n == 3)
+    } finally spark.conf.unset("spark.graft.validateSymmetric")
+  }
+
   test("pageRankSymmetric plan: per-round exchanges only, edge table pre-partitioned") {
     val rnd = new scala.util.Random(5)
     val e = (1 to 300).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))

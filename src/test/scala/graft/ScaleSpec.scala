@@ -117,9 +117,7 @@ class ScaleSpec extends AnyFunSuite {
     val streamDir = Files.createTempDirectory("graft_stream")
     Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val stream = spark.readStream
-      .schema(ev.schema)
-      .parquet(streamDir.toString)
+    val stream = Tables.eventsStream(spark, streamDir.toString)
     val q = graft.streaming.EventStream.hourlyCounts(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName("file_hourly").start()

@@ -36,6 +36,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hourly counts over a native-timestamp stream (normalizeEventTs parity)") {
+    // the same pipeline fed the NEW testdata layout — `ts` arrives as a
+    // real TIMESTAMP column — normalized at the source to the ns-bigint
+    // contract, so every streaming operator runs unmodified
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = graft.sources.Tables.normalizeEventTs(mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    assert(events.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val q = EventStream.hourlyCounts(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hourly_ts_out").start()
+    try {
+      def t(ns: Long) = new java.sql.Timestamp(ns / 1000000L)
+      mem.addData((1L, t(10L * 60 * 1000000000L), 1L, "click", 1.0),
+        (2L, t(20L * 60 * 1000000000L), 2L, "click", 2.0),
+        (3L, t(H + 10L * 60 * 1000000000L), 1L, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData((4L, t(3 * H), 3L, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly_ts_out")
+        .select("w_start", "event_type", "n_events").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(out.contains((0L, "click", 2L)))
+      assert(out.contains((3600L, "view", 1L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Ev]
