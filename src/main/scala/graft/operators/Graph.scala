@@ -179,36 +179,58 @@ object Graph {
     require(iters >= 1, "pageRankSymmetric needs at least one round")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // one exchange by src feeds both the degree aggregate and the
-    // join (reused), and the checkpointed table keeps that
-    // partitioning for every loop round — see prepare()
-    val ewd = ckpt(e.join(deg, Seq("src")))
-    val ranksScaled = withStablePartitioning(ewd.sparkSession) {
-      // round 1 off the edge table alone: s⁰ ≡ 1.0
-      var s = ewd
-        .select(col("dst").as("node"),
-          (lit(1.0) / col("outdeg")).cast("decimal(30,15)").as("c"))
-        .groupBy("node").agg(sum("c").as("csum"))
-        .select(col("node"), scaledAffine(damping).as("s"))
-      for (i <- 2 to iters) {
-        s = ewd
-          .join(s.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node"),
-            (col("s") / col("outdeg")).cast("decimal(30,15)").as("c"))
-          .groupBy("node").agg(sum("c").as("csum"))
-          .select(col("node"), scaledAffine(damping).as("s"))
-        if (i % checkpointEvery == 0 && i < iters)
-          s = ckpt(s)
-      }
-      ckpt(s) // executes the loop inside the conf scope
+    // LAZY edge-with-degree table — deliberately NOT checkpointed for a
+    // short fixed-iteration run. The edge subtree appears once per
+    // round, but every occurrence canonicalizes identically, so
+    // ReuseExchange computes the src-hash shuffle of `e` (which also
+    // feeds the degree aggregate) ONCE and every round reads its
+    // shuffle files — the same no-recompute guarantee the eager
+    // localCheckpoint gave, minus its job barrier + materialization
+    // (measured ~1.5 s of g1's 4.3 s at sf0.1; GraphSpec's symmetric
+    // plan test pins the reuse). Long runs cut lineage periodically
+    // below, and the 100 TB path remains prepare()/pageRankPrepared
+    // over a bucketed edge table.
+    val ranksScaled = withStablePartitioning(e.sparkSession) {
+      // ONE eager materialization: the whole loop (edge build included)
+      // executes as a single fused job inside the conf scope, and the
+      // caller's post-processing reads an O(nodes) checkpoint
+      ckpt(symmetricScaledLoop(e, deg, iters, damping, checkpointEvery))
     }
-    // N as data, not as a driver literal: exchange-free distinct over
-    // the src-partitioned checkpoint, one row, broadcast onto the
-    // O(nodes) result — no count job, no extra scan
-    val nRow = ewd.select(col("src")).distinct()
-      .agg(count(lit(1)).cast("double").as("n"))
+    // N from the RESULT, not the edge table: symmetric ⇒ the rank
+    // table has exactly one row per node, so a count over the O(nodes)
+    // checkpoint replaces a full edge-subtree recompute. One-row
+    // aggregate broadcast onto the final projection — no count job on
+    // the driver.
+    val nRow = ranksScaled.agg(count(lit(1)).cast("double").as("n"))
     ranksScaled.crossJoin(broadcast(nRow))
       .select(col("node"), (col("s") / col("n")).as("r"))
+  }
+
+  /** The lazy scale-free loop behind [[pageRankSymmetric]] — internal
+    * so the plan test can count exchanges vs reuses on the fused DAG
+    * (the public entry returns the checkpointed result, whose plan is
+    * a bare RDD scan).
+    */
+  private[graft] def symmetricScaledLoop(e: DataFrame, deg: DataFrame,
+      iters: Int, damping: Double, checkpointEvery: Int = 5): DataFrame = {
+    val ewd = e.join(deg, Seq("src"))
+    // round 1 off the edge table alone: s⁰ ≡ 1.0
+    var s = ewd
+      .select(col("dst").as("node"),
+        (lit(1.0) / col("outdeg")).cast("decimal(30,15)").as("c"))
+      .groupBy("node").agg(sum("c").as("csum"))
+      .select(col("node"), scaledAffine(damping).as("s"))
+    for (i <- 2 to iters) {
+      s = ewd
+        .join(s.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("s") / col("outdeg")).cast("decimal(30,15)").as("c"))
+        .groupBy("node").agg(sum("c").as("csum"))
+        .select(col("node"), scaledAffine(damping).as("s"))
+      if (i % checkpointEvery == 0 && i < iters)
+        s = ckpt(s)
+    }
+    s
   }
 
   /** s' = (1−d) + d·csum, the scale-free affine step (csum is the
@@ -282,9 +304,9 @@ object Graph {
     */
   def pageRankConverged(edges: DataFrame, tol: Double = 1e-7,
       maxIters: Int = 50, damping: Double = 0.85,
-      checkEvery: Int = 3): DataFrame = {
+      checkEvery: Int = 3, symmetric: Boolean = false): DataFrame = {
     require(tol > 0, "tol must be positive — use pageRank for fixed rounds")
-    val p = prepare(edges)
+    val p = prepare(edges, symmetric)
     withStablePartitioning(p.ewd.sparkSession) {
       var ranks = ckpt(p.nodes.withColumn("r", lit(1.0 / p.n)))
       var done = 0

@@ -139,7 +139,11 @@ object GraphQueries {
           |ORDER BY rank_bp DESC, node LIMIT 50""".stripMargin
     }) { (s, dir) =>
       Graph.pageRankConverged(tradeEdges(s, dir), tol = 0.003,
-          maxIters = 12, damping = 0.85, checkEvery = 3)
+          maxIters = 12, damping = 0.85, checkEvery = 3,
+          // tradeEdges feeds both directions — the symmetric prepare
+          // skips the node-set union/materialization and the per-round
+          // dangling-zeros union (bit-identical: exact DECIMAL zeros)
+          symmetric = true)
         .select(col("node"),
           floor(lit(1000000000.0) * col("r")).cast("long").as("rank_bp"),
           col("iters_run").cast("int").as("iters_run"))

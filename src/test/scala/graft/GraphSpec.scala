@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Graph
@@ -132,12 +133,32 @@ class GraphSpec extends AnyFunSuite {
     val e = (1 to 300).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
       .filter(p => p._1 != p._2).distinct
     val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    // the fused (checkpoint-free) loop must compute the edge subtree's
+    // shuffle ONCE and reuse it in every round — that reuse is what
+    // lets pageRankSymmetric skip the eager edge materialization job.
+    // Execute under the same conf the real ckpt job runs with (AQE
+    // off) so the static ReuseExchange rule is what's under test.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val ec = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      val deg = ec.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val loop = Graph.symmetricScaledLoop(ec, deg, iters = 3, damping = 0.85)
+      loop.write.format("noop").mode("overwrite").save()
+      val plan = loop.queryExecution.executedPlan.toString
+      val fresh = "Exchange hashpartitioning".r.findAllIn(plan).size
+      val reused = "ReusedExchange".r.findAllIn(plan).size
+      // fresh exchanges: edge src-hash (1, shared with the degree agg)
+      // + one contribution aggregate per round (3) = 4; every other
+      // edge-side occurrence must be a reuse
+      assert(fresh <= 4, s"edge subtree re-exchanged: $fresh fresh exchanges\n$plan")
+      assert(reused >= 2, s"expected the per-round edge exchanges to be reused\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     val out = Graph.pageRankSymmetric(edges, iters = 3)
     out.write.format("noop").mode("overwrite").save()
-    // the returned plan is the final division over the checkpointed
-    // loop result: correctness of the fused shape is proven by the g1
-    // oracle; here assert the symmetric path agrees with the general
-    // path within floating tolerance
+    // correctness of the fused shape is proven by the g1 oracle; here
+    // assert the symmetric path agrees with the general path within
+    // floating tolerance
     val sym = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val gen = Graph.pageRank(edges, iters = 3).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
