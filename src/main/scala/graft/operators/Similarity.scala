@@ -243,6 +243,45 @@ object Similarity {
       .select(col(blockCol), col("a_id"), col("b_id"), col("cos_bp"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster the embedding space (here the
+    * deterministic-stride IVF cells of [[ivfAssignments]] — a k-means
+    * upgrade changes cell QUALITY, not the plan), compare vectors only
+    * WITHIN their cell, and keep one representative per near-dup
+    * group. The keep rule is greedy-by-id: a vector is dropped iff a
+    * lower-id vector in its cell has cosine ≥ minCosBp/10⁴ with it —
+    * deterministic, engine-replayable, and exactly "keep every vector
+    * with no earlier near-duplicate".
+    *
+    * This is the semantic complement of the exact d12 clustering: the
+    * within-cell restriction is what makes the pair volume
+    * O(Σ cell²) ≈ O(n²/K) instead of O(n²) — the documented SemDeDup
+    * trade-off that a near-dup pair straddling a cell boundary is not
+    * examined (raising K tightens cells; probing neighbor cells is
+    * the standard recall patch). At 100 TB: assignment is a broadcast
+    * n×K scoring pass (no vector shuffle), the pair join shuffles
+    * vectors once keyed by cell, and per-cell work is bounded by cell
+    * occupancy — the same blocked-not-all-pairs discipline as the
+    * text-side dedup.
+    *
+    * Returns one row per vector: (idCol, cell_id, dup_of, kept) with
+    * dup_of = the smallest-id blaming neighbor (NULL when kept).
+    */
+  def semanticDedup(emb: DataFrame, centroidIds: Seq[Long], minCosBp: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withCell = emb.join(ivfAssignments(emb, centroidIds, idCol, vecCol),
+      Seq(idCol))
+    val pairs = blockedCosinePairs(withCell, minCosBp, idCol, vecCol,
+      blockCol = "cell_id")
+    val dupOf = pairs.groupBy(col("b_id").as(idCol))
+      .agg(min(col("a_id")).as("dup_of"))
+    withCell.select(col(idCol), col("cell_id"))
+      .join(dupOf, Seq(idCol), "left")
+      .select(col(idCol), col("cell_id"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
   /** Product-quantization ADC top-k (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
     * 64-dim vector into `m` subspaces, encode each subvector as the id

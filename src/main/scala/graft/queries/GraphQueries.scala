@@ -149,5 +149,51 @@ object GraphQueries {
           col("iters_run").cast("int").as("iters_run"))
         .orderBy(col("rank_bp").desc, col("node"))
         .limit(50)
+    },
+
+    // ---- exact triangle counting (degree-ordered orientation) ----
+    // The trade graph above is BIPARTITE (customers ⋈ suppliers), so
+    // it is triangle-free by construction; triangles live on the
+    // supplier CO-OCCURRENCE graph — suppliers fulfilling high-volume
+    // line items (l_quantity ≥ 45, a pushed-down scan predicate) of
+    // the same order. The operator orients each edge from its
+    // lower-(degree, id) endpoint and counts each triangle once at
+    // its lowest-rank corner (O(m^{3/2}) wedge volume, hub-safe —
+    // Graph.triangleCounts); the oracle counts the same triangles
+    // with the textbook three-way self-join on a < b < c, a shape
+    // that is only viable at oracle scale. Counts are integers, so
+    // the comparison is exact.
+    QueryDef("g3_triangle_count",
+      """WITH su AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem WHERE l_quantity >= 45
+        |), e AS (
+        |  SELECT DISTINCT x.sk AS a, y.sk AS b
+        |  FROM su x JOIN su y ON x.ok = y.ok AND x.sk < y.sk
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), corners AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri
+        |)
+        |SELECT node AS suppkey, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM corners GROUP BY node
+        |ORDER BY n_tri DESC, suppkey LIMIT 50""".stripMargin) { (s, dir) =>
+      val su = Tables.lineitem(s, dir)
+        .where(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = su.select(col("ok"), col("sk").as("a"))
+        .join(su.select(col("ok"), col("sk").as("b")), Seq("ok"))
+        .where(col("a") < col("b"))
+        .select("a", "b").distinct()
+      Graph.triangleCounts(edges)
+        .select(col("node").as("suppkey"), col("n_tri"))
+        .orderBy(col("n_tri").desc, col("suppkey"))
+        .limit(50)
     })
 }

@@ -997,5 +997,83 @@ object PipelineQueries {
             .as("lang_pctl_bp"),
           (percent_rank().over(w) >= 0.9).as("top_decile"))
         .orderBy("doc_id")
+    },
+
+    // ---- LM-based document quality scoring (CCNet-style filter) ----
+    // The standard web-corpus quality gate (Wenzek et al., "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data", LREC 2020) scores each document under an n-gram language
+    // model and keeps the fluent tail. Here the p8 bigram LM (support
+    // cut n ≥ 20) scores its own corpus: per document, the bigram
+    // count, how many hit the LM, and the summed/mean LM probability.
+    // Scores are integer-quantized per bigram (floor(P(w2|w1)·10⁶);
+    // P itself is ONE bigint/bigint double division) BEFORE the
+    // per-document sum, so aggregation is exact bigint arithmetic and
+    // the only double in the output, avg_q = sum_q/n_big, is a single
+    // correctly-rounded IEEE division — cross-engine deterministic,
+    // with log/exp (engine-varying transcendentals) deliberately kept
+    // out of the checked surface.
+    //
+    // Shape: the exploded-bigram table is scanned twice (once to fit
+    // the LM, once as the probe side) — at 100 TB the LM is fitted
+    // once on a sample/reference corpus and PERSISTED, so the scoring
+    // pass is the only full scan. The fitted LM after the support cut
+    // is frequent-bigram-bounded (≪ corpus), hence broadcast; a
+    // vocab-explosive LM would swap to a shuffle join on (w1, w2)
+    // with no other change.
+    QueryDef("p24_lm_doc_quality",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), big AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(ts))) AS u(i)
+        |), grouped AS (
+        |  SELECT w1, w2, COUNT(*) AS n,
+        |    CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY w1) AS p_cond
+        |  FROM big GROUP BY w1, w2
+        |), lm AS (
+        |  SELECT w1, w2, CAST(floor(p_cond * 1000000) AS BIGINT) AS pq
+        |  FROM grouped WHERE n >= 20
+        |), scored AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_big, COUNT(lm.pq) AS n_hit,
+        |    COALESCE(SUM(lm.pq), 0) AS sum_q
+        |  FROM big b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+        |  GROUP BY b.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(s.n_big, 0) AS BIGINT) AS n_big,
+        |  CAST(COALESCE(s.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(s.sum_q, 0) AS BIGINT) AS sum_q,
+        |  CASE WHEN s.n_big > 0 THEN CAST(s.sum_q AS DOUBLE) / s.n_big END AS avg_q
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val big = docs
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+        .select(col("doc_id"), col("ts"), posexplode(col("ts")))
+        .where(col("pos") < size(col("ts")) - 1)
+        .select(col("doc_id"), col("col").as("w1"),
+          element_at(col("ts"), col("pos") + 2).as("w2"))
+      val lm = big.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        .withColumn("p_cond", col("n").cast("double") /
+          sum("n").over(Window.partitionBy("w1")).cast("double"))
+        .where(col("n") >= 20)
+        .select(col("w1"), col("w2"),
+          floor(col("p_cond") * lit(1000000.0)).cast("long").as("pq"))
+      val scored = big.join(broadcast(lm), Seq("w1", "w2"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"), count(col("pq")).as("n_hit"),
+          coalesce(sum(col("pq")), lit(0L)).as("sum_q"))
+      docs.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_big"), lit(0L)).cast("long").as("n_big"),
+          coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
+          coalesce(col("sum_q"), lit(0L)).cast("long").as("sum_q"),
+          when(col("n_big") > 0,
+            col("sum_q").cast("double") / col("n_big")).as("avg_q"))
+        .orderBy("doc_id")
     })
 }

@@ -374,5 +374,70 @@ object SimilarityQueries {
             x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale)))""")
             <= lit(0.5) / col("scale") + lit(1e-12)).as("within_bound"))
         .orderBy("vec_id")
+    },
+
+    // ---- SemDeDup: IVF-cell-blocked semantic deduplication ----
+    // The scale path for embedding dedup: d12's exact label-blocked
+    // clustering assumes a trustworthy block key; SemDeDup
+    // (Similarity.semanticDedup) derives the blocks from the embedding
+    // space itself via the s6 IVF cells, so pair volume is O(n²/K)
+    // with NO reliance on metadata. The keep rule (drop iff a
+    // lower-id same-cell vector has cos ≥ 0.30) is greedy-by-id —
+    // fully deterministic, so the oracle replays the ENTIRE pipeline:
+    // the integer argmax cell assignment (skey = sign-mirrored
+    // (qd²·100) DIV ‖c‖², ties to the lowest cell — exactly
+    // ivfAssignments' packed-key max), the within-cell quantized
+    // cosine, and the greedy verdict. DuckDB's `//` is floor division
+    // but every dividend here is ≥ 0, so it coincides with Spark's
+    // truncating DIV.
+    QueryDef("d17_semantic_dedup",
+      """WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+        |cids AS (SELECT unnest(range(0, 8)) * (SELECT n // 8 FROM nn) AS cid),
+        |eq AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vq
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT e.vec_id AS cell_id, e.vq AS cv,
+        |    CAST(list_sum(list_transform(e.vq, x -> x*x)) AS BIGINT) AS cn2
+        |  FROM eq e JOIN cids ON e.vec_id = cids.cid
+        |), skeys AS (
+        |  SELECT vec_id, cell_id,
+        |    CASE WHEN qd >= 0 THEN (qd*qd*100) // cn2
+        |         ELSE -((qd*qd*100) // cn2) END AS skey
+        |  FROM (
+        |    SELECT eq.vec_id, cents.cell_id, cents.cn2,
+        |      CAST(list_sum(list_transform(list_zip(eq.vq, cents.cv),
+        |        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS qd
+        |    FROM eq CROSS JOIN cents) t
+        |), assign AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY skey DESC, cell_id) AS rn
+        |    FROM skeys) WHERE rn = 1
+        |), v AS (
+        |  SELECT a.vec_id, a.cell_id, eq.vq,
+        |    CAST(list_sum(list_transform(eq.vq, x -> x*x)) AS BIGINT) AS n2
+        |  FROM assign a JOIN eq ON a.vec_id = eq.vec_id
+        |), pairs AS (
+        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+        |  FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        |  WHERE CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(
+        |      list_zip(x.vq, y.vq),
+        |      p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))) AS BIGINT) >= 3000
+        |), dup AS (
+        |  SELECT b_id AS vec_id, MIN(a_id) AS dup_of FROM pairs GROUP BY b_id
+        |)
+        |SELECT v.vec_id, CAST(v.cell_id AS BIGINT) AS cell_id, dup.dup_of,
+        |  dup.dup_of IS NULL AS kept
+        |FROM v LEFT JOIN dup ON v.vec_id = dup.vec_id
+        |ORDER BY v.vec_id""".stripMargin) { (s, dir) =>
+      val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val cents = (0 until 8).map(i => i * (n / 8))
+      Similarity.semanticDedup(Tables.embeddings(s, dir),
+          centroidIds = cents, minCosBp = 3000)
+        .orderBy("vec_id")
     })
 }

@@ -165,4 +165,45 @@ class GraphSpec extends AnyFunSuite {
     assert(sym.keySet === gen.keySet)
     sym.foreach { case (k, v) => assert(math.abs(v - gen(k)) < 1e-12, s"node $k") }
   }
+
+  test("triangleCounts: known small graphs") {
+    // K4 minus one edge: triangles {0,1,2} and {0,1,3} — nodes 0,1 on
+    // two triangles each, nodes 2,3 on one each
+    val e1 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L)).toDF("a", "b")
+    val r1 = Graph.triangleCounts(e1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 1L), s"got $r1")
+    // a 5-cycle has no triangles → empty result
+    val e2 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCounts(e2).count() === 0)
+    // K5: every node on C(4,2)=6 triangles; 10 triangles total
+    val k5 = (for (i <- 0 until 5; j <- i + 1 until 5) yield (i.toLong, j.toLong))
+      .toDF("a", "b")
+    val r3 = Graph.triangleCounts(k5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3.values.forall(_ == 6L), s"K5 per-node counts: $r3")
+    assert(r3.values.sum === 30L) // 10 triangles × 3 corners
+  }
+
+  test("triangleCounts: matches the naive 3-join on a random graph, hub-safe") {
+    // random graph PLUS a degree-20 hub (node 99) — the orientation
+    // must neither lose nor double-count hub triangles
+    val rnd = new scala.util.Random(17)
+    val base = (1 to 120)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 < p._2).distinct
+    val hub = (0 until 20).map(i => (i.toLong, 99L))
+    val edges = (base ++ hub).distinct.toDF("a", "b")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive reference: all (x<y<z) with the three edges present
+    val es = (base ++ hub).distinct.toSet
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val want = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      x <- nodes; y <- nodes if x < y && es((x, y))
+      z <- nodes if y < z && es((y, z)) && es((x, z))
+    } { want(x) += 1; want(y) += 1; want(z) += 1 }
+    assert(got === want.toMap, s"got $got\nwant $want")
+  }
 }

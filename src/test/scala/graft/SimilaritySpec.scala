@@ -185,4 +185,34 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(ivfpq == full, s"nprobe=K IVF-PQ must equal PQ: $ivfpq vs $full")
   }
+
+  test("semanticDedup keeps the lowest id of each within-cell near-dup group") {
+    // centroids 0 (east) and 2 (north): 1 and 4 land in 0's cell with
+    // cos(0,1) ≈ 0.994 and cos(0,4) ≈ 0.999 → both blamed on 0;
+    // 3 (west, anti-parallel to 0) is nearer north's cell or kept
+    // alone either way — no near-dup above 0.9 with node 2.
+    val r = Similarity.semanticDedup(emb, centroidIds = Seq(0L, 2L),
+        minCosBp = 9000)
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.get(2)).map(_.asInstanceOf[Long]), x.getBoolean(3))).toMap
+    assert(r(0L) === (None, true), s"0 is its own representative: $r")
+    assert(r(1L) === (Some(0L), false), s"1 blamed on 0: $r")
+    assert(r(4L) === (Some(0L), false), s"4 blamed on 0: $r")
+    assert(r(2L) === (None, true), s"2 kept: $r")
+    assert(r(3L) === (None, true), s"3 kept (nothing near): $r")
+    // every vector appears exactly once, kept ⟺ no blame
+    assert(r.size == 5)
+  }
+
+  test("semanticDedup pair volume stays within cells (no cross-cell blame)") {
+    val assigns = Similarity.ivfAssignments(emb, Seq(0L, 2L))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val blamed = Similarity.semanticDedup(emb, Seq(0L, 2L), minCosBp = 0)
+      .where(col("dup_of").isNotNull)
+      .collect().map(x => (x.getLong(0), x.getLong(2)))
+    blamed.foreach { case (b, a) =>
+      assert(assigns(a) == assigns(b),
+        s"blame $a -> $b crosses cells ${assigns(a)} vs ${assigns(b)}")
+    }
+  }
 }
