@@ -400,5 +400,65 @@ object EventQueries {
           (col("d") - col("d0")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_day", "day_offset")
+    },
+
+    // ---- session Markov transition matrix (behavior mining) ----
+    // First-order event-type transition model over e5's sessions: the
+    // product-analytics shape behind next-step prediction, anomaly
+    // scoring, and funnel discovery (and the event-domain twin of the
+    // p8 bigram LM — same count/conditional-probability algebra, over
+    // behavior instead of text). Transitions are consecutive events
+    // within a session ONLY — the session cut (30 min idle) is what
+    // separates behavioral sequences, so no cross-session or
+    // cross-user pair ever forms. Both windows are user-partitioned
+    // (narrow, high-cardinality key — never a global sort); the final
+    // aggregate is event-type-vocabulary-sized. p_cond is one
+    // bigint/bigint double division — cross-engine exact.
+    QueryDef("e15_markov_transitions",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_tus
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, event_type, tus,
+        |    CASE WHEN prev_tus IS NULL OR tus - prev_tus > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM seq
+        |), numbered AS (
+        |  SELECT user_id, event_id, event_type, tus,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |), trans AS (
+        |  SELECT event_type AS to_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id, session_id ORDER BY tus, event_id) AS from_type
+        |  FROM numbered
+        |)
+        |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY from_type) AS p_cond
+        |FROM trans WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = Tables.events(s, dir)
+        .withColumn("tus", expr("ts div 1000"))
+        .withColumn("prev_tus", lag(col("tus"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_tus").isNull ||
+            col("tus") - col("prev_tus") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(cum))
+      // same user-keyed partition, finer ordering scope: the session
+      // id refines the user window, so this second window reuses the
+      // first's exchange (no new shuffle — both hash on user_id)
+      val bySession = Window.partitionBy("user_id", "session_id")
+        .orderBy(col("tus"), col("event_id"))
+      sessions
+        .withColumn("from_type", lag(col("event_type"), 1).over(bySession))
+        .where(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_cond", col("n").cast("double") /
+          sum("n").over(Window.partitionBy("from_type")).cast("double"))
+        .orderBy("from_type", "to_type")
     })
 }

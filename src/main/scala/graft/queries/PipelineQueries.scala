@@ -1075,5 +1075,62 @@ object PipelineQueries {
           when(col("n_big") > 0,
             col("sum_q").cast("double") / col("n_big")).as("avg_q"))
         .orderBy("doc_id")
+    },
+
+    // ---- referential-integrity audit (FK orphan sweep) ----
+    // Completes the data-quality trio (v1 value constraints, v2
+    // column profile): every declared FK edge of the star schema gets
+    // an orphan count. Shape per edge: aggregate the child side to
+    // DISTINCT keys FIRST (the 100 TB discipline — the join input
+    // shrinks from fact rows to distinct keys, and the orphan count
+    // is recovered exactly from the carried per-key counts), then one
+    // LEFT join against the parent's key set — dim-sized parents
+    // broadcast, fact-sized parents (orders) stay a shuffle join.
+    // NULL child keys count as orphans on both engines (LEFT JOIN
+    // semantics, deliberately NOT the NOT-IN formulation whose NULL
+    // behavior silently drops rows).
+    QueryDef("v3_fk_orphans", {
+      def edge(fk: String, child: String, ck: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$fk' AS fk, CAST(SUM(c.cnt) AS BIGINT) AS n_rows,
+           |  CAST(COALESCE(SUM(CASE WHEN p.k IS NULL THEN c.cnt END), 0) AS BIGINT) AS n_orphans
+           |FROM (SELECT $ck AS k, COUNT(*) AS cnt FROM $child GROUP BY 1) c
+           |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p ON c.k = p.k""".stripMargin
+      Seq(
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    }) { (s, dir) =>
+      def edge(fk: String, child: org.apache.spark.sql.DataFrame, ck: String,
+          parent: org.apache.spark.sql.DataFrame, pk: String) = {
+        val keys = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("cnt"))
+        keys.join(
+            parent.select(col(pk).as("k")).distinct().withColumn("hit", lit(1)),
+            Seq("k"), "left")
+          .agg(sum(col("cnt")).as("n_rows"),
+            coalesce(sum(when(col("hit").isNull, col("cnt"))), lit(0L))
+              .as("n_orphans"))
+          .select(lit(fk).as("fk"), col("n_rows").cast("long").as("n_rows"),
+            col("n_orphans").cast("long").as("n_orphans"))
+      }
+      Seq(
+        edge("customer.c_nationkey->nation", Tables.customer(s, dir),
+          "c_nationkey", Tables.nation(s, dir), "n_nationkey"),
+        edge("lineitem.l_orderkey->orders", Tables.lineitem(s, dir),
+          "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+        edge("lineitem.l_suppkey->supplier", Tables.lineitem(s, dir),
+          "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+        edge("nation.n_regionkey->region", Tables.nation(s, dir),
+          "n_regionkey", Tables.region(s, dir), "r_regionkey"),
+        edge("orders.o_custkey->customer", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"),
+        edge("supplier.s_nationkey->nation", Tables.supplier(s, dir),
+          "s_nationkey", Tables.nation(s, dir), "n_nationkey"))
+        .reduce(_ union _)
+        .orderBy("fk")
     })
 }
