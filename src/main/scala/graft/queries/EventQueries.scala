@@ -460,5 +460,60 @@ object EventQueries {
         .withColumn("p_cond", col("n").cast("double") /
           sum("n").over(Window.partitionBy("from_type")).cast("double"))
         .orderBy("from_type", "to_type")
+    },
+
+    // ---- OHLC bar resampling (time-series downsampling) ----
+    // The classic irregular→regular resample: per (event_type, hour),
+    // open/high/low/close of `value` plus an exact quantized sum. The
+    // boundary picks (open = first, close = last in (ts, event_id)
+    // order — the id tiebreak makes equal-timestamp bars
+    // deterministic) come from two ROW_NUMBERs over the SAME
+    // (event_type, hour) partition — one exchange, two in-partition
+    // sorts — then fold into the ONE grouped aggregate via
+    // conditional MAX; deliberately NOT min_by/max_by, whose
+    // composite-key tiebreak semantics differ across engines. OHLC
+    // values are raw doubles (selection, no arithmetic); the only
+    // aggregated quantity routes through floor(value·10⁶) bigints —
+    // IEEE-exact on both engines. Bars are (type × hour)-sized:
+    // aggregate-shaped output however large the event stream.
+    QueryDef("e16_ohlc_bars",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    epoch_us(ts) AS tus, event_id, value
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, hour, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, hour ORDER BY tus, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, hour ORDER BY tus DESC, event_id DESC) AS rn_d
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(hour AS BIGINT) AS hour,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM r GROUP BY event_type, hour
+        |ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .withColumn("tus", expr("ts div 1000"))
+        .withColumn("hour", expr("(ts div 1000) div 3600000000"))
+      val byBarAsc = Window.partitionBy("event_type", "hour")
+        .orderBy(col("tus").asc, col("event_id").asc)
+      val byBarDesc = Window.partitionBy("event_type", "hour")
+        .orderBy(col("tus").desc, col("event_id").desc)
+      e.withColumn("rn_a", row_number().over(byBarAsc))
+        .withColumn("rn_d", row_number().over(byBarDesc))
+        .groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).cast("long")
+            .as("sum_q"))
+        .select(col("event_type"), col("hour").cast("long").as("hour"),
+          col("n_events"), col("open"), col("high"), col("low"),
+          col("close"), col("sum_q"))
+        .orderBy("event_type", "hour")
     })
 }

@@ -201,6 +201,22 @@ object SqlQueries {
       Tables.customer(s, dir).createOrReplaceTempView("customer")
       Tables.nation(s, dir).createOrReplaceTempView("nation")
       s.sql(SqlText.h10)
+    },
+
+    // ---- correlated SCALAR-AGGREGATE subqueries (TPC-H Q17 shape) ----
+    // The third correlated-subquery decorrelation class after h9
+    // (EXISTS → semi/anti join) and h10 (LATERAL → join + rank):
+    // a correlated scalar AGGREGATE, which Catalyst rewrites
+    // (RewriteCorrelatedScalarSubquery) into a group-by over the
+    // correlation key joined back to the outer — per-ORDER aggregates
+    // computed ONCE, never a subquery re-execution per outer row.
+    // "Line items with more than twice the order's mean quantity",
+    // stated integer/decimal-exactly as qty·COUNT > 2·SUM so both
+    // engines compare exact values (no division, no doubles in the
+    // predicate). Shared text verbatim.
+    QueryDef("h11_sql_correlated_agg", SqlText.h11) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(SqlText.h11)
     })
 
   /** Shared verbatim between the Spark run and the DuckDB oracle. */
@@ -235,5 +251,17 @@ object SqlQueries {
         |  LIMIT 2
         |) t
         |ORDER BY n_name, o_totalprice DESC, o_orderkey""".stripMargin
+
+    val h11: String =
+      """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(l.l_quantity AS DOUBLE) AS qty
+        |FROM lineitem l
+        |WHERE CAST(l.l_quantity AS DECIMAL(12,2))
+        |        * (SELECT COUNT(*) FROM lineitem l2
+        |           WHERE l2.l_orderkey = l.l_orderkey)
+        |      > (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) * 2
+        |         FROM lineitem l2
+        |         WHERE l2.l_orderkey = l.l_orderkey)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 }
