@@ -359,5 +359,35 @@ object AnalyticsQueries {
           percent_rank().over(w).as("prnk"),
           cume_dist().over(w).as("cdist"))
         .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    },
+
+    // ---- windowed COUNT(DISTINCT) via the dense_rank identity ----
+    // Spark's window operator rejects DISTINCT aggregates outright
+    // (DuckDB runs them natively — the oracle is the native form);
+    // the standard composition is max(dense_rank(key)) over the same
+    // partition, exact because dense_rank's maximum IS the distinct
+    // count of the ordering key. Both windows and both maxima share
+    // the one l_orderkey partition, so the whole query is a single
+    // exchange + in-partition sorts — no extra shuffle per distinct
+    // column, and the same shape at any scale (the partition key is
+    // the high-cardinality order key, never a global window).
+    QueryDef("q41_window_distinct",
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_supp,
+        |  CAST(COUNT(DISTINCT l_partkey) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_part
+        |FROM lineitem WHERE l_shipdate >= DATE '1998-09-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val part = Window.partitionBy("l_orderkey")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-09-01").cast("date"))
+        .withColumn("dr_s",
+          dense_rank().over(part.orderBy("l_suppkey")))
+        .withColumn("dr_p",
+          dense_rank().over(part.orderBy("l_partkey")))
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          max(col("dr_s")).over(part).cast("bigint").as("n_supp"),
+          max(col("dr_p")).over(part).cast("bigint").as("n_part"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
 }

@@ -185,6 +185,22 @@ class GraphSpec extends AnyFunSuite {
     assert(r3.values.sum === 30L) // 10 triangles × 3 corners
   }
 
+  test("triangleCounts plan: equi-joins only — no cartesian, no nested-loop") {
+    // the scale contract behind the O(m^{3/2}) bound: wedge
+    // generation and wedge closing are hash equi-joins (on u and on
+    // (v1, v2)); any cartesian/BNL here would be the all-pairs
+    // formulation the orientation exists to avoid
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 150)
+      .map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 < p._2).distinct.toDF("a", "b")
+    val tc = Graph.triangleCounts(edges)
+    tc.write.format("noop").mode("overwrite").save()
+    val plan = tc.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNL in plan:\n$plan")
+  }
+
   test("triangleCounts: matches the naive 3-join on a random graph, hub-safe") {
     // random graph PLUS a degree-20 hub (node 99) — the orientation
     // must neither lose nor double-count hub triangles

@@ -204,6 +204,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.size == 5)
   }
 
+  test("semanticDedup matches a brute-force reference on random vectors") {
+    // reference: recompute assignment + within-cell greedy drop from
+    // first principles over the collected vectors (exact integer
+    // arithmetic mirrors the operator's quantization contract)
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val centIds = Seq(0L, 13L, 26L)
+    val tau = 5000
+    val got = Similarity.semanticDedup(df, centIds, minCosBp = tau)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    // -- reference --
+    def q(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000).toLong)
+    val qv = vecs.map { case (i, v) => i -> q(v) }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents = centIds.sorted.map(c => c -> qv(c))
+    def cell(i: Long): Long = cents.map { case (c, cv) =>
+      val qd = dot(qv(i), cv); val n2 = dot(cv, cv)
+      val skey = if (qd >= 0) qd * qd * 100 / n2 else -(qd * qd * 100 / n2)
+      (skey, c)
+    }.maxBy { case (s, c) => (s, -c) }._2
+    def cosBp(a: Long, b: Long): Long = {
+      val d = dot(qv(a), qv(b)).toDouble
+      math.floor(10000.0 * d /
+        (math.sqrt(dot(qv(a), qv(a)).toDouble) *
+          math.sqrt(dot(qv(b), qv(b)).toDouble))).toLong
+    }
+    val cellOf = vecs.map(_._1).map(i => i -> cell(i)).toMap
+    vecs.map(_._1).foreach { i =>
+      val dupOf = vecs.map(_._1)
+        .filter(j => j < i && cellOf(j) == cellOf(i) && cosBp(j, i) >= tau)
+        .sorted.headOption
+      assert(got(i) === (cellOf(i), dupOf),
+        s"vec $i: got ${got(i)} want (${cellOf(i)}, $dupOf)")
+    }
+  }
+
   test("semanticDedup pair volume stays within cells (no cross-cell blame)") {
     val assigns = Similarity.ivfAssignments(emb, Seq(0L, 2L))
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
