@@ -230,4 +230,60 @@ object EventStream {
           best
       }
   }
+
+  case class BarState(openTs: Long, openId: Long, open: Double,
+      high: Double, low: Double, closeTs: Long, closeId: Long,
+      close: Double, n: Long, sumQ: Long)
+  case class BarOut(event_type: String, hour: Long, n_events: Long,
+      open: Double, high: Double, low: Double, close: Double, sum_q: Long)
+
+  /** Streaming OHLC bars — the incremental form of the e16 batch
+    * resample. Streaming window AGGREGATES cannot express open/close
+    * (order-sensitive "first/last value" aren't associative over
+    * arbitrary merge order), but the bar as keyed STATE is a true
+    * commutative monoid: open/close are argmin/argmax under the TOTAL
+    * (ts, event_id) order, high/low are plain min/max, and the count
+    * and quantized sum are additive — so micro-batch arrival order
+    * cannot change the result, and per-(type, hour) state is O(1).
+    * Update mode re-emits a bar whenever it absorbs events; the last
+    * emission per key equals the batch bar (parity-tested). Bounded
+    * key domain (types × hours grows one per hour) keeps NoTimeout
+    * safe here; an unbounded domain would add the event-time-timeout
+    * GC path exactly as [[sessionize]] does.
+    */
+  def ohlcBars(events: Dataset[Rec]): Dataset[BarOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(r => (r.event_type, (r.ts / 1000L) / 3600000000L))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[Rec],
+            state: GroupState[BarState]) =>
+          var s = state.getOption.orNull
+          rows.foreach { r =>
+            val q = math.floor(r.value * 1000000.0).toLong
+            s =
+              if (s == null)
+                BarState(r.ts, r.event_id, r.value, r.value, r.value,
+                  r.ts, r.event_id, r.value, 1L, q)
+              else {
+                val first = r.ts < s.openTs ||
+                  (r.ts == s.openTs && r.event_id < s.openId)
+                val last = r.ts > s.closeTs ||
+                  (r.ts == s.closeTs && r.event_id > s.closeId)
+                BarState(
+                  if (first) r.ts else s.openTs,
+                  if (first) r.event_id else s.openId,
+                  if (first) r.value else s.open,
+                  math.max(s.high, r.value), math.min(s.low, r.value),
+                  if (last) r.ts else s.closeTs,
+                  if (last) r.event_id else s.closeId,
+                  if (last) r.value else s.close,
+                  s.n + 1, s.sumQ + q)
+              }
+          }
+          state.update(s)
+          BarOut(key._1, key._2, s.n, s.open, s.high, s.low, s.close,
+            s.sumQ)
+      }
+  }
 }

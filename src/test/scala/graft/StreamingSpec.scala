@@ -352,6 +352,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars converge to the batch e16 resample") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.Rec
+    val M = 60L * 1000000000L
+    val B = 100 * H
+    // bar (click, hour 100): open decided by ts tiebreak on event_id
+    // (ids 11 vs 15 at the same ts), close arrives in a LATER batch —
+    // the state merge must be order-insensitive
+    val batch1 = Seq(
+      Rec(1L, "click", 10L, B + 5 * M, 3.25),
+      Rec(2L, "click", 11L, B + 1 * M, 7.5),
+      Rec(3L, "view", 12L, B + 2 * M, 1.0))
+    val batch2 = Seq(
+      Rec(4L, "click", 13L, B + 50 * M, -2.75),
+      Rec(5L, "click", 14L, B + H + 1 * M, 4.0),
+      Rec(6L, "click", 15L, B + 1 * M, 9.0))
+    val mem = MemoryStream[Rec]
+    val q = EventStream.ohlcBars(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ohlc_out").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      // last Update-mode emission per key = converged bar
+      val snaps = spark.table("ohlc_out").collect().map(r =>
+        ((r.getString(0), r.getLong(1)),
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6), r.getLong(7))))
+      val got = snaps.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, xs) => k -> xs.maxBy(_._2)._1._2 }
+      // independent reference: fold each bar from the full event set
+      val expect = (batch1 ++ batch2)
+        .groupBy(r => (r.event_type, (r.ts / 1000L) / 3600000000L))
+        .map { case (k, rs) =>
+          k -> (rs.size.toLong,
+            rs.minBy(r => (r.ts, r.event_id)).value,
+            rs.map(_.value).max, rs.map(_.value).min,
+            rs.maxBy(r => (r.ts, r.event_id)).value,
+            rs.map(r => math.floor(r.value * 1000000.0).toLong).sum)
+        }
+      assert(got === expect, s"stream $got vs reference $expect")
+      // the tiebreak specifically: open of (click, 100) is id 11's 7.5,
+      // not id 15's 9.0 (same ts, higher id)
+      assert(got(("click", 100L))._2 === 7.5)
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries state equals the same-order batch fold across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.DocStream.DocRec
