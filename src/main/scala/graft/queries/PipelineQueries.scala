@@ -1132,5 +1132,37 @@ object PipelineQueries {
           "s_nationkey", Tables.nation(s, dir), "n_nationkey"))
         .reduce(_ union _)
         .orderBy("fk")
+    },
+
+    // ---- leakage-controlled train/validation split ----
+    // The classic eval-contamination trap: hash-splitting DOCUMENTS
+    // puts exact duplicates on both sides of the split, leaking
+    // training content into validation. The fix is to split by
+    // DUPLICATE GROUP — every doc inherits its group representative
+    // (min doc_id of its md5(text) class), and the 90/10 assignment
+    // hashes the REP, so a whole duplicate class always lands on one
+    // side. Same auditable-membership discipline as p2/p7 (split is a
+    // pure function of content, composable, reproducible); one
+    // content-hash-keyed window is the only exchange. The scale-up
+    // for NEAR-dup leakage control swaps the md5 class for the
+    // d10/d11 connected-component cluster_id — already declared ops.
+    QueryDef("p25_leakage_split",
+      """WITH groups AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(rep AS BIGINT) AS rep,
+        |  CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 4) < 'e666'
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM groups ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+            .as("rep"))
+        .select(col("doc_id"), col("rep").cast("long").as("rep"),
+          when(substring(md5(col("rep").cast("string")), 1, 4) < "e666",
+            "train").otherwise("val").as("split"))
+        .orderBy("doc_id")
     })
 }
