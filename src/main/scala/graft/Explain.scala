@@ -179,17 +179,16 @@ object Explain {
         |data-proportional pair work and exists for the oracle, not the
         |production path.""".stripMargin,
     "g1_pagerank" ->
-      """Each iteration is two shuffles — ranks join onto edges (keyed by
-        |src) and the contribution sum (keyed by dst, map-side combined as
-        |partial_sum of DECIMAL). Short loops run as ONE fused DAG: plan
-        |growth per round is linear, so lineage cuts happen every
-        |`checkpointEvery` rounds instead of paying a full materialization
-        |job per iteration (6.5 s → 3.1 s at sf0.1). The edge table is the
-        |one materialized artifact — hash-partitioned by src BEFORE its
-        |cut so every round's join exchanges only the small rank side (the
-        |localCheckpoint analogue of bucketing by src on a real cluster);
-        |the node set derives from it rather than rescanning the fact
-        |join.""".stripMargin,
+      """Round-9 fused shape: the whole fixed-iteration run is ONE job. The
+        |lazy edge-with-degree subtree canonicalizes identically in every
+        |round, so static ReuseExchange computes the src-hash shuffle once
+        |and every later round reads a ReusedExchange; each round then adds
+        |exactly one fresh exchange (the DECIMAL contribution sum, map-side
+        |combined), and N rides in as a 1-row broadcast aggregate over the
+        |O(nodes) rank table instead of a driver-side count job. On a real
+        |cluster the edge artifact is the thing to persist bucketed by src
+        |— every round's join side then reads with zero exchange
+        |(ScaleSpec-proved shape).""".stripMargin,
     "e14_asof_native" ->
       """The custom physical operator in place: AsofMergeJoin sits where a
         |window-over-union (e6) or a nested-loop range join would — each
@@ -207,7 +206,18 @@ object Explain {
         |repartitioned first: a compact corpus file scans as one partition,
         |the broadcast join inherits it, and Catalyst would push the filter
         |below any post-join repartition — so without the input spread, the
-        |whole O(pairs·len·k) stage ran on ONE core (96 s → 1.3 s total).""".stripMargin)
+        |whole O(pairs·len·k) stage ran on ONE core (96 s → 1.3 s total).""".stripMargin,
+    "g3_triangle_count" ->
+      """Triangle counting survives hubs because wedges are generated ONLY
+        |at each edge's lower-(degree, id) endpoint: the plan is degree
+        |aggregation → two degree joins onto the edge list → a self
+        |equi-join keyed on the wedge corner u → one closing equi-join
+        |keyed on (v1, v2) — every stage a hash-partitioned equi-join over
+        |narrow bigint rows, no CartesianProduct / BroadcastNestedLoopJoin
+        |anywhere (GraphSpec-asserted). Orientation bounds effective
+        |out-degree by O(√m), so wedge volume is O(m^{3/2}) and a
+        |degree-10⁶ hub cannot concentrate on one reducer — the "curse of
+        |the last reducer" shape the naive corner-join suffers.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
