@@ -223,5 +223,54 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast(dec12_2)).cast("double").as("sum_qty"))
         .orderBy("s_nationkey")
+    },
+
+    // ---- TPC-H Q21 shape: the sole-late-supplier blame report ----
+    // "Suppliers who were the ONLY late shipper on a multi-supplier
+    // order" — the classic multi-correlated query (Q21 is EXISTS +
+    // NOT EXISTS over the same fact). Instead of two correlated
+    // probes, the engine computes per-(order, supplier) lateness ONCE
+    // (fact-keyed aggregate), derives per-order supplier/late counts
+    // from it (order-keyed aggregate), and joins back — every
+    // correlation becomes a hash equi-join on keys that stay
+    // high-cardinality at 100 TB, and the fact table is scanned once.
+    // Lateness compares exact epoch microseconds (ship > order + 90d)
+    // so both engines agree bit-for-bit.
+    QueryDef("q42_sole_late_supplier",
+      """WITH per AS (
+        |  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+        |    MAX(CASE WHEN epoch_us(l.l_shipdate) >
+        |      epoch_us(o.o_orderdate) + 7776000000000 THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY l.l_orderkey, l.l_suppkey
+        |), stats AS (
+        |  SELECT ok, COUNT(*) AS n_supp, SUM(late) AS n_late
+        |  FROM per GROUP BY ok
+        |)
+        |SELECT p.sk AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM per p JOIN stats s ON p.ok = s.ok
+        |WHERE p.late = 1 AND s.n_late = 1 AND s.n_supp >= 2
+        |GROUP BY p.sk ORDER BY numwait DESC, suppkey LIMIT 25""".stripMargin) { (s, dir) =>
+      val per = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          col("l_shipdate"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey").as("ok"), col("o_orderdate")), Seq("ok"))
+        .groupBy("ok", "sk")
+        // NTZ→timestamp cast is the identity on the stored micros under
+        // the UTC session (same normalization contract as Tables.events)
+        .agg(max(when(
+          unix_micros(col("l_shipdate").cast("timestamp")) >
+            unix_micros(col("o_orderdate").cast("timestamp"))
+              + lit(7776000000000L), 1)
+          .otherwise(0)).as("late"))
+      val stats = per.groupBy("ok")
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      per.join(stats, Seq("ok"))
+        .where(col("late") === 1 && col("n_late") === 1 && col("n_supp") >= 2)
+        .groupBy(col("sk").as("suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("suppkey"))
+        .limit(25)
     })
 }
