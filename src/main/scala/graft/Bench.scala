@@ -61,10 +61,24 @@ object Bench {
       }
     }
 
-    val warmup: Map[String, Option[Double]] = names.map(n => n -> once(n)).toMap
+    // Between passes, nudge the collector: a full pass drops ~136
+    // queries' worth of localCheckpoint RDD references, but their
+    // executor blocks are only reclaimed after a JVM GC lets the
+    // ContextCleaner see the dead weak refs. Without this, block
+    // accumulation builds across the pass and the loop-heavy queries
+    // that run late alphabetically (g1/g2) measure 2-3× their
+    // isolated cost. One System.gc() per pass bounds the carry-over
+    // at a single pass's garbage; in-loop generations are already
+    // freed eagerly (Loops.releaseCheckpoint).
+    def pass(): Map[String, Option[Double]] = {
+      val m = names.map(n => n -> once(n)).toMap
+      System.gc()
+      m
+    }
+    val warmup: Map[String, Option[Double]] = pass()
     // Interleaved measured passes: pass p runs every query once.
     val passes: Seq[Map[String, Option[Double]]] =
-      (1 to runsPerQuery).map(_ => names.map(n => n -> once(n)).toMap)
+      (1 to runsPerQuery).map(_ => pass())
 
     def medianOf(runs: Seq[Double]): Option[Double] =
       if (runs.isEmpty) None else Some(runs.sorted.apply(runs.size / 2))

@@ -301,6 +301,7 @@ object Dedup {
       // and distinct src are the same set).
       var labels = edges.select(col("dst").as("id")).distinct()
         .withColumn("label", col("id"))
+      var lastCut: org.apache.spark.sql.DataFrame = null
       var changed = 1L
       while (changed > 0) {
         // the node's own previous label rides through the SAME aggregate
@@ -315,6 +316,11 @@ object Dedup {
             .groupBy("id").agg(min("label").as("label"),
               max(when(col("own"), col("label"))).as("prev")))
         changed = next.where(col("label") =!= col("prev")).count()
+        // `next` is materialized and the count has run — the previous
+        // round's checkpoint has no readers left; free it so loop
+        // memory stays O(state), not O(state × rounds)
+        if (lastCut != null) graft.plans.Loops.releaseCheckpoint(lastCut)
+        lastCut = next
         labels = next.select("id", "label")
       }
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -395,6 +401,10 @@ object Dedup {
         .groupBy("a", "b").agg(sum("s").as("t"))
         .where(col("t") =!= 4L)
         .isEmpty
+      // the convergence job was the old edge checkpoint's last reader
+      // — free its generation (the contraction sequence would
+      // otherwise hold every round's edge set simultaneously)
+      graft.plans.Loops.releaseCheckpoint(edges)
       edges = small
       rounds += 1
     }

@@ -47,6 +47,11 @@ object Graph {
   private def ckpt(df: DataFrame): DataFrame =
     graft.plans.Loops.checkpointPartitioned(df)
 
+  // free a superseded in-loop checkpoint's blocks (NEVER prepared
+  // state or the returned result) — see Loops.releaseCheckpoint
+  private def release(df: DataFrame): Unit =
+    graft.plans.Loops.releaseCheckpoint(df)
+
   /** Materialized loop state shared by the fixed-iteration and
     * convergence drivers: edges-with-degree (src, dst, outdeg)
     * hash-partitioned by src, the node set hash-partitioned by node,
@@ -220,6 +225,7 @@ object Graph {
         (lit(1.0) / col("outdeg")).cast("decimal(30,15)").as("c"))
       .groupBy("node").agg(sum("c").as("csum"))
       .select(col("node"), scaledAffine(damping).as("s"))
+    var lastCut: DataFrame = null
     for (i <- 2 to iters) {
       s = ewd
         .join(s.withColumnRenamed("node", "src"), Seq("src"))
@@ -227,8 +233,13 @@ object Graph {
           (col("s") / col("outdeg")).cast("decimal(30,15)").as("c"))
         .groupBy("node").agg(sum("c").as("csum"))
         .select(col("node"), scaledAffine(damping).as("s"))
-      if (i % checkpointEvery == 0 && i < iters)
+      if (i % checkpointEvery == 0 && i < iters) {
         s = ckpt(s)
+        // the new cut read the old one while materializing — its
+        // generation is now dead weight
+        if (lastCut != null) release(lastCut)
+        lastCut = s
+      }
     }
     s
   }
@@ -283,10 +294,14 @@ object Graph {
   private[graft] def pageRankLoop(p: Prepared, iters: Int,
       damping: Double, checkpointEvery: Int = 5): DataFrame = {
     var ranks = p.nodes.withColumn("r", lit(1.0 / p.n))
+    var lastCut: DataFrame = null
     for (i <- 1 to iters) {
       ranks = step(p, ranks, damping)
-      if (i % checkpointEvery == 0 && i < iters)
+      if (i % checkpointEvery == 0 && i < iters) {
         ranks = ckpt(ranks) // periodic lineage cut
+        if (lastCut != null) release(lastCut) // superseded generation
+        lastCut = ranks
+      }
     }
     ranks
   }
@@ -321,6 +336,10 @@ object Graph {
         val delta = next.withColumnRenamed("r", "r2")
           .join(ranks, Seq("node"))
           .agg(max(abs(col("r2") - col("r")))).head().getDouble(0)
+        // the delta job was the old block's last reader — free its
+        // generation so a long convergence run holds TWO rank
+        // checkpoints at any moment, not O(rounds)
+        release(ranks)
         ranks = next
         if (delta < tol) converged = true
       }

@@ -83,4 +83,32 @@ object Loops {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** Release the block-manager storage behind a SUPERSEDED in-loop
+    * checkpoint (the LogicalRDD leaves of `df`'s plan).
+    *
+    * Why this exists: every loop round's checkpoint persists its rows
+    * as RDD blocks, and nothing frees them until the JVM garbage-
+    * collects the RDD and the ContextCleaner notices — so a 50-round
+    * convergence run holds ~50 generations of loop state in executor
+    * memory simultaneously. At 100 TB that is the difference between
+    * a loop whose memory footprint is O(state) and one that is
+    * O(state × rounds) and eventually spills or OOMs; on the bench
+    * host it showed up as later loop queries inflating 2-3× from
+    * accumulated dead blocks. Loops release generation i as soon as
+    * generation i+1 is materialized AND every reader of i (the next
+    * ckpt's build, a convergence-delta job) has run.
+    *
+    * SAFETY: a localCheckpoint has no lineage to recompute from — a
+    * released generation is unrecoverable. Call ONLY on loop-private
+    * checkpoints whose last consumer has completed, never on shared
+    * prepared state (edge tables, node sets) or on anything a
+    * returned DataFrame still references.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
