@@ -49,6 +49,13 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
+    // NOTE: do NOT Loops.releaseCheckpoint the result DataFrame here —
+    // several query families serve their plans from MEMOIZED shared
+    // checkpoints (the hierarchy dim, the text pair sets), and a
+    // release after one query destroys the blocks every later query
+    // in the family reads (measured: 15 queries error). Cross-query
+    // reclamation stays with the per-pass GC below; only loop-PRIVATE
+    // generations are freed eagerly (inside the operators).
     def once(name: String): Option[Double] = {
       val t0 = System.nanoTime()
       try {
