@@ -120,4 +120,54 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     assert(got.getLong(1) === 0L, "every node must label to the component min 0")
     assert(got.getLong(2) === 1L)
   }
+
+  test("max(dense_rank) identity equals per-key countDistinct on random dups") {
+    // the q41 rewrite: Spark windows reject DISTINCT aggregates, so the
+    // engine uses max(dense_rank(v)) over the key partition — assert
+    // the identity on a draw heavy with duplicate (key, v) pairs
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(4000)((rnd.nextInt(50).toLong, rnd.nextInt(12).toLong))
+    val df = rows.toDF("k", "v")
+    val viaRank = df
+      .withColumn("dr", dense_rank().over(Window.partitionBy("k").orderBy("v")))
+      .groupBy("k").agg(max("dr").cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = df.groupBy("k").agg(countDistinct(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaRank === direct)
+  }
+
+  test("q42's aggregate recast equals the direct EXISTS/NOT-EXISTS formulation") {
+    // sole-late-supplier: per-(order, supplier) lateness aggregate +
+    // per-order counts + join-back must equal the textbook correlated
+    // form (late line of s in o, ANOTHER supplier exists in o, NO
+    // OTHER late supplier exists in o) on random multi-supplier orders
+    val rnd = new scala.util.Random(13)
+    val lines = Seq.fill(2000) {
+      val ok = rnd.nextInt(200).toLong
+      val sk = rnd.nextInt(25).toLong
+      val late = rnd.nextInt(4) == 0 // 25% late lines
+      (ok, sk, late)
+    }
+    val df = lines.toDF("ok", "sk", "late_line")
+    val per = df.groupBy("ok", "sk")
+      .agg(max(when(col("late_line"), 1).otherwise(0)).as("late"))
+    val stats = per.groupBy("ok")
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+    val got = per.join(stats, Seq("ok"))
+      .where(col("late") === 1 && col("n_late") === 1 && col("n_supp") >= 2)
+      .groupBy("sk").agg(count(lit(1)).as("numwait"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side direct formulation
+    val perOrder = lines.groupBy(_._1).map { case (ok, ls) =>
+      val bySupp = ls.groupBy(_._2).map { case (sk, xs) => sk -> xs.exists(_._3) }
+      ok -> bySupp
+    }
+    val expect = perOrder.toSeq.flatMap { case (_, bySupp) =>
+      val lateSupps = bySupp.filter(_._2).keys.toSeq
+      if (bySupp.size >= 2 && lateSupps.size == 1) lateSupps else Nil
+    }.groupBy(identity).map { case (sk, xs) => sk -> xs.size.toLong }
+    assert(got === expect)
+  }
 }
