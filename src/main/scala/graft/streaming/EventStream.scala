@@ -33,6 +33,26 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("w_start"),
         col("event_type"), col("n_events"), col("approx_users"))
 
+  /** NATIVE session-window streaming aggregate — the built-in twin of
+    * [[sessionize]]'s hand-rolled flatMapGroupsWithState (and of the
+    * e9 batch query, which runs the same `session_window` operator on
+    * a static frame). Spark merges overlapping [t, t+gap) spans into
+    * sessions inside its streaming state store, keyed by
+    * (user, session); the 30 min watermark closes a session once no
+    * mergeable event can still arrive, so Append mode emits each
+    * session exactly once and state is GC'd by watermark progress —
+    * the same bounded-state contract as the manual operator, with the
+    * merge logic owned by the engine instead of user code.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("s_start"), col("n_events"))
+
   /** Exactly-once ingestion dedup: drop event_id duplicates arriving
     * within the watermark horizon. `dropDuplicatesWithinWatermark`
     * keys state by event_id only and GCs each key once the watermark

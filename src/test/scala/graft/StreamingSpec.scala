@@ -87,6 +87,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window stream matches the batch e9 session shape") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.sessionCounts(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("swin_out").start()
+    try {
+      val B = 100 * H
+      val M = 60L * 1000000000L
+      // user 7: events 10 min apart (one session), then 2h later (new
+      // session); the far-future row pushes the watermark so the first
+      // two sessions close and emit in Append mode
+      mem.addData((1L, B, 7L, "c", 1.0), (2L, B + 10 * M, 7L, "c", 1.0),
+        (3L, B + 2 * H, 7L, "c", 1.0))
+      q.processAllAvailable()
+      mem.addData((4L, B + 9 * H, 8L, "c", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("swin_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch reference: the SAME session_window operator on a static
+      // frame (the e9 shape) over the closed-session subset
+      val batch = Seq((1L, B, 7L), (2L, B + 10 * M, 7L), (3L, B + 2 * H, 7L))
+        .toDF("event_id", "ts", "user_id")
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("ets"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_timestamp(col("sw.start")), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.subsetOf(got), s"stream $got must cover batch $batch")
+      assert(got.exists(_ == ((7L, B / 1000000000L, 2L))),
+        s"two-event session must merge: $got")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits each event_id once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
