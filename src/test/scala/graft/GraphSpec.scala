@@ -185,6 +185,27 @@ class GraphSpec extends AnyFunSuite {
     assert(r3.values.sum === 30L) // 10 triangles × 3 corners
   }
 
+  test("pageRankConverged frees superseded rank generations (O(state) blocks)") {
+    // a tight tolerance forces many 3-round blocks; without the
+    // in-loop release every block's checkpoint would stay persisted
+    // (one RDD per block ≈ 10 extra), with it the loop ends holding
+    // only prepared state + the final ranks
+    val sc = spark.sparkContext
+    val rnd = new scala.util.Random(19)
+    val e = (1 to 200).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val before = sc.getPersistentRDDs.size
+    val out = Graph.pageRankConverged(edges, tol = 1e-12, maxIters = 30,
+      checkEvery = 3)
+    out.write.format("noop").mode("overwrite").save()
+    val itersRun = out.select("iters_run").head().getInt(0)
+    assert(itersRun >= 9, s"need several blocks for the test to bite: $itersRun")
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 4,
+      s"loop leaked checkpoint generations: $before -> $after over $itersRun iters")
+  }
+
   test("triangleCounts plan: equi-joins only — no cartesian, no nested-loop") {
     // the scale contract behind the O(m^{3/2}) bound: wedge
     // generation and wedge closing are hash equi-joins (on u and on
