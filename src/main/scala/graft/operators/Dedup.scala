@@ -248,6 +248,38 @@ object Dedup {
       .select("a_id", "b_id", "common", "a_sz", "b_sz", "jaccard")
   }
 
+  /** CONTAINMENT near-dup pairs: common / min(|A|, |B|) ≥ threshold
+    * over the same df-cut shingle index as [[ngramJaccardPairs]].
+    * Containment (Broder's c(A,B)) is the asymmetric complement of
+    * Jaccard: a short document quoted whole inside a long one has
+    * Jaccard ≈ |A|/|B| (arbitrarily small) but containment 1.0 — the
+    * subset-duplication regime (boilerplate inclusion, quoted posts,
+    * doc-in-doc concatenation) that a Jaccard cut structurally cannot
+    * flag. Same O(index-join) cost shape as the Jaccard path — the
+    * candidate set is identical, only the final predicate differs —
+    * and the same bucketed-index reuse applies at scale. `minSize`
+    * guards the trivial end (a 1-shingle doc is "contained" in
+    * anything sharing that shingle).
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double = 0.9,
+      maxDf: Int = 50, minSize: Int = 16, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val kept = keptShingles(docs, maxDf, textCol, idCol)
+    val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    kept.select(col(idCol).as("a_id"), col("g"))
+      .join(kept.select(col(idCol).as("b_id"), col("g")), Seq("g"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
+      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), Seq("b_id"))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("a_sz"), col("b_sz")))
+      .where(col("containment") >= minContainment &&
+        least(col("a_sz"), col("b_sz")) >= minSize)
+      .select("a_id", "b_id", "common", "a_sz", "b_sz", "containment")
+  }
+
   /** Connected-components clustering of near-duplicate pairs —
     * completes every near-dup pipeline: pair lists say "a≈b", but
     * dedup must KEEP ONE PER CLUSTER, and duplicate relations chain

@@ -146,6 +146,41 @@ object TextQueries {
       jaccardPairs(s, dir).orderBy("a_id", "b_id")
     },
 
+    // ---- containment near-dup pairs (subset duplication) ----
+    // Broder's containment c = common / min(|A|,|B|): the asymmetric
+    // complement of d6's Jaccard — a short doc quoted whole inside a
+    // long one has Jaccard ≈ |A|/|B| (arbitrarily small) but
+    // containment 1.0, the regime (boilerplate inclusion, doc-in-doc
+    // concatenation) a Jaccard cut structurally misses. Same df-cut
+    // inverted-index candidates as d6, different final predicate;
+    // min-size 16 guards the trivial tiny-doc end. The 0.55 threshold
+    // sits below d6's 0.6 Jaccard so the result exercises pairs the
+    // Jaccard query does NOT emit.
+    QueryDef("d18_containment_pairs",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh) t WHERE df <= 50
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT p.a_id, p.b_id, p.common, sa.sz AS a_sz, sb.sz AS b_sz,
+        |  CAST(p.common AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+        |FROM pairs p JOIN sizes sa ON p.a_id = sa.doc_id JOIN sizes sb ON p.b_id = sb.doc_id
+        |WHERE CAST(p.common AS DOUBLE) / least(sa.sz, sb.sz) >= 0.55
+        |  AND least(sa.sz, sb.sz) >= 16
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir),
+          minContainment = 0.55, maxDf = 50, minSize = 16)
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- connected-components duplicate clustering ----
     // Completes dedup: near-dup PAIRS (d6's exact inverted-index set)
     // collapse into clusters via min-label propagation; cluster_id =
