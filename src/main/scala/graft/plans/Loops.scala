@@ -104,11 +104,21 @@ object Loops {
     * checkpoints whose last consumer has completed, never on shared
     * prepared state (edge tables, node sets) or on anything a
     * returned DataFrame still references.
+    *
+    * Misuse fails fast: the argument must BE a checkpoint (its
+    * analyzed plan exactly one LogicalRDD, at the root) — a frame
+    * merely DERIVED from checkpoints (a select over prepared state, a
+    * multi-leaf join) is rejected before anything is unpersisted, so
+    * a bad call site cannot silently destroy blocks that shared state
+    * still needs.
     */
   def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other => throw new IllegalArgumentException(
+        "releaseCheckpoint expects a checkpointed DataFrame (plan = one " +
+          s"LogicalRDD); got ${other.nodeName} — refusing to unpersist " +
+          "leaves of a derived plan (could destroy shared state)")
     }
 }

@@ -39,6 +39,18 @@ object Tables {
     * one type. The cast is exact: micros × 1000 under the UTC session
     * (TIMESTAMP_NTZ carries no zone, so UTC makes `cast` the identity
     * on the stored micros — the same value DuckDB's `epoch_ns` yields).
+    *
+    * NON-NEGATIVITY CONTRACT: the normalized `ts` is assumed >= 0
+    * (post-1970 events — true of the generated fixtures and any real
+    * event log). Downstream bucketing uses Spark's `div` (integer
+    * division truncating toward zero) where the DuckDB oracle uses
+    * `//` (floor division); the two coincide exactly on non-negative
+    * dividends and diverge on negatives, as would the sign-mirror
+    * tricks in d17. Rather than pay a floor-division expression in
+    * every hot bucketing path, the invariant is documented here once
+    * at the single place every events read flows through; a pre-1970
+    * feed would need `floor_div` bucketing (or a shifted epoch) in
+    * e16/d17 before the oracle comparison is meaningful.
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {

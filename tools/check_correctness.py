@@ -10,6 +10,7 @@ Usage: check_correctness.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -69,15 +70,20 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = n_skip = 0
+    # GRAFT_VERIFY_ONLY runs dump a subset of queries; a name with no
+    # result directory was filtered out, not broken — skip it quietly so
+    # scoped runs report only what actually ran. In an UNSCOPED run a
+    # missing directory means the query crashed during the dump (Verify
+    # catches per-query Throwables and writes nothing), so it must FAIL.
+    scoped = bool(os.environ.get("GRAFT_VERIFY_ONLY"))
     for name in sorted(oracles):
         sql = oracles[name]
-        # GRAFT_VERIFY_ONLY runs dump a subset of queries; a name with no
-        # result directory was filtered out, not broken — skip quietly so
-        # scoped runs report only what actually ran (the driver's own
-        # harness always runs the full board and never hits this).
-        import os
         if not os.path.isdir(f"{out_dir}/{name}"):
-            n_skip += 1
+            if scoped:
+                n_skip += 1
+                continue
+            print(f"FAIL {name}: no spark result dumped (query crashed?)")
+            n_fail += 1
             continue
         try:
             expected = con.execute(sql).df()
