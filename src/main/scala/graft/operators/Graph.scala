@@ -142,8 +142,10 @@ object Graph {
         (col("r") / col("outdeg")).cast("decimal(30,15)").as("c"))
     // symmetric graphs: every node has in-edges, so the dangling-zeros
     // union is a no-op on an exact DECIMAL sum — skip it
-    val withZeros = if (p.symmetric) contrib else contrib
-      .union(p.nodes.select(col("node"), lit(0).cast("decimal(30,15)").as("c")))
+    val withZeros =
+      if (p.symmetric) contrib
+      else contrib.union(
+        p.nodes.select(col("node"), lit(0).cast("decimal(30,15)").as("c")))
     withZeros
       .groupBy("node")
       .agg(sum("c").as("csum"))
@@ -172,12 +174,15 @@ object Graph {
     *     spends a distinct + a join getting the same rows.
     *   - N is not needed until AFTER the loop, so the driver-side
     *     `nodes.count()` job disappears: N rides in as a one-row
-    *     aggregate (exchange-free over the src-partitioned edge
-    *     checkpoint) broadcast onto the final projection.
+    *     count over the degree table (same src-hash shuffle as the
+    *     loop — a ReusedExchange, not a recompute) broadcast onto the
+    *     final projection, which is folded into the SAME
+    *     materialization job as the loop itself.
     *   - Per round the ONLY exchange is the contribution aggregate's
     *     (same invariant as the general path, proved in GraphSpec).
-    * Three jobs total: edge materialization, the fused loop, and the
-    * caller's output action.
+    * Two jobs total: the fused loop + ÷N materialization (the N
+    * broadcast rides inside it), and the caller's output action over
+    * the O(nodes) checkpoint.
     */
   def pageRankSymmetric(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
@@ -195,20 +200,25 @@ object Graph {
     // plan test pins the reuse). Long runs cut lineage periodically
     // below, and the 100 TB path remains prepare()/pageRankPrepared
     // over a bucketed edge table.
-    val ranksScaled = withStablePartitioning(e.sparkSession) {
+    withStablePartitioning(e.sparkSession) {
       // ONE eager materialization: the whole loop (edge build included)
       // executes as a single fused job inside the conf scope, and the
-      // caller's post-processing reads an O(nodes) checkpoint
-      ckpt(symmetricScaledLoop(e, deg, iters, damping, checkpointEvery))
+      // caller's post-processing reads an O(nodes) checkpoint.
+      //
+      // The ÷N is FOLDED INTO the same job: symmetric ⇒ the degree
+      // table has exactly one row per node, so N is a one-row count
+      // over `deg` — whose build shares the src-hash shuffle of `e`
+      // with the loop (ReuseExchange; same physical plan), so the
+      // broadcast costs one O(nodes) scan of already-written shuffle
+      // files, not an edge recompute. Folding drops the separate
+      // count-the-result + final-projection jobs the caller's action
+      // previously paid (measured ~0.6 s of g1's official time under
+      // a busy bench session).
+      val nRow = deg.agg(count(lit(1)).cast("double").as("n"))
+      ckpt(symmetricScaledLoop(e, deg, iters, damping, checkpointEvery)
+        .crossJoin(broadcast(nRow))
+        .select(col("node"), (col("s") / col("n")).as("r")))
     }
-    // N from the RESULT, not the edge table: symmetric ⇒ the rank
-    // table has exactly one row per node, so a count over the O(nodes)
-    // checkpoint replaces a full edge-subtree recompute. One-row
-    // aggregate broadcast onto the final projection — no count job on
-    // the driver.
-    val nRow = ranksScaled.agg(count(lit(1)).cast("double").as("n"))
-    ranksScaled.crossJoin(broadcast(nRow))
-      .select(col("node"), (col("s") / col("n")).as("r"))
   }
 
   /** The lazy scale-free loop behind [[pageRankSymmetric]] — internal
@@ -217,9 +227,15 @@ object Graph {
     * a bare RDD scan).
     */
   private[graft] def symmetricScaledLoop(e: DataFrame, deg: DataFrame,
+      iters: Int, damping: Double, checkpointEvery: Int = 5): DataFrame =
+    ewdScaledLoop(e.join(deg, Seq("src")), iters, damping, checkpointEvery)
+
+  /** The same scale-free loop over a PRE-BUILT (src, dst, outdeg)
+    * table — the body both the lazy fused path and the prepared/CTAS
+    * path share. Round 1 comes straight off the edge table (s⁰ ≡ 1).
+    */
+  private[graft] def ewdScaledLoop(ewd: DataFrame,
       iters: Int, damping: Double, checkpointEvery: Int = 5): DataFrame = {
-    val ewd = e.join(deg, Seq("src"))
-    // round 1 off the edge table alone: s⁰ ≡ 1.0
     var s = ewd
       .select(col("dst").as("node"),
         (lit(1.0) / col("outdeg")).cast("decimal(30,15)").as("c"))
@@ -242,6 +258,27 @@ object Graph {
       }
     }
     s
+  }
+
+  /** Fixed-iteration scale-free PageRank over an ALREADY-PREPARED
+    * symmetric graph — the CTAS/warehouse path: `p.ewd` is the
+    * persisted (src, dst, outdeg) artifact (bucketed by src on a real
+    * cluster; a src-partitioned localCheckpoint here), `p.n` is known,
+    * so a run is ONE loop job (rounds fused, one exchange per round,
+    * ÷N folded in as a driver literal — no count, no broadcast) plus
+    * the caller's action over the O(nodes) checkpoint. Numerically
+    * identical to [[pageRankSymmetric]]: same per-round expressions,
+    * and N·(the same double) divided the same way.
+    */
+  def pageRankSymmetricPrepared(p: Prepared, iters: Int = 3,
+      damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
+    require(p.symmetric,
+      "pageRankSymmetricPrepared needs prepare(symmetric = true)")
+    require(iters >= 1, "pageRankSymmetricPrepared needs at least one round")
+    withStablePartitioning(p.ewd.sparkSession) {
+      ckpt(ewdScaledLoop(p.ewd, iters, damping, checkpointEvery)
+        .select(col("node"), (col("s") / lit(p.n.toDouble)).as("r")))
+    }
   }
 
   /** s' = (1−d) + d·csum, the scale-free affine step (csum is the
@@ -321,6 +358,8 @@ object Graph {
       maxIters: Int = 50, damping: Double = 0.85,
       checkEvery: Int = 3, symmetric: Boolean = false): DataFrame = {
     require(tol > 0, "tol must be positive — use pageRank for fixed rounds")
+    if (symmetric)
+      return pageRankConvergedSymmetric(edges, tol, maxIters, damping, checkEvery)
     val p = prepare(edges, symmetric)
     withStablePartitioning(p.ewd.sparkSession) {
       var ranks = ckpt(p.nodes.withColumn("r", lit(1.0 / p.n)))
@@ -345,6 +384,118 @@ object Graph {
       }
       ranks.withColumn("iters_run", lit(done))
     }
+  }
+
+  /** Convergence-driven PageRank over a SYMMETRIC edge list in the
+    * SCALE-FREE form (s = N·rank, s⁰ ≡ 1) — the minimum-job shape of
+    * the convergence loop, mirroring [[pageRankSymmetric]]'s tricks:
+    *
+    *   - No node table, no `nodes.count()` job, no initial-ranks
+    *     checkpoint: round 1's contributions are `1.0/outdeg` straight
+    *     off the edge table, and N is captured as a by-product of the
+    *     FIRST block's delta aggregate (the rank table has one row per
+    *     node), so the driver never runs a standalone count.
+    *   - Block 1's delta needs no join at all: the previous state is
+    *     the constant 1.0, so the check is `max |s − 1|` over the new
+    *     checkpoint. Later blocks join two co-partitioned checkpoints
+    *     (exchange-free merge, as in the general path).
+    *   - The convergence test compares on the s scale:
+    *     `max |s_k − s_{k−1}| < tol · N`. The oracle replays the same
+    *     literal arithmetic (one double multiply), so the stopping
+    *     decision remains part of the hash-checked surface (X93).
+    *   - The final ÷N is a driver-side literal (N is already known),
+    *     so the output projection adds no join and no job.
+    *
+    * Job inventory for B blocks: 1 (edge materialization) + 2B (block
+    * checkpoint + scalar delta per block) + the caller's action —
+    * versus 3 + 2B for the general path.
+    */
+  private def pageRankConvergedSymmetric(edges: DataFrame, tol: Double,
+      maxIters: Int, damping: Double, checkEvery: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    withStablePartitioning(e.sparkSession) {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val ewd = ckpt(e.join(deg, Seq("src")))
+      convergedScaledLoop(ewd, -1L, tol, maxIters, damping, checkEvery)
+    }
+  }
+
+  /** Convergence-driven scale-free PageRank over an ALREADY-PREPARED
+    * symmetric graph — the CTAS/warehouse companion to
+    * [[pageRankSymmetricPrepared]]: `p.ewd` is the persisted edge
+    * artifact and `p.n` is known, so a run is 2 jobs per block (the
+    * block checkpoint + the scalar delta) plus the caller's action —
+    * no edge build, no count. Numerically identical to the raw-edges
+    * symmetric path.
+    */
+  def pageRankConvergedPrepared(p: Prepared, tol: Double = 1e-7,
+      maxIters: Int = 50, damping: Double = 0.85,
+      checkEvery: Int = 3): DataFrame = {
+    require(p.symmetric,
+      "pageRankConvergedPrepared needs prepare(symmetric = true)")
+    require(tol > 0, "tol must be positive — use pageRank for fixed rounds")
+    withStablePartitioning(p.ewd.sparkSession) {
+      convergedScaledLoop(p.ewd, p.n, tol, maxIters, damping, checkEvery)
+    }
+  }
+
+  /** The shared block loop: scaled rounds over `ewd`, a lineage cut +
+    * one scalar delta job per block, generations freed as superseded.
+    * `nKnown < 0` means N is not known yet and is captured from the
+    * first block's delta aggregate (the rank table has one row per
+    * node on a symmetric graph).
+    */
+  private def convergedScaledLoop(ewd: DataFrame, nKnown: Long,
+      tol: Double, maxIters: Int, damping: Double,
+      checkEvery: Int): DataFrame = {
+    var sCut: DataFrame = null // previous block's checkpoint (scaled)
+    var n: Long = nKnown
+    var done = 0
+    var converged = false
+    while (!converged && done < maxIters) {
+      val block = math.min(checkEvery, maxIters - done)
+      var cur: DataFrame = null
+      for (r <- done + 1 to done + block) {
+        cur =
+          if (r == 1)
+            // s⁰ ≡ 1: first contributions come straight off the
+            // edge table, no rank join (same as symmetricScaledLoop)
+            ewd.select(col("dst").as("node"),
+                (lit(1.0) / col("outdeg")).cast("decimal(30,15)").as("c"))
+              .groupBy("node").agg(sum("c").as("csum"))
+              .select(col("node"), scaledAffine(damping).as("s"))
+          else {
+            val prev = if (cur == null) sCut else cur
+            ewd.join(prev.withColumnRenamed("node", "src"), Seq("src"))
+              .select(col("dst").as("node"),
+                (col("s") / col("outdeg")).cast("decimal(30,15)").as("c"))
+              .groupBy("node").agg(sum("c").as("csum"))
+              .select(col("node"), scaledAffine(damping).as("s"))
+          }
+      }
+      val next = ckpt(cur) // lineage cut = the block boundary
+      done += block
+      if (sCut == null) {
+        // block 1: delta against the constant s⁰ ≡ 1, and (when not
+        // already prepared) N for free from the same aggregate
+        val row = next
+          .agg(max(abs(col("s") - lit(1.0))).as("delta"),
+            count(lit(1)).as("n")).head()
+        if (n < 0L) n = row.getLong(1)
+        if (row.getDouble(0) < tol * n) converged = true
+      } else {
+        val delta = next.withColumnRenamed("s", "s2")
+          .join(sCut, Seq("node"))
+          .agg(max(abs(col("s2") - col("s")))).head().getDouble(0)
+        // the delta job was the old block's last reader — free its
+        // generation (two rank checkpoints alive at any moment)
+        release(sCut)
+        if (delta < tol * n) converged = true
+      }
+      sCut = next
+    }
+    sCut.select(col("node"), (col("s") / lit(n.toDouble)).as("r"))
+      .withColumn("iters_run", lit(done))
   }
 
   /** Exact per-node triangle counts via degree-ordered orientation

@@ -185,6 +185,58 @@ class GraphSpec extends AnyFunSuite {
     assert(r3.values.sum === 30L) // 10 triangles × 3 corners
   }
 
+  test("prepared symmetric entries: bit-identical to the raw-edge paths") {
+    // the CTAS path (shared prepared artifact, ÷N as a driver literal)
+    // must be exactly the raw path's arithmetic — same doubles, not
+    // just close: g1/g2's oracle hashes depend on it
+    val rnd = new scala.util.Random(29)
+    val e = (1 to 260).map(_ => (rnd.nextInt(48).toLong, rnd.nextInt(48).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val p = Graph.prepare(edges, symmetric = true)
+    val fixedPrep = Graph.pageRankSymmetricPrepared(p, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fixedRaw = Graph.pageRankSymmetric(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fixedPrep === fixedRaw, "fixed-iteration prepared/raw diverge")
+    val convPrep = Graph.pageRankConvergedPrepared(p, tol = 1e-6, maxIters = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val convRaw = Graph.pageRankConverged(edges, tol = 1e-6, maxIters = 30,
+      symmetric = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(convPrep.sortBy(_._1) === convRaw.sortBy(_._1),
+      "convergence prepared/raw diverge")
+  }
+
+  test("pageRankConverged symmetric: agrees with the general path, frees blocks") {
+    // the scale-free symmetric convergence loop (s = N·rank, delta on
+    // the s scale, ÷N folded as a driver literal) must land on the
+    // same stopping decision and the same ranks as the general
+    // unscaled path — and hold at most two rank checkpoints at once
+    val sc = spark.sparkContext
+    val rnd = new scala.util.Random(23)
+    val e = (1 to 240).map(_ => (rnd.nextInt(45).toLong, rnd.nextInt(45).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val before = sc.getPersistentRDDs.size
+    val sym = Graph.pageRankConverged(edges, tol = 1e-6, maxIters = 30,
+      checkEvery = 3, symmetric = true)
+    val symRows = sym.collect()
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 3,
+      s"symmetric loop leaked checkpoint generations: $before -> $after")
+    val gen = Graph.pageRankConverged(edges, tol = 1e-6, maxIters = 30,
+      checkEvery = 3)
+    val genRows = gen.collect()
+    assert(symRows.head.getInt(2) === genRows.head.getInt(2),
+      "stopping decision diverged between scaled and unscaled paths")
+    val genMap = genRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    symRows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - genMap(r.getLong(0))) < 1e-10,
+        s"node ${r.getLong(0)}: scaled/unscaled rank mismatch")
+    }
+  }
+
   test("pageRankConverged frees superseded rank generations (O(state) blocks)") {
     // a tight tolerance forces many 3-round blocks; without the
     // in-loop release every block's checkpoint would stay persisted
