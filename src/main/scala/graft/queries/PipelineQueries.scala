@@ -670,10 +670,14 @@ object PipelineQueries {
           ((col("n_docs") - col("df")).cast("double") + lit(0.5))
             / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
           .cast("long").as("idf_micro"))
+      // NOTE: the SAME broadcast(stats) subplan as idf's — canonicalized
+      // equality lets ReuseExchange serve both from one broadcast job
+      // (a .select("avgdl") variant here was a second, different
+      // subplan and paid a second job for the same one-row table)
       val term = broadcast(queries).join(tf, Seq("token"))
         .join(broadcast(idf), Seq("token"))
         .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats.select("avgdl")))
+        .crossJoin(broadcast(stats))
         .select(col("query_id"), col("doc_id"),
           floor(col("idf_micro").cast("double")
             * (col("tf").cast("double") * lit(2.2))
