@@ -64,6 +64,62 @@ object Curation {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Paragraph-level decontamination — the span-REMOVAL refinement of
+    * [[decontaminate]]: real pipelines don't drop a whole document for
+    * one leaked benchmark passage, they cut the passage. Documents are
+    * split into non-overlapping `paraTokens`-token paragraphs (the
+    * fixed-window convention of p12's chunker; the synthetic corpus
+    * has no newline structure), each paragraph is judged independently
+    * against the benchmark `n`-gram set, and the output carries the
+    * span arithmetic per TRAIN doc:
+    * (doc_id, n_paras, n_dirty_paras, kept_tokens, scrubbed_text) —
+    * scrubbed_text is the clean paragraphs rejoined in order, "" when
+    * everything was contaminated.
+    *
+    * Scale shape: identical to [[decontaminate]] — the bench gram set
+    * broadcasts, paragraphs explode scan-side, one (doc, para) hit
+    * aggregate bounded by contaminated-span count, one doc-keyed
+    * rollup. The rejoin is a per-group `array_sort(collect_list(...))`
+    * over that doc's OWN paragraphs (bounded by doc length, never by
+    * corpus size), so no operator state grows with the corpus.
+    */
+  def decontaminateSpans(docs: DataFrame, isBench: Column, n: Int = 4,
+      paraTokens: Int = 32): DataFrame = {
+    val bench = benchGramSet(docs.where(isBench), n)
+    // one paragraph row per `paraTokens`-token window; a token-less doc
+    // still yields one (empty) paragraph, same as p12's chunker
+    val paras = docs.where(!isBench)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest(size(t) - 1, 0), $paraTokens)," +
+          s" st -> slice(t, st + 1, $paraTokens))")))
+      .select(col("doc_id"), col("pos").cast("long").as("para_idx"),
+        col("col").as("ptoks"))
+    val hits = paras
+      .select(col("doc_id"), col("para_idx"),
+        explode(array_distinct(wordGrams(col("ptoks"), n))).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id", "para_idx").agg(count(lit(1)).as("n_hits"))
+    val judged = paras.join(hits, Seq("doc_id", "para_idx"), "left")
+      .select(col("doc_id"), col("para_idx"),
+        size(col("ptoks")).cast("long").as("p_tokens"),
+        array_join(col("ptoks"), " ").as("ptext"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("dirty"))
+    judged.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("dirty"), lit(1L)).otherwise(lit(0L))).as("n_dirty_paras"),
+        sum(when(!col("dirty"), col("p_tokens")).otherwise(lit(0L)))
+          .as("kept_tokens"),
+        // clean paragraphs back in document order: collect_list drops
+        // the dirty (null) entries, array_sort orders by para_idx (the
+        // struct's first field), transform projects the text back out
+        array_join(transform(
+          array_sort(collect_list(
+            when(!col("dirty"), struct(col("para_idx"), col("ptext"))))),
+          x => x.getField("ptext")), " ").as("scrubbed_text"))
+  }
+
   /** Email / phone regexes shared by redaction and its residual check.
     * Kept to the Java∩RE2 regex subset so the DuckDB oracle applies
     * the exact same patterns.

@@ -515,6 +515,58 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- paragraph-level decontamination (span removal) ----
+    // The span-REMOVAL refinement of d14: instead of flagging whole
+    // documents, split each train doc into non-overlapping 32-token
+    // paragraphs (p12's fixed-window convention — the synthetic corpus
+    // has no newline structure), judge each paragraph against the
+    // benchmark 4-gram set independently, and emit the span
+    // arithmetic: paragraph counts, surviving token count, and the
+    // scrubbed text (clean paragraphs rejoined in document order, ""
+    // when everything leaked). The oracle replays the identical
+    // window/gram/rejoin arithmetic with DuckDB list ops, so the
+    // scrubbed strings themselves are hash-compared, not just counts.
+    // Scale shape = d14's: broadcast gram set, scan-side explode, hit
+    // aggregate bounded by contaminated spans, doc-keyed rollup whose
+    // collect_list is bounded by one doc's own paragraphs.
+    QueryDef("d19_decontaminate_spans",
+      """WITH train AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents WHERE doc_id % 101 != 0
+        |), bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 3), ' ')))) AS g
+        |  FROM documents WHERE doc_id % 101 = 0
+        |), paras AS (
+        |  SELECT doc_id, CAST(s // 32 AS BIGINT) AS para_idx,
+        |    list_slice(t, s + 1, s + 32) AS ptoks
+        |  FROM train, unnest(range(0, greatest(len(t), 1), 32)) AS u(s)
+        |), pg AS (
+        |  SELECT doc_id, para_idx,
+        |    unnest(list_distinct(list_transform(range(1, greatest(len(ptoks) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(ptoks, i, i + 3), ' ')))) AS g
+        |  FROM paras
+        |), hits AS (
+        |  SELECT doc_id, para_idx, COUNT(*) AS n_hits FROM pg
+        |  WHERE g IN (SELECT g FROM bench) GROUP BY doc_id, para_idx
+        |), judged AS (
+        |  SELECT p.doc_id, p.para_idx, len(p.ptoks) AS p_tokens,
+        |    array_to_string(p.ptoks, ' ') AS ptext,
+        |    coalesce(h.n_hits, 0) > 0 AS dirty
+        |  FROM paras p LEFT JOIN hits h
+        |    ON p.doc_id = h.doc_id AND p.para_idx = h.para_idx
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |  CAST(SUM(CASE WHEN dirty THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty_paras,
+        |  CAST(SUM(CASE WHEN NOT dirty THEN p_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  COALESCE(string_agg(CASE WHEN NOT dirty THEN ptext END, ' ' ORDER BY para_idx), '') AS scrubbed_text
+        |FROM judged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.decontaminateSpans(Tables.documents(s, dir),
+          isBench = col("doc_id") % 101 === 0, n = 4, paraTokens = 32)
+        .orderBy("doc_id")
+    },
+
     // ---- PII redaction (email/phone scrub + residual audit) ----
     // The corpus is synthetic word-salad with no real PII, so the raw
     // column deterministically embeds a doc-derived email and phone

@@ -86,6 +86,34 @@ class CurationSpec extends AnyFunSuite {
     assert(r2.getAs[Boolean]("keep"))
   }
 
+  test("decontaminateSpans: removes only the leaked paragraph, keeps order") {
+    // bench doc leaks a 4-gram into doc 1's SECOND paragraph (tokens
+    // 4..7 with paraTokens=4); paragraphs 1 and 3 survive and rejoin
+    // in document order. doc 2 is fully clean; doc 3 fully dirty → ""
+    val docs = Seq(
+      (0L, "leak one two three"), // bench (doc_id % 101 == 0 in d19; here explicit col)
+      (1L, "a b c d leak one two three e f g h"),
+      (2L, "p q r s t u v w"),
+      (3L, "leak one two three")
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminateSpans(docs, isBench = col("doc_id") === 0L,
+        n = 4, paraTokens = 4)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_paras") == 3L)
+    assert(d1.getAs[Long]("n_dirty_paras") == 1L)
+    assert(d1.getAs[Long]("kept_tokens") == 8L)
+    assert(d1.getAs[String]("scrubbed_text") == "a b c d e f g h")
+    val d2 = out(1)
+    assert(d2.getAs[Long]("n_dirty_paras") == 0L)
+    assert(d2.getAs[String]("scrubbed_text") == "p q r s t u v w")
+    val d3 = out(2)
+    assert(d3.getAs[Long]("n_paras") == 1L && d3.getAs[Long]("n_dirty_paras") == 1L)
+    assert(d3.getAs[Long]("kept_tokens") == 0L)
+    assert(d3.getAs[String]("scrubbed_text") == "")
+  }
+
   test("repetitionStats pins a 2-token doc (bigrams but no trigrams) to 0 bp") {
     // exactly 2 tokens → one bigram row (reaches the rollup) but zero
     // trigrams: the unguarded 0.0/0 was NaN→null on Spark and a
