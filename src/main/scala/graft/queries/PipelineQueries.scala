@@ -1168,5 +1168,91 @@ object PipelineQueries {
           when(substring(md5(col("rep").cast("string")), 1, 4) < "e666",
             "train").otherwise("val").as("split"))
         .orderBy("doc_id")
+    },
+
+    // ---- relational BPE: train 8 merges, encode the corpus ----
+    // Subword tokenization with NO imperative merge loop hidden in a
+    // UDF: vocabulary-level character state, per round one weighted
+    // pair count + deterministic argmax (count DESC, then
+    // lexicographic pair) + greedy left-to-right application as
+    // gaps-and-islands window arithmetic (operators/Bpe.scala). The
+    // oracle replays all 8 rounds as chained CTEs with the IDENTICAL
+    // window expressions, then both sides encode the corpus by
+    // joining doc words onto the trained segmentation (vocab-sized →
+    // broadcast; the corpus scan never reshuffles). Output: per-doc
+    // whitespace-word vs subword counts and the compression ratio in
+    // basis points — the honest units p13's packing and p23's token
+    // reporting would use at scale.
+    QueryDef("p26_bpe_encode", {
+      def round(prev: String, k: Int): String =
+        s""", pairs_$k AS (
+           |  SELECT a, b, SUM(c) AS n FROM (
+           |    SELECT c, sym AS a, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b
+           |    FROM $prev)
+           |  WHERE b IS NOT NULL GROUP BY a, b
+           |), best_$k AS MATERIALIZED (
+           |  SELECT a, b FROM pairs_$k ORDER BY n DESC, a, b LIMIT 1
+           |), cand_$k AS (
+           |  SELECT w, pos, pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS grp
+           |  FROM (SELECT w, pos, sym,
+           |          lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM $prev)
+           |  WHERE sym = (SELECT a FROM best_$k) AND nxt = (SELECT b FROM best_$k)
+           |), chosen_$k AS MATERIALIZED (
+           |  SELECT w, pos FROM (
+           |    SELECT w, pos, pos - MIN(pos) OVER (PARTITION BY w, grp) AS off
+           |    FROM cand_$k)
+           |  WHERE off % 2 = 0
+           |), s$k AS MATERIALIZED (
+           |  SELECT s.w, s.c, ROW_NUMBER() OVER (PARTITION BY s.w ORDER BY s.pos) AS pos,
+           |    CASE WHEN ch.pos IS NOT NULL THEN s.sym || (SELECT b FROM best_$k)
+           |         ELSE s.sym END AS sym
+           |  FROM $prev s
+           |  LEFT JOIN chosen_$k ch ON ch.w = s.w AND ch.pos = s.pos
+           |  LEFT JOIN chosen_$k sw ON sw.w = s.w AND sw.pos = s.pos - 1
+           |  WHERE sw.pos IS NULL
+           |)""".stripMargin
+      """WITH docw AS MATERIALIZED (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents
+        |), vocab AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM docw GROUP BY w
+        |), s0 AS MATERIALIZED (
+        |  SELECT v.w, v.c, i AS pos, v.cs[i] AS sym FROM (
+        |    SELECT w, c, regexp_extract_all(w, '[a-z0-9]') AS cs FROM vocab) v,
+        |    unnest(range(1, len(v.cs) + 1)) AS u(i)
+        |)""".stripMargin +
+        (1 to 8).map(k => round(if (k == 1) "s0" else s"s${k - 1}", k)).mkString +
+        """, enc AS (
+          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub FROM s8 GROUP BY w, c
+          |), perdoc AS (
+          |  SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          |    CAST(SUM(e.n_sub) AS BIGINT) AS n_subwords
+          |  FROM docw dw JOIN enc e ON dw.w = e.w GROUP BY dw.doc_id
+          |)
+          |SELECT d.doc_id,
+          |  CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+          |  CAST(COALESCE(p.n_subwords, 0) AS BIGINT) AS n_subwords,
+          |  CAST(CASE WHEN COALESCE(p.n_words, 0) > 0
+          |    THEN floor(10000.0 * p.n_subwords / p.n_words) ELSE 0 END AS BIGINT) AS ratio_bp
+          |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+          |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docw = Tables.documents(s, dir).select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      val vocab = docw.groupBy("w").agg(count(lit(1)).as("c"))
+      val enc = graft.operators.Bpe.train(vocab, rounds = 8).vocabSeg
+      val perdoc = docw
+        .join(broadcast(enc.select(col("w"), col("n_sub"))), Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(perdoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+          when(coalesce(col("n_words"), lit(0L)) > 0,
+            floor(lit(10000.0) * col("n_subwords") / col("n_words")).cast("long"))
+            .otherwise(lit(0L)).as("ratio_bp"))
+        .orderBy("doc_id")
     })
 }
