@@ -83,6 +83,60 @@ object Dedup {
       .select("a_id", "b_id", "est_jaccard")
   }
 
+  /** Signature-estimated CONTAINMENT pairs — the batch mirror of
+    * `DocStream.containmentCandidates` (StreamingSpec pins stream ==
+    * batch within one horizon). Same band-bucket candidate join as
+    * [[minhashPairs]], but the final ratio is Broder's containment
+    * estimated from the signature Jaccard plus exact distinct-shingle
+    * sizes via |A∩B| = J·(|A|+|B|)/(1+J):
+    *
+    *   ĉ = Ĵ·(a_sz + b_sz) / ((1 + Ĵ)·min(a_sz, b_sz))
+    *
+    * The sizes ride the SAME groupBy that builds the signatures
+    * ([[TextOps.shingles]] is distinct-by-construction, so the plain
+    * group count IS the distinct-shingle size) — no extra shuffle over
+    * [[minhashPairs]]. Recall caveat (same as the stream): banding
+    * recalls pairs by their JACCARD, so this covers the
+    * moderate-asymmetry containment regime (J ≳ 0.7); extreme subset
+    * pairs (J ≈ 0) need the exact inverted-index path
+    * ([[containmentPairs]], d18). Exact-path parity: on A ⊆ B pairs
+    * the estimator is exact when Ĵ = J, since
+    * J(a+b)/((1+J)·a) = 1 for J = a/b.
+    */
+  def minhashContainmentPairs(docs: DataFrame, minEst: Double = 0.9,
+      minSize: Int = 16, textCol: String = "text", idCol: String = "doc_id",
+      perms: Int = 64, shingleK: Int = 7, bands: Int = 8): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      explode(TextOps.shingles(textCol, shingleK)).as("g"))
+    val mins = (0 until perms).map(j => min(xxhash64(col("g"), lit(j))).as(s"mh_$j"))
+    val aggs = mins :+ count(lit(1)).as("sz")
+    val sigs = exploded.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("sig", array((0 until perms).map(j => col(s"mh_$j")): _*))
+      .withColumn("bands", TextOps.bandKeys("sig", bands, perms / bands))
+      .select(col(idCol), col("sig"), col("sz"), col("bands"))
+      .localCheckpoint(true)
+    val banded = sigs
+      .select(col(idCol), col("sig"), col("sz"), explode(col("bands")).as("b"))
+      .select(col(idCol), col("sig"), col("sz"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+    val a = banded.select(col(idCol).as("a_id"), col("sig").as("a_sig"),
+      col("sz").as("a_sz"), col("band"), col("bh"))
+    val b = banded.select(col(idCol).as("b_id"), col("sig").as("b_sig"),
+      col("sz").as("b_sz"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sig", "b_sig", "a_sz", "b_sz")
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("est_jaccard", TextOps.estJaccard("a_sig", "b_sig", perms))
+      .withColumn("est_containment", least(lit(1.0),
+        col("est_jaccard") * (col("a_sz") + col("b_sz")) /
+          ((lit(1.0) + col("est_jaccard")) * least(col("a_sz"), col("b_sz")))))
+      .where(col("est_containment") >= minEst &&
+        least(col("a_sz"), col("b_sz")) >= minSize)
+      .select("a_id", "b_id", "a_sz", "b_sz", "est_containment")
+  }
+
   /** Recall audit of the MinHash/LSH candidate generator against the
     * exact inverted-index ground truth: every exact near-dup pair
     * (Jaccard ≥ `minJaccard` over kept shingles, with BOTH kept-set

@@ -45,35 +45,91 @@ object DocStream {
     */
   def minhashCandidates(docs: DataFrame, horizonMinutes: Int = 60,
       perms: Int = 64, bands: Int = 8, shingleK: Int = 7,
-      minEst: Double = 0.5): DataFrame = {
+      minEst: Double = 0.5): DataFrame =
+    bandCandidates(docs, horizonMinutes, perms, bands, shingleK)
+      .where(col("est_jaccard") >= minEst)
+      .select(col("a_id"), col("b_id"), col("a_ets"), col("est_jaccard"))
+      .dropDuplicatesWithinWatermark("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+
+  /** Streaming CONTAINMENT candidates — the ingest-time half of the
+    * batch d18 path: same signatures, same band-bucket join as
+    * [[minhashCandidates]], but the final predicate is Broder's
+    * containment c(A,B) = |A∩B| / min(|A|,|B|) estimated from the
+    * signature Jaccard plus the exact (row-local) distinct-shingle
+    * sizes, via the identity |A∩B| = J·(|A|+|B|)/(1+J):
+    *
+    *   ĉ = Ĵ·(a_sz + b_sz) / ((1 + Ĵ)·min(a_sz, b_sz))
+    *
+    * This flags the subset-duplication pairs a symmetric Jaccard cut
+    * drops — e.g. A ⊂ B with |A| = 0.8·|B| has J = 0.8 (below a 0.9
+    * cut) but c = 1.0. Recall envelope, stated honestly: candidates
+    * still come from signature banding, whose per-pair recall decays
+    * as J^r — so EXTREME asymmetry (a tiny doc quoted inside a huge
+    * one, J ≈ 0) is structurally invisible here and belongs to the
+    * batch inverted-index path (`Dedup.containmentPairs`, d18). The
+    * stream covers the moderate-asymmetry regime (J ≳ 0.7) the
+    * moment it arrives; the batch job owns the long tail — the same
+    * lambda split as the Jaccard path. Batch parity:
+    * `Dedup.minhashContainmentPairs` (StreamingSpec pins stream ==
+    * batch within one horizon).
+    */
+  def containmentCandidates(docs: DataFrame, horizonMinutes: Int = 60,
+      perms: Int = 64, bands: Int = 8, shingleK: Int = 7,
+      minEst: Double = 0.9, minSize: Int = 16): DataFrame =
+    bandCandidates(docs, horizonMinutes, perms, bands, shingleK)
+      .withColumn("est_containment", least(lit(1.0),
+        col("est_jaccard") * (col("a_sz") + col("b_sz")) /
+          ((lit(1.0) + col("est_jaccard")) * least(col("a_sz"), col("b_sz")))))
+      .where(col("est_containment") >= minEst &&
+        least(col("a_sz"), col("b_sz")) >= minSize)
+      .select(col("a_id"), col("b_id"), col("a_ets"),
+        col("a_sz"), col("b_sz"), col("est_containment"))
+      .dropDuplicatesWithinWatermark("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"),
+        col("est_containment"))
+
+  /** Shared signed-band self-join: signs each arriving doc ROW-LOCALLY
+    * (signature, distinct-shingle size, band keys — all per-row
+    * expressions, hash-identical to the batch groupBy build), then
+    * forms band-bucket candidates through the watermarked ±horizon
+    * stream-stream self-join. Emits one row per (pair, colliding
+    * band) with both signatures' est_jaccard and both sizes; callers
+    * apply their ratio predicate and the pair-level
+    * dropDuplicatesWithinWatermark.
+    */
+  private def bandCandidates(docs: DataFrame, horizonMinutes: Int,
+      perms: Int, bands: Int, shingleK: Int): DataFrame = {
     val rows = perms / bands
     val signed = docs
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", s"$horizonMinutes minutes")
       .withColumn("gs", TextOps.shingles("text", shingleK))
+      // gs is distinct-by-construction (TextOps.shingles array_distincts),
+      // so size(gs) IS the distinct-shingle count; BIGINT to match the
+      // batch groupBy count in Dedup.minhashContainmentPairs exactly.
+      .withColumn("sz", expr("CAST(size(gs) AS BIGINT)"))
       .withColumn("sig", expr(
         s"transform(sequence(0, ${perms - 1}), j -> array_min(transform(gs, g -> xxhash64(g, j))))"))
-      .select(col("doc_id"), col("ets"), col("sig"),
+      .select(col("doc_id"), col("ets"), col("sig"), col("sz"),
         explode(expr(
           s"""transform(sequence(CAST(0 AS BIGINT), CAST(${bands - 1} AS BIGINT)),
              |  b -> named_struct('band', b,
              |    'bh', xxhash64(slice(sig, CAST(b * $rows + 1 AS INT), $rows), b)))""".stripMargin))
           .as("bk"))
-      .select(col("doc_id"), col("ets"), col("sig"),
+      .select(col("doc_id"), col("ets"), col("sig"), col("sz"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
     val a = signed.select(col("doc_id").as("a_id"), col("ets").as("a_ets"),
-      col("sig").as("a_sig"), col("band").as("a_band"), col("bh").as("a_bh"))
+      col("sig").as("a_sig"), col("sz").as("a_sz"),
+      col("band").as("a_band"), col("bh").as("a_bh"))
     val b = signed.select(col("doc_id").as("b_id"), col("ets").as("b_ets"),
-      col("sig").as("b_sig"), col("band").as("b_band"), col("bh").as("b_bh"))
+      col("sig").as("b_sig"), col("sz").as("b_sz"),
+      col("band").as("b_band"), col("bh").as("b_bh"))
     a.join(b,
         expr(s"""a_band = b_band AND a_bh = b_bh AND a_id < b_id AND
                  |b_ets >= a_ets - interval $horizonMinutes minutes AND
                  |b_ets <= a_ets + interval $horizonMinutes minutes""".stripMargin))
       .withColumn("est_jaccard", TextOps.estJaccard("a_sig", "b_sig", perms))
-      .where(col("est_jaccard") >= minEst)
-      .select(col("a_id"), col("b_id"), col("a_ets"), col("est_jaccard"))
-      .dropDuplicatesWithinWatermark("a_id", "b_id")
-      .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
 
   /** Ingest-time quality gate + chunking: the streaming half of the

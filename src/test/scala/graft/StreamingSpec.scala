@@ -262,6 +262,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming containment candidates match batch minhashContainmentPairs (d18 ratio)") {
+    implicit val sqlCtx = spark.sqlContext
+    // Engineered subset-duplication pairs: doc 2i+1 is a strict PREFIX
+    // of doc 2i covering ~85% of it — shingle containment 1.0 but
+    // Jaccard ≈ 0.85, i.e. exactly the regime a symmetric 0.9 Jaccard
+    // cut drops and the containment ratio must flag. Prefix subsets
+    // keep the shingle sets nested (every k-gram of the prefix is a
+    // k-gram of the whole), so the true containment is exactly 1.
+    val bases = Seq(
+      "the quick brown fox jumps over the lazy dog while the band plays on and the crowd cheers loudly in the summer evening air near the old wooden bridge by the river bend",
+      "distributed query engines shuffle partitions across executors under adaptive execution while columnar scans prune row groups and dictionary pages stream through vectorized readers",
+      "parquet row groups column chunks page headers and dictionary encodings interact with predicate pushdown and bloom filters to skip irrelevant data during large table scans")
+    val docs: Seq[(Long, String)] = bases.zipWithIndex.flatMap { case (b, i) =>
+      Seq((2L * i, b), (2L * i + 1, b.take((b.length * 0.85).toInt)))
+    } ++ (10 until 18).map(i => (i.toLong, s"unrelated filler document number $i with its own distinct vocabulary entry $i$i"))
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.DocStream.containmentCandidates(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("containment_out").start()
+    try {
+      val M = 60L * 1000000000L
+      mem.addData(docs.map { case (id, t) => (id, t, (10 + id) * M) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("containment_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val expect = graft.operators.Dedup
+        .minhashContainmentPairs(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(expect.nonEmpty, "fixture must contain containment pairs")
+      assert(got === expect, s"stream $got vs batch $expect")
+      // the flagged pairs must be the engineered prefix-subset pairs,
+      // i.e. pairs a symmetric 0.9-Jaccard cut would NOT all keep
+      assert(got.map(p => (p._1, p._2)).subsetOf(Set((0L, 1L), (2L, 3L), (4L, 5L))))
+    } finally q.stop()
+  }
+
   test("streaming quality gate + chunking matches the batch p11→p12 pipeline") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
