@@ -566,4 +566,67 @@ object Dedup {
         coalesce(col("near_dup"), lit(false)).as("near_dup"))
       .withColumn("admit", !col("exact_dup") && !col("near_dup"))
   }
+
+  /** Corpus-internal duplicated-substring SPANS — the relational form
+    * of ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): find every maximal token
+    * region that also occurs elsewhere in the corpus, so the pipeline
+    * can cut repeated boilerplate/quotations at span granularity
+    * instead of dropping whole documents. Where the paper builds a
+    * corpus suffix array (single-node, RAM-bound), this uses stride-1
+    * token `windowTokens`-grams: a duplicated run of ≥ `windowTokens`
+    * tokens is EXACTLY a run of duplicated grams, so flagging every
+    * occurrence of any gram seen ≥ 2 times corpus-wide and merging
+    * overlapping windows per doc (gaps-and-islands over start
+    * offsets) reconstructs the paper's maximal duplicate spans at
+    * token granularity — as joins and windows that shard over any
+    * cluster instead of one machine's suffix array.
+    *
+    * Scale shape: the gram occurrence table is token-count-sized
+    * (same volume class as d14's 4-gram explode); duplicated grams
+    * come from one groupBy(g) with map-side partial counts, flagging
+    * is a shuffle semi-join on g (NOT broadcast — duplicated grams
+    * grow with the corpus), and the island merge is a per-doc window
+    * bounded by document length. One row out per document that has
+    * at least one duplicated span:
+    * (doc_id, n_tokens, n_spans, dup_tokens, dup_bp, spans) with
+    * `spans` the ordered "st-en" token-index list and `dup_bp` the
+    * duplicated-token share in basis points (integer div —
+    * engine-portable).
+    */
+  def dupSubstringSpans(docs: DataFrame, windowTokens: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = windowTokens
+    val toks = docs.select(col(idCol), Curation.tokens(col(textCol)).as("t"))
+    val occ = toks
+      .select(col(idCol), posexplode(Curation.wordGrams(col("t"), w)))
+      .select(col(idCol), col("pos").cast("long").as("st"), col("col").as("g"))
+    val dup = occ.groupBy("g").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("g")
+    val flagged = occ.join(dup, Seq("g"), "left_semi")
+      .select(col(idCol), col("st"), (col("st") + lit(w - 1).cast("long")).as("en"))
+    val ord = Window.partitionBy(idCol).orderBy("st")
+    val prevMaxEnd = max("en").over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = flagged
+      .withColumn("new_span",
+        when(col("st") > coalesce(prevMaxEnd, lit(-1L)), lit(1L)).otherwise(lit(0L)))
+      .withColumn("island",
+        sum("new_span").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = islands.groupBy(col(idCol), col("island"))
+      .agg(min("st").as("sp_st"), max("en").as("sp_en"))
+    spans.groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("sp_en") - col("sp_st") + 1).as("dup_tokens"),
+        // spans rendered in order: struct sort on (sp_st, sp_en) —
+        // sp_st is unique per doc (islands partition the offsets)
+        array_join(transform(
+          array_sort(collect_list(struct(col("sp_st"), col("sp_en")))),
+          x => concat(x.getField("sp_st").cast("string"), lit("-"),
+            x.getField("sp_en").cast("string"))), ",").as("spans"))
+      .join(toks.select(col(idCol), size(col("t")).cast("long").as("n_tokens")),
+        Seq(idCol))
+      .withColumn("dup_bp", expr("(10000 * dup_tokens) div n_tokens"))
+      .select(idCol, "n_tokens", "n_spans", "dup_tokens", "dup_bp", "spans")
+  }
 }

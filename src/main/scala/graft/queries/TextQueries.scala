@@ -567,6 +567,58 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- corpus-internal duplicated-substring spans (ExactSubstr) ----
+    // Relationalized ExactSubstr dedup (Lee et al. 2022): every
+    // maximal token region occurring >= 2 times corpus-wide, found as
+    // stride-1 16-token grams -> one groupBy(g) for the duplicated
+    // set -> semi-join flagging -> per-doc gaps-and-islands window
+    // merge. Where the paper's suffix array is single-node RAM-bound,
+    // every stage here shards: the gram table is token-count-sized,
+    // the semi-join shuffles on g (never broadcast — duplicated grams
+    // grow with the corpus), the island merge is a doc-bounded
+    // window. The span strings themselves are hash-compared, and the
+    // duplicated share is integer basis points (div — portable).
+    QueryDef("d20_dup_substring_spans",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS st,
+        |    array_to_string(list_slice(t, CAST(i AS INTEGER), CAST(i + 15 AS INTEGER)), ' ') AS g
+        |  FROM toks, unnest(range(1, greatest(len(t) - 15, 0) + 1)) AS u(i)
+        |), dup AS (
+        |  SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2
+        |), flagged AS (
+        |  SELECT doc_id, st, st + 15 AS en FROM occ
+        |  WHERE g IN (SELECT g FROM dup)
+        |), isl AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN st > COALESCE(MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS new_span
+        |  FROM flagged
+        |), isl2 AS (
+        |  SELECT doc_id, st, en, SUM(new_span) OVER (PARTITION BY doc_id ORDER BY st
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, island, MIN(st) AS sp_st, MAX(en) AS sp_en
+        |  FROM isl2 GROUP BY doc_id, island
+        |), per_doc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(SUM(sp_en - sp_st + 1) AS BIGINT) AS dup_tokens,
+        |    string_agg(sp_st || '-' || sp_en, ',' ORDER BY sp_st) AS spans
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT p.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens, p.n_spans,
+        |  p.dup_tokens, (10000 * p.dup_tokens) // CAST(len(tk.t) AS BIGINT) AS dup_bp,
+        |  p.spans
+        |FROM per_doc p JOIN toks tk ON p.doc_id = tk.doc_id
+        |ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dupSubstringSpans(Tables.documents(s, dir), windowTokens = 16)
+        .orderBy("doc_id")
+    },
+
     // ---- PII redaction (email/phone scrub + residual audit) ----
     // The corpus is synthetic word-salad with no real PII, so the raw
     // column deterministically embeds a doc-derived email and phone

@@ -99,4 +99,45 @@ class DedupSpec extends AnyFunSuite {
     assert(got(6L) == ((false, false, true)), s"6 is new to the corpus: $got")
     assert(got(8L) == ((false, false, true)), s"8 is new to the corpus: $got")
   }
+
+  test("dupSubstringSpans merges overlapping windows into maximal spans") {
+    // doc 1 and doc 2 share a 20-token run (tokens 5..24 of doc 1,
+    // 0..19 of doc 2): five overlapping 16-gram starts in doc 1
+    // (5,6,7,8,9... -> starts 5..9) must merge into ONE span of
+    // exactly the shared run; doc 3 is unrelated (no spans row).
+    val shared = (0 until 20).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta eps " + shared + " tail one two"),
+      (2L, shared + " its own different ending here"),
+      (3L, (0 until 30).map(i => s"unique$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSubstringSpans(docs, windowTokens = 16)
+      .orderBy("doc_id").collect()
+    assert(got.length == 2, s"doc 3 must not appear: ${got.mkString(";")}")
+    val d1 = got(0)
+    assert(d1.getAs[Long]("doc_id") == 1L)
+    assert(d1.getAs[Long]("n_spans") == 1L, s"overlap must merge: $d1")
+    // doc 1: shared run occupies token indexes 5..24 => span "5-24"
+    assert(d1.getAs[String]("spans") == "5-24", s"got ${d1.getAs[String]("spans")}")
+    assert(d1.getAs[Long]("dup_tokens") == 20L)
+    val d2 = got(1)
+    assert(d2.getAs[String]("spans") == "0-19", s"got ${d2.getAs[String]("spans")}")
+    assert(d2.getAs[Long]("n_tokens") == 25L)
+  }
+
+  test("dupSubstringSpans flags within-doc repetition and separates distant spans") {
+    // one doc repeats its own 16-token block twice with a long unique
+    // gap between the copies: both copies are duplicated substrings
+    // (corpus-wide count >= 2 includes same-doc), and the gap keeps
+    // them as TWO spans, not one merged region.
+    val block = (0 until 16).map(i => s"rep$i").mkString(" ")
+    val gap = (0 until 20).map(i => s"gap$i").mkString(" ")
+    val docs = Seq((1L, block + " " + gap + " " + block)).toDF("doc_id", "text")
+    val got = Dedup.dupSubstringSpans(docs, windowTokens = 16).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_spans") == 2L, s"got ${got(0)}")
+    assert(got(0).getAs[String]("spans") == "0-15,36-51", s"got ${got(0)}")
+    assert(got(0).getAs[Long]("dup_tokens") == 32L)
+    assert(got(0).getAs[Long]("dup_bp") == 10000L * 32 / 52)
+  }
 }
