@@ -1254,5 +1254,66 @@ object PipelineQueries {
             floor(lit(10000.0) * col("n_subwords") / col("n_words")).cast("long"))
             .otherwise(lit(0L)).as("ratio_bp"))
         .orderBy("doc_id")
+    },
+
+    // ---- DSIR-style importance-weighted data selection ----
+    // Data Selection via Importance Resampling (Xie et al. 2023):
+    // score every candidate document by how target-like its token
+    // distribution is, then keep the top slice. Target here = the
+    // English stratum; candidates = everything else. Per token w the
+    // weight is the add-1-smoothed likelihood ratio (tc+1)/(rc+1),
+    // UNNORMALIZED — the ttot/rtot normalization constants are the
+    // same for every gram, so they drop out of the per-doc ranking,
+    // which removes both the 1-row scalar broadcasts AND the bigint
+    // overflow a (tc+1)·rtot product would hit at real corpus sizes.
+    // Quantized ×1e6 into integer `div` arithmetic (the repo's
+    // engine-reproducible-numerics discipline — DSIR's float
+    // log-ratio sum is not bit-stable across engines); per-doc score
+    // = mean quantized ratio over the doc's tokens. Scale shape: two
+    // vocab-keyed groupBys with map-side combine, a vocab-sized
+    // LEFT join (shuffle, NOT broadcast — vocab grows with the
+    // corpus), the candidate token stream joining on w then
+    // aggregating on doc_id, and a TakeOrdered top-k — no all-pairs,
+    // no driver state, no scalar subqueries.
+    QueryDef("p27_dsir_select",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents
+        |), tcnt AS (
+        |  SELECT w, COUNT(*) AS tc FROM toks WHERE lang = 'en' GROUP BY w
+        |), rcnt AS (
+        |  SELECT w, COUNT(*) AS rc FROM toks WHERE lang != 'en' GROUP BY w
+        |), score AS (
+        |  SELECT r.w,
+        |    (1000000 * (COALESCE(t.tc, 0) + 1)) // (r.rc + 1) AS q
+        |  FROM rcnt r LEFT JOIN tcnt t ON r.w = t.w
+        |), perdoc AS (
+        |  SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |    SUM(sc.q) // COUNT(*) AS imp_q
+        |  FROM toks tk JOIN score sc ON tk.w = sc.w
+        |  WHERE tk.lang != 'en' GROUP BY tk.doc_id
+        |)
+        |SELECT p.doc_id, d.lang, d.source, p.n_toks, p.imp_q
+        |FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+        |ORDER BY p.imp_q DESC, p.doc_id LIMIT 100""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(Curation.tokens(col("text"))).as("w"))
+      val tcnt = toks.where(col("lang") === "en")
+        .groupBy("w").agg(count(lit(1)).as("tc"))
+      val rcnt = toks.where(col("lang") =!= "en")
+        .groupBy("w").agg(count(lit(1)).as("rc"))
+      val score = rcnt.join(tcnt, Seq("w"), "left")
+        .select(col("w"),
+          expr("(1000000 * (COALESCE(tc, 0) + 1)) div (rc + 1)").as("q"))
+      val perdoc = toks.where(col("lang") =!= "en").select("doc_id", "w")
+        .join(score, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum("q").as("sq"))
+        .select(col("doc_id"), col("n_toks"), expr("sq div n_toks").as("imp_q"))
+      perdoc.join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+        .select("doc_id", "lang", "source", "n_toks", "imp_q")
+        .orderBy(col("imp_q").desc, col("doc_id")).limit(100)
     })
 }
