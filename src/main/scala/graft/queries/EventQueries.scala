@@ -515,5 +515,80 @@ object EventQueries {
           col("n_events"), col("open"), col("high"), col("low"),
           col("close"), col("sum_q"))
         .orderBy("event_type", "hour")
+    },
+
+    // ---- first/last-touch revenue attribution over sessions ----
+    // The marketing-analytics classic on top of e5's sessionization:
+    // each purchase's value is credited (a) to the channel (event
+    // type) of the session's FIRST event — first-touch — and (b) to
+    // the last NON-purchase channel strictly before the purchase in
+    // the same session — last-touch, 'direct' when the purchase opens
+    // its session. Both models emit per-channel purchase counts and
+    // revenue (quantized cents: floor(value*100) longs, e16's exact-
+    // sum discipline — double SUM order-determinism is not portable).
+    // Plan shape: ONE event-stream exchange on user_id for the
+    // lag/cumsum session pass, then one on (user_id, session_id) for
+    // the in-session windows — both user-keyed, skew-free (sessions
+    // are bounded); the credited rows are purchase-count-sized before
+    // the tiny channel×model rollup. IGNORE NULLS last_value gives
+    // the "last non-purchase before me" lookback without a self-join.
+    QueryDef("e17_attribution",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS v_cents, epoch_us(ts) AS tus,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_tus
+        |  FROM events
+        |), numbered AS (
+        |  SELECT user_id, event_id, event_type, v_cents, tus,
+        |    SUM(CASE WHEN prev_tus IS NULL OR tus - prev_tus > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM seq
+        |), touched AS (
+        |  SELECT user_id, event_type, v_cents,
+        |    FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+        |      ORDER BY tus, event_id) AS ft,
+        |    COALESCE(LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id, session_id ORDER BY tus, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'direct') AS lt
+        |  FROM numbered
+        |)
+        |SELECT model, channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(v_cents) AS BIGINT) AS rev_cents
+        |FROM (
+        |  SELECT 'first_touch' AS model, ft AS channel, v_cents FROM touched
+        |  WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'last_touch', lt, v_cents FROM touched
+        |  WHERE event_type = 'purchase')
+        |GROUP BY model, channel ORDER BY model, channel""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Window.partitionBy("user_id", "session_id")
+        .orderBy(col("tus"), col("event_id"))
+      val numbered = Tables.events(s, dir)
+        .withColumn("tus", expr("ts div 1000"))
+        .withColumn("v_cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+        .withColumn("prev_tus", lag(col("tus"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_tus").isNull ||
+            col("tus") - col("prev_tus") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(cum))
+      val touched = numbered
+        .withColumn("ft", first(col("event_type")).over(sess))
+        .withColumn("lt", coalesce(
+          last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+            .over(sess.rowsBetween(Window.unboundedPreceding, -1)),
+          lit("direct")))
+        .where(col("event_type") === "purchase")
+      touched
+        .select(explode(array(
+          struct(lit("first_touch").as("model"), col("ft").as("channel")),
+          struct(lit("last_touch").as("model"), col("lt").as("channel")))).as("mc"),
+          col("v_cents"))
+        .groupBy(col("mc.model").as("model"), col("mc.channel").as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("v_cents").cast("long").as("rev_cents"))
+        .orderBy("model", "channel")
     })
 }
