@@ -593,4 +593,78 @@ object Similarity {
       .where(col("cos_bp") >= minCosBp)
       .select(col(blockCol), col("a_id"), col("b_id"), col("cos_bp"))
   }
+
+  /** Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    * 1998): greedily pick `k` results that balance relevance to the
+    * query against redundancy with what is already picked —
+    * `argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)` — the standard
+    * diversification rerank for retrieval-augmented pipelines.
+    *
+    * Execution split, stated precisely because a greedy chain is
+    * inherently sequential: the DATA-plane work — scoring all n
+    * vectors against the query and taking the top-`pool` candidates
+    * (TakeOrdered), then the pool² candidate-pair cosine matrix — is
+    * distributed; the greedy selection itself runs on the DRIVER over
+    * the collected pool (pool + pool² control-plane rows, ≤ ~2.5k
+    * values at pool=50 — same class as Overlap's ≤|sources| collect).
+    * At 100 TB the pool stays a constant-size rerank window while the
+    * candidate scoring scales out, which is exactly how production
+    * MMR is deployed (ANN recall stage → bounded rerank).
+    *
+    * Numerics: relevance and pairwise similarity are cosine in
+    * integer BASIS POINTS over the ×1000-quantized grid ([[qdot]] +
+    * the blockedCosinePairs formula), and λ rides as the integer
+    * split `lambda10`/`10 − lambda10` (score ×10), so every
+    * comparison is integer and the greedy order is engine-exact —
+    * the DuckDB oracle replays the whole chain as a recursive CTE
+    * carrying the chosen list. Ties: lowest id wins at every step.
+    * Output: (sel_rank, vec_id, rel_bp, mmr10), sel_rank 1..k.
+    */
+  def mmrDiverseTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+      pool: Int = 50, lambda10: Int = 7,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val reg = registered(emb)
+    val q = reg.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), qnorm2(vecCol).as("qn2"))
+    val cands = reg.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("n2", qnorm2(vecCol))
+      .withColumn("dot", qdot(vecCol, "qv"))
+      .withColumn("rel_bp", expr(
+        "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))) AS BIGINT)"))
+      .orderBy(col("rel_bp").desc, col(idCol))
+      .limit(pool)
+      .select(col(idCol), col(vecCol), col("n2"), col("rel_bp"))
+      .localCheckpoint(true) // pool rows; reused by both sides of the pair matrix
+    val a = cands.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+      col("n2").as("a_n2"))
+    val b = cands.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      col("n2").as("b_n2"))
+    val sims = a.crossJoin(b).where(col("a_id") =!= col("b_id"))
+      .withColumn("dot", qdot("a_vec", "b_vec"))
+      .withColumn("sim_bp", expr(
+        "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(b_n2 AS DOUBLE)))) AS BIGINT)"))
+      .select("a_id", "b_id", "sim_bp")
+    // control-plane greedy: pool relevance rows + pool² sims
+    val rel = cands.select(col(idCol), col("rel_bp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy { case (id, rb) => (-rb, id) }
+    val simMap = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lam = lambda10.toLong
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val chosen = scala.collection.mutable.ArrayBuffer[Long]()
+    while (sel.length < math.min(k, rel.length)) {
+      val best = rel.iterator.filterNot(c => chosen.contains(c._1)).map {
+        case (id, rb) =>
+          val pen = if (chosen.isEmpty) 0L
+            else chosen.map(s => simMap((id, s))).max
+          (id, rb, lam * rb - (10L - lam) * pen)
+      }.reduceLeft((x, y) => if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x)
+      sel += ((sel.length + 1L, best._1, best._2, best._3))
+      chosen += best._1
+    }
+    import spark.implicits._
+    sel.toSeq.toDF("sel_rank", "vec_id", "rel_bp", "mmr10")
+  }
 }

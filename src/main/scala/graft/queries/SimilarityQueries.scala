@@ -439,5 +439,59 @@ object SimilarityQueries {
       Similarity.semanticDedup(Tables.embeddings(s, dir),
           centroidIds = cents, minCosBp = 3000)
         .orderBy("vec_id")
+    },
+
+    // ---- MMR diverse top-k rerank (retrieval diversification) ----
+    // Carbonell & Goldstein's Maximal Marginal Relevance over the
+    // ×1000-quantized cosine grid: distributed top-50 recall stage +
+    // pool² pair matrix, then the inherently-sequential greedy picks
+    // run driver-side over the collected control-plane pool (~2.5k
+    // values — the Overlap-collect class). Everything is integer
+    // basis points with λ = 7/10, so the greedy order is engine-exact
+    // and the ORACLE replays the full chain — including the greedy
+    // loop itself — as a recursive CTE carrying the chosen list.
+    QueryDef("s11_mmr_rerank",
+      """WITH RECURSIVE q AS (
+        |  SELECT embedding AS qv,
+        |    CAST(list_sum(list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS qn2
+        |  FROM embeddings WHERE vec_id = 0
+        |), scored AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    CAST(list_sum(list_transform(e.embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS n2,
+        |    CAST(list_sum(list_transform(list_zip(e.embedding, q.qv), p ->
+        |      CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS dot,
+        |    q.qn2 AS qn2
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+        |), cands AS (
+        |  SELECT vec_id, embedding, n2,
+        |    CAST(floor(10000.0 * CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))) AS BIGINT) AS rel_bp
+        |  FROM scored ORDER BY rel_bp DESC, vec_id LIMIT 50
+        |), sims AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding), p ->
+        |      CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS DOUBLE) /
+        |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT) AS sim_bp
+        |  FROM cands a, cands b WHERE a.vec_id <> b.vec_id
+        |), sel AS (
+        |  (SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel_bp,
+        |     7 * rel_bp AS mmr10, [vec_id] AS chosen
+        |   FROM cands ORDER BY rel_bp DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT s.sel_rank + 1, nxt.vec_id, nxt.rel_bp, nxt.mmr10,
+        |    list_append(s.chosen, nxt.vec_id)
+        |  FROM sel s, LATERAL (
+        |    SELECT c.vec_id, c.rel_bp,
+        |      7 * c.rel_bp - 3 * (SELECT MAX(sim_bp) FROM sims
+        |        WHERE a_id = c.vec_id AND list_contains(s.chosen, b_id)) AS mmr10
+        |    FROM cands c WHERE NOT list_contains(s.chosen, c.vec_id)
+        |    ORDER BY mmr10 DESC, c.vec_id LIMIT 1) nxt
+        |  WHERE s.sel_rank < 10
+        |)
+        |SELECT sel_rank, vec_id, rel_bp, mmr10 FROM sel ORDER BY sel_rank""".stripMargin) { (s, dir) =>
+      Similarity.mmrDiverseTopK(Tables.embeddings(s, dir),
+        queryId = 0L, k = 10, pool = 50, lambda10 = 7)
     })
 }

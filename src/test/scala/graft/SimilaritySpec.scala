@@ -257,4 +257,28 @@ class SimilaritySpec extends AnyFunSuite {
         s"blame $a -> $b crosses cells ${assigns(a)} vs ${assigns(b)}")
     }
   }
+
+  test("MMR rerank demotes the near-twin of the first pick below a diverse candidate") {
+    // Hand-computed fixture on the ×1000-quantized grid. Values are
+    // m/1000 + 0.0004 so the float->double floor lands exactly on m:
+    // q = (1000,0,0); v1 = (960,280,0)   rel 9600  (picked first)
+    //                 v2 = (950,281,0)   rel 9589, sim(v2,v1) = 9999 (twin)
+    //                 v3 = (920,0,390)   rel 9206, sim(v3,v1) = 8838 (diverse)
+    // Round 2: mmr(v2) = 7·9589 − 3·9999 = 37126
+    //          mmr(v3) = 7·9206 − 3·8838 = 37928  → v3 beats the twin
+    // even though pure relevance ranks v2 ahead of v3.
+    def f(m: Int): Float = (m / 1000.0 + 0.0004).toFloat
+    val vecs = Seq(
+      (0L, Array(f(1000), f(0), f(0)), 0),
+      (1L, Array(f(960), f(280), f(0)), 0),
+      (2L, Array(f(950), f(281), f(0)), 0),
+      (3L, Array(f(920), f(0), f(390)), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrDiverseTopK(vecs, queryId = 0L, k = 3, pool = 3)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 9600L, 67200L),
+      (2L, 3L, 9206L, 37928L),
+      (3L, 2L, 9589L, 37126L)), s"got ${got.mkString(",")}")
+  }
 }
