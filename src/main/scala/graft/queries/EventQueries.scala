@@ -590,5 +590,57 @@ object EventQueries {
         .agg(count(lit(1)).as("n_purchases"),
           sum("v_cents").cast("long").as("rev_cents"))
         .orderBy("model", "channel")
+    },
+
+    // ---- rolling z-score anomaly detection (integer-exact) ----
+    // Streaming-telemetry classic: flag events whose value deviates
+    // > 3σ from the trailing window of the SAME event type. The
+    // entire test is integer arithmetic: with S = Σv, S2 = Σv² over
+    // the 50 preceding cents-quantized values,
+    //   |v − S/n| > 3·σ  ⇔  (n·v − S)² > 9·(n·S2 − S²)
+    // — both sides exact BIGINTs (v ≤ ~10⁴ cents, n ≤ 50 keeps every
+    // product far under 2⁶³), so no float sqrt/mean ever enters the
+    // comparison and the flag is bit-identical across engines and
+    // partitionings. A minimum of 20 trailing samples gates the
+    // cold start. Plan shape: ONE exchange on event_type (bounded
+    // cardinality — at production scale the partition key would be
+    // (event_type, shard) with per-shard windows), running-sum frames
+    // inside, then a flag filter; output is anomaly-sized.
+    QueryDef("e18_anomaly_zscore",
+      """WITH seq AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS tus,
+        |    CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |), win AS (
+        |  SELECT event_id, event_type, v,
+        |    COUNT(*) OVER w AS n,
+        |    COALESCE(SUM(v) OVER w, 0) AS s,
+        |    COALESCE(SUM(v * v) OVER w, 0) AS s2
+        |  FROM seq
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id
+        |    ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, event_type, v, CAST(n AS BIGINT) AS win_n,
+        |  CAST((n * v - s) * (n * v - s) AS BIGINT) AS dev2,
+        |  CAST(9 * (n * s2 - s * s) AS BIGINT) AS thr2
+        |FROM win
+        |WHERE n >= 20 AND (n * v - s) * (n * v - s) > 9 * (n * s2 - s * s)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy(col("tus"), col("event_id"))
+        .rowsBetween(-50, -1)
+      Tables.events(s, dir)
+        .withColumn("tus", expr("ts div 1000"))
+        .withColumn("v", expr("CAST(floor(value * 100) AS BIGINT)"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", coalesce(sum(col("v")).over(w), lit(0L)))
+        .withColumn("s2", coalesce(sum(col("v") * col("v")).over(w), lit(0L)))
+        .where(col("n") >= 20 &&
+          (col("n") * col("v") - col("s")) * (col("n") * col("v") - col("s")) >
+            lit(9L) * (col("n") * col("s2") - col("s") * col("s")))
+        .select(col("event_id"), col("event_type"), col("v"),
+          col("n").cast("long").as("win_n"),
+          ((col("n") * col("v") - col("s")) * (col("n") * col("v") - col("s"))).as("dev2"),
+          (lit(9L) * (col("n") * col("s2") - col("s") * col("s"))).as("thr2"))
+        .orderBy("event_id")
     })
 }

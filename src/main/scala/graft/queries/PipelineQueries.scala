@@ -1315,5 +1315,48 @@ object PipelineQueries {
       perdoc.join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
         .select("doc_id", "lang", "source", "n_toks", "imp_q")
         .orderBy(col("imp_q").desc, col("doc_id")).limit(100)
+    },
+
+    // ---- n-gram novelty scoring (ingest-order content contribution) ----
+    // How much NEW content does each document contribute, in arrival
+    // (doc_id) order? A doc's distinct 8-token grams are "novel" iff
+    // no earlier doc (lower doc_id) contains them — i.e. the gram's
+    // corpus-wide MIN(doc_id) is this doc. The per-doc novel share is
+    // the curriculum/dedup-aware complement of d20: d20 finds the
+    // copied REGIONS, this ranks docs by marginal contribution (the
+    // signal behind "process high-novelty sources first" scheduling
+    // and diminishing-returns curves). Scale shape: distinct (doc,
+    // gram) pairs → one groupBy(g) keeping (min_doc, per-gram use) —
+    // map-side combined — then the doc rollup needs NO second join:
+    // novel count = count of grams where min_doc = doc_id, total =
+    // the doc's distinct grams, both from one (g → min_doc) pass
+    // re-joined on g. Integer basis points (div) — engine-portable.
+    QueryDef("p28_novelty_score",
+      """WITH dg AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT tk.doc_id, array_to_string(list_slice(tk.t, CAST(i AS INTEGER), CAST(i + 7 AS INTEGER)), ' ') AS g
+        |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents) tk,
+        |      unnest(range(1, greatest(len(tk.t) - 7, 0) + 1)) AS u(i))
+        |), fg AS (
+        |  SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g
+        |)
+        |SELECT dg.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN fg.first_doc = dg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST((10000 * SUM(CASE WHEN fg.first_doc = dg.doc_id THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS novel_bp
+        |FROM dg JOIN fg ON dg.g = fg.g
+        |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin) { (s, dir) =>
+      val dg = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(Curation.wordGrams(Curation.tokens(col("text")), 8)).as("g"))
+        .distinct()
+      val fg = dg.groupBy("g").agg(min("doc_id").as("first_doc"))
+      dg.join(fg, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("(10000 * n_novel) div n_grams").as("novel_bp"))
+        .orderBy("doc_id")
     })
 }
