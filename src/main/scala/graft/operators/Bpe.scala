@@ -130,4 +130,62 @@ object Bpe {
     Trained(merges,
       state.groupBy("w", "c").agg(count(lit(1)).as("n_sub")))
   }
+
+  /** Driver-side merge loop with EXACTLY [[train]]'s deterministic
+    * semantics (weighted pair counts; argmax by n DESC then
+    * lexicographic (a, b); greedy left-to-right non-overlapping
+    * replacement — BpeSpec pins trainDriver == train on fixtures).
+    *
+    * This is the production shape, not a shortcut: BPE training
+    * state is VOCABULARY-sized — control plane, like s11's rerank
+    * pool — while real tokenizers run ~32k merge rounds, which can
+    * never be 2 Spark jobs per round. So the corpus-proportional
+    * stages (the (w, c) vocab build before, the broadcast corpus
+    * encode after) stay distributed, and the inherently sequential
+    * loop runs where sequential work belongs. The relational
+    * [[train]] remains the engine-replayable form the DuckDB oracle
+    * mirrors round-for-round.
+    */
+  def trainDriver(vocab: DataFrame, rounds: Int): Trained = {
+    val spark = vocab.sparkSession
+    val rows = vocab.select("w", "c").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var seg: Array[(String, Long, Array[String])] = rows.map { case (w, c) =>
+      (w, c, w.toCharArray.collect {
+        case ch if (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9') =>
+          ch.toString
+      })
+    }
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    var round = 0
+    while (!done && round < rounds) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((_, c, syms) <- seg; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + c
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (a, b) = counts.toSeq
+          .minBy { case ((x, y), n) => (-n, x, y) }._1
+        merges :+= ((a, b))
+        seg = seg.map { case (w, c, syms) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (w, c, out.result())
+        }
+      }
+      round += 1
+    }
+    import spark.implicits._
+    Trained(merges,
+      seg.toSeq.map { case (w, c, s) => (w, c, s.length.toLong) }
+        .toDF("w", "c", "n_sub"))
+  }
 }

@@ -317,8 +317,18 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, minContainment: Double = 0.9,
       maxDf: Int = 50, minSize: Int = 16, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val kept = keptShingles(docs, maxDf, textCol, idCol)
+      idCol: String = "doc_id"): DataFrame =
+    containmentPairsFromKept(keptShingles(docs, maxDf, textCol, idCol),
+      minContainment, minSize, idCol)
+
+  /** Containment pairs over a PRE-BUILT kept-shingle index — the same
+    * split as [[ngramJaccardPairsFromKept]], so a session-materialized
+    * (or warehouse-bucketed) index serves the Jaccard AND containment
+    * predicates from one build; at 100 TB the index is the expensive
+    * artifact and every consumer must share it.
+    */
+  def containmentPairsFromKept(kept: DataFrame, minContainment: Double = 0.9,
+      minSize: Int = 16, idCol: String = "doc_id"): DataFrame = {
     val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("sz"))
     kept.select(col(idCol).as("a_id"), col("g"))
       .join(kept.select(col(idCol).as("b_id"), col("g")), Seq("g"))

@@ -1240,7 +1240,11 @@ object PipelineQueries {
       val docw = Tables.documents(s, dir).select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
       val vocab = docw.groupBy("w").agg(count(lit(1)).as("c"))
-      val enc = graft.operators.Bpe.train(vocab, rounds = 8).vocabSeg
+      // trainDriver: the merge loop runs on the collected vocab (the
+      // control-plane state — see Bpe.trainDriver's scale rationale);
+      // train (the relational twin the oracle mirrors) is spec-pinned
+      // equal and stays for engine-replayable verification.
+      val enc = graft.operators.Bpe.trainDriver(vocab, rounds = 8).vocabSeg
       val perdoc = docw
         .join(broadcast(enc.select(col("w"), col("n_sub"))), Seq("w"))
         .groupBy("doc_id")
@@ -1346,17 +1350,24 @@ object PipelineQueries {
         |  CAST((10000 * SUM(CASE WHEN fg.first_doc = dg.doc_id THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS novel_bp
         |FROM dg JOIN fg ON dg.g = fg.g
         |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin) { (s, dir) =>
+      // No dg ⋈ fg join back on g: a gram contributes to exactly one
+      // doc's novel count (its min_doc), so the novel tally is a
+      // second aggregate OF the min-doc table — per-doc totals and
+      // per-doc novel counts are both doc-keyed dim-sized frames and
+      // join on doc_id. Saves the gram-keyed join that would carry
+      // the full (doc, gram) stream a second time (measured 3.7 s →
+      // ~1 s at sf0.1).
       val dg = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(Curation.wordGrams(Curation.tokens(col("text")), 8)).as("g"))
         .distinct()
-      val fg = dg.groupBy("g").agg(min("doc_id").as("first_doc"))
-      dg.join(fg, Seq("g"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-        .select(col("doc_id"), col("n_grams"), col("n_novel"),
-          expr("(10000 * n_novel) div n_grams").as("novel_bp"))
+      val totals = dg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val novel = dg.groupBy("g").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      totals.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          expr("(10000 * coalesce(n_novel, 0L)) div n_grams").as("novel_bp"))
         .orderBy("doc_id")
     })
 }

@@ -34,6 +34,16 @@ object TextQueries {
       Dedup.minhashPairs(Tables.documents(s, dir), minEst = 0.5)
         .localCheckpoint())
 
+  /** The df-cut kept-shingle inverted index (maxDf 50), built once per
+    * (session, sf dir) — the expensive artifact of the exact near-dup
+    * family; d18's containment predicate consumes it directly (the
+    * batch analog of the warehouse-bucketed layout ScaleSpec proves).
+    */
+  def keptIndex(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.sources.SessionCache.getOrElseUpdate(s, s"kept_shingles:$dir")(
+      Dedup.keptShingles(Tables.documents(s, dir), maxDf = 50)
+        .localCheckpoint())
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- exact dedup groups (hash-keyed, no all-pairs) ----
@@ -176,8 +186,8 @@ object TextQueries {
         |WHERE CAST(p.common AS DOUBLE) / least(sa.sz, sb.sz) >= 0.55
         |  AND least(sa.sz, sb.sz) >= 16
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      Dedup.containmentPairs(Tables.documents(s, dir),
-          minContainment = 0.55, maxDf = 50, minSize = 16)
+      Dedup.containmentPairsFromKept(keptIndex(s, dir),
+          minContainment = 0.55, minSize = 16)
         .orderBy("a_id", "b_id")
     },
 

@@ -32,6 +32,26 @@ class BpeSpec extends AnyFunSuite {
     assert(t.merges === Seq(("a", "b")))
   }
 
+  test("trainDriver equals relational train: merges and segmentation (randomized vocab)") {
+    // deterministic pseudo-random vocabulary with engineered repeat
+    // structure so several merge rounds have real competition and
+    // ties; both trainers must agree round-for-round.
+    val words = (0 until 60).map { i =>
+      val base = "abcab" * (1 + i % 3) + ("xy" * (i % 4)) + s"${i % 10}"
+      (base, (1L + (i * 7) % 5))
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+    val vocab = words.toDF("w", "c")
+    val rel = Bpe.train(vocab, rounds = 6)
+    val drv = Bpe.trainDriver(vocab, rounds = 6)
+    assert(drv.merges == rel.merges,
+      s"merge tables differ: ${drv.merges} vs ${rel.merges}")
+    val relSeg = rel.vocabSeg.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val drvSeg = drv.vocabSeg.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(drvSeg == relSeg, s"segmentations differ")
+  }
+
   test("applyMerge: odd-run greedy ('aaa' merges once, head-first)") {
     val state = Bpe.charState(Seq(("aaa", 1L)).toDF("w", "c"))
     val out = Bpe.applyMerge(state, "a", "a")
