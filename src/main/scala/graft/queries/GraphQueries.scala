@@ -22,13 +22,21 @@ object GraphQueries {
   /** The shared trade graph: customers (2k) and suppliers (2k+1) that
     * share at least one order; both edge directions present.
     */
-  private def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val e0 = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+  /** Directed customer→supplier trade edges (pre-symmetrization):
+    * the bipartite form g4's HITS runs on — hubs = customers,
+    * authorities = suppliers.
+    */
+  private def tradeEdgesDirected(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
+
+  private def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val e0 = tradeEdgesDirected(s, dir)
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -218,6 +226,44 @@ object GraphQueries {
       Graph.triangleCounts(edges)
         .select(col("node").as("suppkey"), col("n_tri"))
         .orderBy(col("n_tri").desc, col("suppkey"))
+        .limit(50)
+    },
+
+    // ---- HITS authorities on the directed trade graph ----
+    // Kleinberg's mutual reinforcement on the bipartite
+    // customer→supplier edges (hubs = customers, authorities =
+    // suppliers): an authoritative supplier is one bought from by
+    // customers who buy from many authoritative suppliers. Three
+    // UNNORMALIZED rounds — with h⁰ ≡ 1 every round is a pure BIGINT
+    // sum (a¹ = indeg, hᵏ = Σ aᵏ, aᵏ⁺¹ = Σ hᵏ), so scores are exact
+    // integers, the ordering is the textbook one (L2 normalization
+    // only rescales), and the oracle replays the rounds as chained
+    // integer CTEs with no quantization anywhere. Plan: two hash
+    // aggregates per round over the same src/dst join keys — the
+    // bucketed-edge-table exchange-elision shape, no driver state.
+    QueryDef("g4_hits_authorities",
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), a1 AS (
+        |  SELECT dst, CAST(COUNT(*) AS BIGINT) AS s FROM e0 GROUP BY dst
+        |), h1 AS (
+        |  SELECT e0.src, CAST(SUM(a1.s) AS BIGINT) AS s
+        |  FROM e0 JOIN a1 ON a1.dst = e0.dst GROUP BY e0.src
+        |), a2 AS (
+        |  SELECT e0.dst, CAST(SUM(h1.s) AS BIGINT) AS s
+        |  FROM e0 JOIN h1 ON h1.src = e0.src GROUP BY e0.dst
+        |), h2 AS (
+        |  SELECT e0.src, CAST(SUM(a2.s) AS BIGINT) AS s
+        |  FROM e0 JOIN a2 ON a2.dst = e0.dst GROUP BY e0.src
+        |), a3 AS (
+        |  SELECT e0.dst, CAST(SUM(h2.s) AS BIGINT) AS s
+        |  FROM e0 JOIN h2 ON h2.src = e0.src GROUP BY e0.dst
+        |)
+        |SELECT dst AS node, s AS auth_score FROM a3
+        |ORDER BY auth_score DESC, node LIMIT 50""".stripMargin) { (s, dir) =>
+      Graph.hits(tradeEdgesDirected(s, dir), iters = 3)
+        .orderBy(col("auth_score").desc, col("node"))
         .limit(50)
     })
 }
