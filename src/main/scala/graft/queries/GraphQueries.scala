@@ -26,14 +26,21 @@ object GraphQueries {
     * the bipartite form g4's HITS runs on — hubs = customers,
     * authorities = suppliers.
     */
+  /** Session-memoized (SessionCache) like every shared CTAS artifact:
+    * g4 consumes it directly and the g1/g2 prepared graph
+    * symmetrizes it, so the lineitem⋈orders+distinct build runs once
+    * per (session, sf dir).
+    */
   private def tradeEdgesDirected(s: org.apache.spark.sql.SparkSession,
       dir: String) =
-    Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    graft.sources.SessionCache.getOrElseUpdate(s, s"trade_edges:$dir")(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+        .localCheckpoint())
 
   private def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val e0 = tradeEdgesDirected(s, dir)
