@@ -306,4 +306,53 @@ object EventStream {
             s.sumQ)
       }
   }
+
+  case class ZState(buf: Seq[Long])
+  case class ZOut(event_id: Long, event_type: String, v: Long,
+      win_n: Long, dev2: Long, thr2: Long)
+
+  /** Streaming twin of e18's rolling z-score anomaly gate: per
+    * event_type the state is the trailing `window` cents-quantized
+    * values, and each arriving event is judged with the SAME
+    * integer-exact test — (n·v − S)² > 9·(n·S2 − S²) over the ≤
+    * `minN`-gated buffer — before being appended. O(window) state
+    * per key, anomalies emitted as they happen (Append mode).
+    *
+    * Ordering contract, stated honestly: the batch query's frame is
+    * the total (ts, event_id) order; the stream judges each event
+    * against the trailing window AS OF ARRIVAL (in-batch rows are
+    * sorted by (ts, id) for determinism, but a straggler arriving a
+    * micro-batch late is judged against a newer window — the
+    * standard streaming approximation). For in-order feeds the two
+    * are IDENTICAL under any micro-batch split, which is what the
+    * StreamingSpec parity case pins.
+    */
+  def anomalies(events: Dataset[Rec], window: Int = 50,
+      minN: Int = 20): Dataset[ZOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Rec], state: GroupState[ZState]) =>
+          var buf = state.getOption.map(_.buf.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer[ZOut]()
+          rows.toSeq.sortBy(r => (r.ts, r.event_id)).foreach { r =>
+            val v = math.floor(r.value * 100.0).toLong
+            val n = buf.length.toLong
+            if (n >= minN) {
+              val s = buf.sum
+              val s2 = buf.map(x => x * x).sum
+              val dev2 = (n * v - s) * (n * v - s)
+              val thr2 = 9L * (n * s2 - s * s)
+              if (dev2 > thr2)
+                out += ZOut(r.event_id, key, v, n, dev2, thr2)
+            }
+            buf = (buf :+ v).takeRight(window)
+          }
+          state.update(ZState(buf))
+          out.iterator
+      }
+  }
 }

@@ -516,4 +516,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(last("en").contains("spark"))
     } finally q.stop()
   }
+
+  test("streaming anomalies equal the batch trailing-window z-test on an in-order feed") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.Rec
+    val M = 60L * 1000000000L
+    // stable series with two engineered spikes; in-order, split across
+    // two micro-batches at an arbitrary point — state must carry the
+    // trailing window across the batch boundary
+    val vals = (0 until 60).map { i =>
+      val v = if (i == 30 || i == 45) 99.0 else 10.0 + (i % 5) * 0.25
+      Rec(1L, "m", i.toLong, (i + 1) * M, v)
+    }
+    val (b1, b2) = vals.splitAt(40)
+    val mem = MemoryStream[Rec]
+    val q = EventStream.anomalies(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("zout").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("zout").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      // independent reference: e18's declarative window formulation on
+      // the full batch (frame semantics vs the stream's imperative fold)
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-50, -1)
+      val expect = vals.toDS().toDF()
+        .withColumn("v", expr("CAST(floor(value * 100) AS BIGINT)"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", coalesce(sum(col("v")).over(w), lit(0L)))
+        .withColumn("s2", coalesce(sum(col("v") * col("v")).over(w), lit(0L)))
+        .where(col("n") >= 20 &&
+          (col("n") * col("v") - col("s")) * (col("n") * col("v") - col("s")) >
+            lit(9L) * (col("n") * col("s2") - col("s") * col("s")))
+        .select(col("event_id"), col("n").cast("long"),
+          ((col("n") * col("v") - col("s")) * (col("n") * col("v") - col("s"))).as("dev2"),
+          (lit(9L) * (col("n") * col("s2") - col("s") * col("s"))).as("thr2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(expect.nonEmpty, "fixture must contain anomalies")
+      assert(got === expect, s"stream $got vs batch $expect")
+      assert(got.map(_._1) === Set(30L, 45L), s"spikes must be the flags: $got")
+    } finally q.stop()
+  }
 }
