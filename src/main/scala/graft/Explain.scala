@@ -217,7 +217,26 @@ object Explain {
         |anywhere (GraphSpec-asserted). Orientation bounds effective
         |out-degree by O(√m), so wedge volume is O(m^{3/2}) and a
         |degree-10⁶ hub cannot concentrate on one reducer — the "curse of
-        |the last reducer" shape the naive corner-join suffers.""".stripMargin)
+        |the last reducer" shape the naive corner-join suffers.""".stripMargin,
+    "d20_dup_substring_spans" ->
+      """Relational ExactSubstr: the gram table is one explode projection off
+        |the scan (token-count-sized, codegen'd), the duplicated-gram set is
+        |one groupBy(g) exchange with partial_count map-side, flagging is a
+        |LEFT SEMI hash join on g, and the island merge runs inside a
+        |per-doc window whose partition is bounded by document length. In
+        |THIS sf0.001 plan the dup set is a few rows so AQE folds the semi
+        |join to broadcast — correct here, and nothing in the DECLARED plan
+        |pins it: at corpus scale, where duplicated grams grow with the
+        |data, statistics flip the same join to its shuffled-hash form.
+        |The suffix array this replaces is single-node by construction.""".stripMargin,
+    "g4_hits_authorities" ->
+      """Three HITS rounds compile into a chain of hash-aggregate pairs over
+        |the same two join keys (src, dst) — each round is a shuffled hash
+        |equi-join of the node-sized score table onto the edge table plus
+        |one exchange for its groupBy; the integer scores need no
+        |normalization job, so there is no scalar broadcast and no
+        |single-partition funnel anywhere. On a bucketed edge table every
+        |per-round exchange on the edge side disappears.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -228,7 +247,20 @@ object Explain {
     val direct: Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
       "d7_minhash_pairs" -> ((s, dir) => graft.operators.Dedup
-        .minhashPairs(graft.sources.Tables.documents(s, dir), minEst = 0.5)))
+        .minhashPairs(graft.sources.Tables.documents(s, dir), minEst = 0.5)),
+      "g4_hits_authorities" -> { (s, dir) =>
+        import org.apache.spark.sql.functions._
+        val edges = graft.sources.Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(graft.sources.Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.operators.Graph.hits(edges, iters = 3)
+          .orderBy(col("auth_score").desc, col("node")).limit(50)
+      })
     val sb = new StringBuilder
     sb.append("# EXPLAIN — physical-plan review of headline queries\n\n")
     sb.append(s"Generated by `graft.Explain` on `$sfDir`. Each section: the\n")

@@ -629,6 +629,52 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- cross-source contamination matrix (data governance) ----
+    // WHICH sources duplicate WHICH: the d6 near-dup pairs (session-
+    // memoized — d6/d10/p6 share them) joined to each side's source
+    // dim, normalized to an unordered (source_a ≤ source_b) cell, and
+    // rolled up. The diagonal is within-source duplication; off-
+    // diagonal cells are cross-source copying — the report that
+    // decides which feed gets deduped against which at ingest. Plan:
+    // two broadcast-able dim joins + one tiny rollup on top of the
+    // already-materialized pair set; nothing new touches the corpus.
+    QueryDef("d21_source_contamination",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh) t WHERE df <= 50
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), near AS (
+        |  SELECT p.a_id, p.b_id
+        |  FROM pairs p JOIN sizes sa ON p.a_id = sa.doc_id JOIN sizes sb ON p.b_id = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.6
+        |)
+        |SELECT least(da.source, db.source) AS source_a,
+        |  greatest(da.source, db.source) AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM near n JOIN documents da ON n.a_id = da.doc_id
+        |  JOIN documents db ON n.b_id = db.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // no broadcast hints: the (doc_id, source) side is doc-count-
+      // sized (NOT a dim at 100 TB); the near-dup pair set is the
+      // small side and AQE picks the right build side per scale
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      jaccardPairs(s, dir)
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
     // ---- PII redaction (email/phone scrub + residual audit) ----
     // The corpus is synthetic word-salad with no real PII, so the raw
     // column deterministically embeds a doc-derived email and phone
