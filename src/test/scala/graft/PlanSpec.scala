@@ -129,4 +129,45 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected exactly one aggregation exchange:\n$plan")
   }
+
+  test("dup-substring spans: semi-join flagging, windows per doc, never cartesian") {
+    val df = graft.operators.Dedup.dupSubstringSpans(
+      graft.sources.Tables.documents(spark, dir), windowTokens = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs span detection is forbidden:\n$plan")
+    assert(plan.contains("LeftSemi"), s"expected semi-join flagging:\n$plan")
+    // the island windows must be doc-partitioned, never global
+    assert(!plan.contains("Window [") ||
+      "Window \\[[^\\]]*\\], \\[doc_id".r.findAllIn(plan).nonEmpty,
+      s"island windows must partition by doc_id:\n$plan")
+  }
+
+  test("HITS rounds are hash aggregates over equi-joins: no BNL, no single-partition funnel") {
+    import org.apache.spark.sql.functions._
+    val edges = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.sources.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val df = graft.operators.Graph.hits(edges, iters = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"HITS must be equi-joins only:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"unnormalized HITS must have no scalar funnel:\n$plan")
+  }
+
+  test("DSIR selection has no scalar-subquery broadcasts (normalization removed algebraically)") {
+    val df = graft.SparkEntry.queries("p27_dsir_select")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"p27 must not cross-join scalar statistics:\n$plan")
+  }
 }
