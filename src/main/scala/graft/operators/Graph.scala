@@ -592,4 +592,106 @@ object Graph {
     }
     auth.select(col("dst").as("node"), col("s").as("auth_score"))
   }
+
+  /** Personalized PageRank (Jeh & Widom 2003 / Page et al. 1999 with a
+    * non-uniform restart vector): teleport mass returns to the `seeds`
+    * set only, so the stationary scores measure proximity TO the seeds
+    * — the shape curation pipelines use for influence/relevance scoring
+    * from a small trusted set.
+    *
+    * The loop carries a SPARSE frontier: r⁰ has |S| rows (1/|S| each),
+    * and round k holds only nodes with nonzero mass (nodes reached
+    * within k hops of a seed, plus the seeds themselves which the
+    * zero-row union keeps alive). On a 100 TB graph with a small seed
+    * set this is the whole point — per-round state is O(reached), not
+    * O(all nodes), and the contribution aggregate never touches the
+    * unreachable part of the graph. Exchange shape per round: the
+    * rank-onto-edge join reuses the src-hash partitioning of `p.ewd`
+    * (alias-aware, same as [[step]]), ONE aggregate exchange keyed by
+    * node, and a broadcast hash join for the seed restart flag — the
+    * seed table is control-plane sized by assumption.
+    *
+    * CROSS-ENGINE FLOAT DISCIPLINE (oracle parity, same as g1):
+    * per-edge contribution r/outdeg is one double division, sums go
+    * through DECIMAL(30,15), and the restart term
+    * (1−d)/|S| is written as the same literal arithmetic on both
+    * engines. Dropping exact zero rows (unreached nodes) is
+    * bit-identical under the exact DECIMAL sum.
+    *
+    * Requires a symmetric prepared graph (every node has out-edges, so
+    * no dangling mass escapes). `seeds` must be one `node` column,
+    * a subset of the graph's nodes, with no duplicate rows.
+    */
+  def personalizedPageRank(p: Prepared, seeds: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(p.symmetric,
+      "personalizedPageRank needs prepare(symmetric = true) — a node " +
+        "with no out-edges would silently leak teleport mass")
+    require(iters >= 1, "personalizedPageRank needs at least one round")
+    // |S| is control-plane: one small job over the seed frame. Cache
+    // the seed rows first so the count and the per-round flag join
+    // read one materialization, not two recomputes of the derivation.
+    val sd = ckpt(seeds.select(col("node").cast("long")))
+    val nS = sd.count().toDouble
+    require(nS > 0, "personalizedPageRank needs a non-empty seed set")
+    val seedFlag = sd.withColumn("is_seed", lit(1))
+    withStablePartitioning(p.ewd.sparkSession) {
+      var r = sd.select(col("node"), (lit(1.0) / lit(nS)).as("r"))
+      for (_ <- 1 to iters) {
+        r = p.ewd
+          .join(r.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"),
+            (col("r") / col("outdeg")).cast("decimal(30,15)").as("c"))
+          // keep seeds present even when no mass flows back to them yet
+          .union(sd.select(col("node"), lit(0).cast("decimal(30,15)").as("c")))
+          .groupBy("node").agg(sum("c").as("csum"))
+          .join(broadcast(seedFlag), Seq("node"), "left")
+          .select(col("node"),
+            (when(col("is_seed").isNotNull, lit(1.0 - damping) / lit(nS))
+              .otherwise(lit(0.0))
+              + lit(damping) * col("csum").cast("double")).as("r"))
+      }
+      ckpt(r)
+    }
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), determinized: every round EVERY node simultaneously adopts
+    * the most frequent label among its neighbors, ties broken by the
+    * smallest label — so the result is a pure function of the graph,
+    * replayable round-by-round on any engine (no random visit order,
+    * no random tie-breaks). Labels start as the node ids.
+    *
+    * Per round, all hash relational algebra on integer keys — no
+    * sorts, no windows, no driver state:
+    *   1. neighbor labels: edges ⋈ labels on src  → (dst, lbl)
+    *   2. counts:   group by (node, lbl)                 [exchange 1]
+    *   3. mode:     max count per node                   [exchange 2]
+    *      ⋈ counts on (node, cnt = mx), then min(lbl) per node — the
+    *      deterministic argmax without a per-node sort.
+    * The count/mode tables are node-scale; the only edge-scale stage
+    * is the per-round join, which reuses the edge table's hash
+    * partitioning round over round (bucket by src at 100 TB).
+    *
+    * Expects a SYMMETRIC edge list (community membership is an
+    * undirected notion here); `iters` is fixed and small — synchronous
+    * LPA on bipartite-ish graphs can oscillate, which a fixed round
+    * count renders harmless and deterministic.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one round")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      val cnts = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val mx = cnts.groupBy("node").agg(max("cnt").as("cnt"))
+      labels = cnts.join(mx, Seq("node", "cnt"))
+        .groupBy("node").agg(min("lbl").as("lbl"))
+    }
+    labels
+  }
 }

@@ -272,5 +272,98 @@ object GraphQueries {
       Graph.hits(tradeEdgesDirected(s, dir), iters = 3)
         .orderBy(col("auth_score").desc, col("node"))
         .limit(50)
+    },
+
+    // ---- personalized PageRank from a trusted seed set ----
+    // Teleport mass returns ONLY to the seeds (customers with custkey
+    // ≤ 25 that appear in the graph), so scores measure proximity to
+    // the trusted set — the influence/relevance scoring shape a
+    // curation pipeline runs from a small vetted corpus. The engine
+    // loop carries a SPARSE frontier (only nodes reached so far hold
+    // rows — O(reached) state per round, the 100 TB selling point of
+    // PPR vs global PageRank); the oracle replays each round as a
+    // chained CTE with the identical double/DECIMAL arithmetic and a
+    // LEFT JOIN seeds restart CASE. Quantized to 1e-9 like g1.
+    QueryDef("g5_personalized_pagerank", {
+      def pprRound(prev: String, out: String): String =
+        s""", $out AS MATERIALIZED (
+           |  SELECT t.node,
+           |    CASE WHEN sd.node IS NOT NULL
+           |      THEN (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM ns)
+           |      ELSE CAST(0 AS DOUBLE) END
+           |      + CAST(0.85 AS DOUBLE) * CAST(t.csum AS DOUBLE) AS r
+           |  FROM (
+           |    SELECT node, SUM(c) AS csum FROM (
+           |      SELECT sym.dst AS node,
+           |        CAST($prev.r / deg.outdeg AS DECIMAL(30,15)) AS c
+           |      FROM sym JOIN deg ON deg.src = sym.src
+           |      JOIN $prev ON $prev.node = sym.src
+           |      UNION ALL
+           |      SELECT node, CAST(0 AS DECIMAL(30,15)) FROM seeds
+           |    ) GROUP BY node
+           |  ) t LEFT JOIN seeds sd ON sd.node = t.node
+           |)""".stripMargin
+      oracleGraph +
+        """, seeds AS MATERIALIZED (
+          |  SELECT DISTINCT src AS node FROM sym
+          |  WHERE src % 2 = 0 AND src <= 50
+          |), ns AS (
+          |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds
+          |), r0 AS (
+          |  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM ns) AS r FROM seeds
+          |)""".stripMargin +
+        pprRound("r0", "r1") + pprRound("r1", "r2") + pprRound("r2", "r3") +
+        """
+          |SELECT node, CAST(floor(CAST(1000000000 AS DOUBLE) * r) AS BIGINT) AS rank_bp
+          |FROM r3 ORDER BY rank_bp DESC, node LIMIT 50""".stripMargin
+    }) { (s, dir) =>
+      val p = tradeGraph(s, dir)
+      val seeds = p.nodes.filter(col("node") % 2 === 0 && col("node") <= 50)
+      Graph.personalizedPageRank(p, seeds, iters = 3, damping = 0.85)
+        .select(col("node"),
+          floor(lit(1000000000.0) * col("r")).cast("long").as("rank_bp"))
+        .orderBy(col("rank_bp").desc, col("node"))
+        .limit(50)
+    },
+
+    // ---- label-propagation communities (determinized LPA) ----
+    // Synchronous mode-label voting with min-label tie-breaks — a
+    // pure function of the graph, so every round replays as a chained
+    // CTE (counts → max-count → min-label argmax, all hash aggregates
+    // on integer keys; no random visit order as in classic LPA).
+    // Two rounds over the symmetric trade graph (the dense graph
+    // collapses to a near-global community by round 3 — two rounds is
+    // where the mode-voting structure is informative); output is the
+    // community histogram. Complements d10's connected components
+    // (LPA splits a connected blob into densely-linked groups).
+    QueryDef("g6_lpa_communities", {
+      def lpaRound(prev: String, k: Int): String =
+        s""", cnt_$k AS (
+           |  SELECT sym.dst AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM sym JOIN $prev l ON l.node = sym.src
+           |  GROUP BY sym.dst, l.lbl
+           |), mx_$k AS (
+           |  SELECT node, MAX(cnt) AS cnt FROM cnt_$k GROUP BY node
+           |), l$k AS MATERIALIZED (
+           |  SELECT c.node, MIN(c.lbl) AS lbl
+           |  FROM cnt_$k c JOIN mx_$k m ON m.node = c.node AND m.cnt = c.cnt
+           |  GROUP BY c.node
+           |)""".stripMargin
+      oracleGraph +
+        """, l0 AS MATERIALIZED (
+          |  SELECT DISTINCT src AS node, src AS lbl FROM sym
+          |)""".stripMargin +
+        lpaRound("l0", 1) + lpaRound("l1", 2) +
+        """
+          |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+          |  MIN(node) AS min_node
+          |FROM l2 GROUP BY lbl
+          |ORDER BY n_members DESC, community LIMIT 50""".stripMargin
+    }) { (s, dir) =>
+      Graph.labelPropagation(tradeEdges(s, dir), iters = 2)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"), min("node").as("min_node"))
+        .orderBy(col("n_members").desc, col("community"))
+        .limit(50)
     })
 }

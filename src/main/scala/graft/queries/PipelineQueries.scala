@@ -13,6 +13,79 @@ import graft.sources.{Constraints, Tables, Warehouse}
   */
 object PipelineQueries {
 
+  /** One relational BPE training round as DuckDB CTEs — the exact
+    * window arithmetic of `Bpe.applyMerge` (weighted pair count,
+    * n-DESC-then-lexicographic argmax, gaps-and-islands greedy
+    * non-overlapping application). Shared by the p26 and p29 oracles.
+    */
+  private def bpeSqlRound(prev: String, k: Int): String =
+    s""", pairs_$k AS (
+       |  SELECT a, b, SUM(c) AS n FROM (
+       |    SELECT c, sym AS a, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b
+       |    FROM $prev)
+       |  WHERE b IS NOT NULL GROUP BY a, b
+       |), best_$k AS MATERIALIZED (
+       |  SELECT a, b FROM pairs_$k ORDER BY n DESC, a, b LIMIT 1
+       |), cand_$k AS (
+       |  SELECT w, pos, pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS grp
+       |  FROM (SELECT w, pos, sym,
+       |          lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM $prev)
+       |  WHERE sym = (SELECT a FROM best_$k) AND nxt = (SELECT b FROM best_$k)
+       |), chosen_$k AS MATERIALIZED (
+       |  SELECT w, pos FROM (
+       |    SELECT w, pos, pos - MIN(pos) OVER (PARTITION BY w, grp) AS off
+       |    FROM cand_$k)
+       |  WHERE off % 2 = 0
+       |), s$k AS MATERIALIZED (
+       |  SELECT s.w, s.c, ROW_NUMBER() OVER (PARTITION BY s.w ORDER BY s.pos) AS pos,
+       |    CASE WHEN ch.pos IS NOT NULL THEN s.sym || (SELECT b FROM best_$k)
+       |         ELSE s.sym END AS sym
+       |  FROM $prev s
+       |  LEFT JOIN chosen_$k ch ON ch.w = s.w AND ch.pos = s.pos
+       |  LEFT JOIN chosen_$k sw ON sw.w = s.w AND sw.pos = s.pos - 1
+       |  WHERE sw.pos IS NULL
+       |)""".stripMargin
+
+  /** Shared oracle prefix: corpus words (with stratum keys), weighted
+    * vocabulary, character-level state, 8 replayed training rounds,
+    * and the final per-word subword count `enc(w, n_sub)`.
+    */
+  private val bpeOracleCtes: String =
+    """WITH docw AS MATERIALIZED (
+      |  SELECT doc_id, lang, source,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents
+      |), vocab AS MATERIALIZED (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM docw GROUP BY w
+      |), s0 AS MATERIALIZED (
+      |  SELECT v.w, v.c, i AS pos, v.cs[i] AS sym FROM (
+      |    SELECT w, c, regexp_extract_all(w, '[a-z0-9]') AS cs FROM vocab) v,
+      |    unnest(range(1, len(v.cs) + 1)) AS u(i)
+      |)""".stripMargin +
+      (1 to 8).map(k => bpeSqlRound(if (k == 1) "s0" else s"s${k - 1}", k)).mkString +
+      """, enc AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub FROM s8 GROUP BY w, c
+        |)""".stripMargin
+
+  /** The trained BPE segmentation (w, n_sub), memoized per (session,
+    * sf dir) like every shared CTAS artifact: the merge loop runs on
+    * the collected vocab (control-plane state — see Bpe.trainDriver's
+    * scale rationale), and every consumer (p26 encode, p29 packing)
+    * broadcasts the same materialized vocab-sized table instead of
+    * re-training. `Bpe.train` (the relational twin the oracle
+    * mirrors) is spec-pinned equal and stays for engine-replayable
+    * verification.
+    */
+  private def bpeEnc(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.sources.SessionCache.getOrElseUpdate(s, s"bpe_enc:$dir") {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      graft.operators.Bpe.trainDriver(vocab, rounds = 8).vocabSeg
+        .select(col("w"), col("n_sub")).localCheckpoint()
+    }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- declarative constraint suite over the star schema ----
@@ -1177,54 +1250,15 @@ object PipelineQueries {
     // lexicographic pair) + greedy left-to-right application as
     // gaps-and-islands window arithmetic (operators/Bpe.scala). The
     // oracle replays all 8 rounds as chained CTEs with the IDENTICAL
-    // window expressions, then both sides encode the corpus by
-    // joining doc words onto the trained segmentation (vocab-sized →
-    // broadcast; the corpus scan never reshuffles). Output: per-doc
-    // whitespace-word vs subword counts and the compression ratio in
-    // basis points — the honest units p13's packing and p23's token
-    // reporting would use at scale.
-    QueryDef("p26_bpe_encode", {
-      def round(prev: String, k: Int): String =
-        s""", pairs_$k AS (
-           |  SELECT a, b, SUM(c) AS n FROM (
-           |    SELECT c, sym AS a, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b
-           |    FROM $prev)
-           |  WHERE b IS NOT NULL GROUP BY a, b
-           |), best_$k AS MATERIALIZED (
-           |  SELECT a, b FROM pairs_$k ORDER BY n DESC, a, b LIMIT 1
-           |), cand_$k AS (
-           |  SELECT w, pos, pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS grp
-           |  FROM (SELECT w, pos, sym,
-           |          lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM $prev)
-           |  WHERE sym = (SELECT a FROM best_$k) AND nxt = (SELECT b FROM best_$k)
-           |), chosen_$k AS MATERIALIZED (
-           |  SELECT w, pos FROM (
-           |    SELECT w, pos, pos - MIN(pos) OVER (PARTITION BY w, grp) AS off
-           |    FROM cand_$k)
-           |  WHERE off % 2 = 0
-           |), s$k AS MATERIALIZED (
-           |  SELECT s.w, s.c, ROW_NUMBER() OVER (PARTITION BY s.w ORDER BY s.pos) AS pos,
-           |    CASE WHEN ch.pos IS NOT NULL THEN s.sym || (SELECT b FROM best_$k)
-           |         ELSE s.sym END AS sym
-           |  FROM $prev s
-           |  LEFT JOIN chosen_$k ch ON ch.w = s.w AND ch.pos = s.pos
-           |  LEFT JOIN chosen_$k sw ON sw.w = s.w AND sw.pos = s.pos - 1
-           |  WHERE sw.pos IS NULL
-           |)""".stripMargin
-      """WITH docw AS MATERIALIZED (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-        |  FROM documents
-        |), vocab AS MATERIALIZED (
-        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM docw GROUP BY w
-        |), s0 AS MATERIALIZED (
-        |  SELECT v.w, v.c, i AS pos, v.cs[i] AS sym FROM (
-        |    SELECT w, c, regexp_extract_all(w, '[a-z0-9]') AS cs FROM vocab) v,
-        |    unnest(range(1, len(v.cs) + 1)) AS u(i)
-        |)""".stripMargin +
-        (1 to 8).map(k => round(if (k == 1) "s0" else s"s${k - 1}", k)).mkString +
-        """, enc AS (
-          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub FROM s8 GROUP BY w, c
-          |), perdoc AS (
+    // window expressions (bpeOracleCtes, shared with p29), then both
+    // sides encode the corpus by joining doc words onto the trained
+    // segmentation (vocab-sized → broadcast; the corpus scan never
+    // reshuffles). Output: per-doc whitespace-word vs subword counts
+    // and the compression ratio in basis points — the honest units
+    // p13's packing and p23's token reporting would use at scale.
+    QueryDef("p26_bpe_encode",
+      bpeOracleCtes +
+        """, perdoc AS (
           |  SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
           |    CAST(SUM(e.n_sub) AS BIGINT) AS n_subwords
           |  FROM docw dw JOIN enc e ON dw.w = e.w GROUP BY dw.doc_id
@@ -1235,18 +1269,11 @@ object PipelineQueries {
           |  CAST(CASE WHEN COALESCE(p.n_words, 0) > 0
           |    THEN floor(10000.0 * p.n_subwords / p.n_words) ELSE 0 END AS BIGINT) AS ratio_bp
           |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
-          |ORDER BY d.doc_id""".stripMargin
-    }) { (s, dir) =>
+          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val docw = Tables.documents(s, dir).select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
-      val vocab = docw.groupBy("w").agg(count(lit(1)).as("c"))
-      // trainDriver: the merge loop runs on the collected vocab (the
-      // control-plane state — see Bpe.trainDriver's scale rationale);
-      // train (the relational twin the oracle mirrors) is spec-pinned
-      // equal and stays for engine-replayable verification.
-      val enc = graft.operators.Bpe.trainDriver(vocab, rounds = 8).vocabSeg
       val perdoc = docw
-        .join(broadcast(enc.select(col("w"), col("n_sub"))), Seq("w"))
+        .join(broadcast(bpeEnc(s, dir)), Seq("w"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
       Tables.documents(s, dir).select(col("doc_id"))
@@ -1258,6 +1285,55 @@ object PipelineQueries {
             floor(lit(10000.0) * col("n_subwords") / col("n_words")).cast("long"))
             .otherwise(lit(0L)).as("ratio_bp"))
         .orderBy("doc_id")
+    },
+
+    // ---- sequence packing in SUBWORD units (p13 × p26) ----
+    // p13 packs training sequences by whitespace-token budget; real
+    // LLM context budgets are subword budgets, so this packs the same
+    // greedy cumulative bins over the BPE-encoded length from the
+    // shared trained segmentation (bpeEnc — one broadcast join puts
+    // n_sub on every corpus word, one aggregate gives per-doc subword
+    // counts). Stratified by (lang, source) exactly like p13: the
+    // running-sum window partitions by stratum, so packing
+    // parallelizes across strata and no global sort exists — at
+    // 100 TB the stratum key would also carry a date bucket. Docs
+    // with no [a-z0-9] words have zero budget cost and are excluded
+    // (inner join), matching the oracle's join semantics.
+    QueryDef("p29_pack_bpe_budget",
+      bpeOracleCtes +
+        """, perdoc AS (
+          |  SELECT dw.doc_id, dw.lang, dw.source,
+          |    CAST(SUM(e.n_sub) AS BIGINT) AS n_btok
+          |  FROM docw dw JOIN enc e ON dw.w = e.w
+          |  GROUP BY dw.doc_id, dw.lang, dw.source
+          |), c AS (
+          |  SELECT doc_id, lang, source, n_btok,
+          |    CAST(COALESCE(SUM(n_btok) OVER (PARTITION BY lang, source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+          |  FROM perdoc
+          |)
+          |SELECT lang, source, CAST(cum_prev // 4096 AS BIGINT) AS bin_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_btok) AS BIGINT) AS bin_tokens,
+          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+          |FROM c GROUP BY lang, source, bin_id
+          |ORDER BY lang, source, bin_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docw = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      val perdoc = docw
+        .join(broadcast(bpeEnc(s, dir)), Seq("w"))
+        .groupBy("doc_id", "lang", "source")
+        .agg(sum("n_sub").as("n_btok"))
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perdoc.withColumn("cum_prev", coalesce(sum("n_btok").over(w), lit(0L)))
+        .withColumn("bin_id", floor(col("cum_prev") / lit(4096)).cast("long"))
+        .groupBy("lang", "source", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_btok").as("bin_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "source", "bin_id")
     },
 
     // ---- DSIR-style importance-weighted data selection ----

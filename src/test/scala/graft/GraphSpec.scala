@@ -295,4 +295,111 @@ class GraphSpec extends AnyFunSuite {
     } { want(x) += 1; want(y) += 1; want(z) += 1 }
     assert(got === want.toMap, s"got $got\nwant $want")
   }
+
+  test("personalizedPageRank: decays with distance from the seed; mass conserved") {
+    // 10-cycle (regular, so no endpoint artifacts: on a path the
+    // degree-1 endpoint funnels ALL its mass to its only neighbor and
+    // the neighbor can out-rank the seed), seed = node 0. The
+    // fixpoint is symmetric in ±distance and strictly decreasing in
+    // circular distance; with no dangling nodes total mass stays 1.
+    val e = (0L to 9L).map(i => (i, (i + 1) % 10))
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val p = Graph.prepare(edges, symmetric = true)
+    val seeds = Seq(0L).toDF("node")
+    val r = Graph.personalizedPageRank(p, seeds, iters = 20).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size == 10, s"20 hops reach the whole cycle: $r")
+    (1L to 4L).foreach { d =>
+      assert(math.abs(r(d) - r(10 - d)) < 1e-12,
+        s"±$d symmetric: ${r(d)} vs ${r(10 - d)}")
+      assert(r(d - 1) > r(d), s"decay at distance $d: $r")
+    }
+    assert(r(4L) > r(5L), s"decay at the antipode: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      s"no dangling nodes -> mass conserved, got ${r.values.sum}")
+  }
+
+  test("personalizedPageRank: sparse frontier — round state is O(reached)") {
+    // two disconnected 3-cycles; seeding only the first means the
+    // second never acquires mass and never appears in the result
+    val c1 = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val c2 = Seq((10L, 11L), (11L, 12L), (12L, 10L))
+    val all = c1 ++ c2
+    val edges = (all ++ all.map(_.swap)).toDF("src", "dst")
+    val p = Graph.prepare(edges, symmetric = true)
+    val r = Graph.personalizedPageRank(p, Seq(0L).toDF("node"), iters = 5)
+    val nodes = r.collect().map(_.getLong(0)).toSet
+    assert(nodes == Set(0L, 1L, 2L),
+      s"unreached component must hold no rows, got $nodes")
+  }
+
+  test("personalizedPageRank plan: broadcast restart join, one agg exchange per round") {
+    val e = (0L to 8L).map(i => (i, i + 1))
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val p = Graph.prepare(edges, symmetric = true)
+    val r = Graph.personalizedPageRank(p, Seq(0L, 4L).toDF("node"), iters = 3)
+    // public entry returns a checkpointed O(nodes) table
+    assert(r.queryExecution.analyzed.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD])
+    // re-derive the lazy loop body the way the entry builds it, to
+    // count operators: seed-flag joins must all be broadcasts (the
+    // seed table is control-plane), never cartesian/BNL
+    val sd = Seq(0L, 4L).toDF("node")
+    val lazyLoop = {
+      var rr = sd.select(col("node"), lit(0.5).as("r"))
+      for (_ <- 1 to 3) {
+        rr = p.ewd.join(rr.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"),
+            (col("r") / col("outdeg")).cast("decimal(30,15)").as("c"))
+          .union(sd.select(col("node"), lit(0).cast("decimal(30,15)").as("c")))
+          .groupBy("node").agg(sum("c").as("csum"))
+          .join(broadcast(sd.withColumn("is_seed", lit(1))), Seq("node"), "left")
+          .select(col("node"), (lit(0.15 / 2) + lit(0.85) *
+            col("csum").cast("double")).as("r"))
+      }
+      rr
+    }
+    val plan = lazyLoop.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"restart join not broadcast:\n$plan")
+  }
+
+  test("labelPropagation: two cliques joined by a bridge separate") {
+    // K4 on {0..3} + K4 on {10..13} + bridge 3-10: after 2 rounds the
+    // two cliques must carry different labels, and each clique one
+    // label (clique majority beats the single bridge vote)
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val und = clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val l = Graph.labelPropagation(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = Seq(0L, 1L, 2L, 3L).map(l).distinct
+    val c2 = Seq(10L, 11L, 12L, 13L).map(l).distinct
+    assert(c1.size == 1 && c2.size == 1, s"cliques must be uniform: $l")
+    assert(c1.head != c2.head, s"cliques must differ: $l")
+  }
+
+  test("labelPropagation is deterministic: same labels on re-run and re-partition") {
+    val rnd = new scala.util.Random(31)
+    val und = (1 to 80).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    def run(parts: Int) =
+      Graph.labelPropagation(edges.repartition(parts), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2) === run(7), "mode+min-tiebreak must be partition-independent")
+  }
+
+  test("labelPropagation plan: hash aggregates and equi-joins only — no sorts, no windows") {
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val plan = Graph.labelPropagation(edges, iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$plan")
+    assert(!plan.contains("Window"), s"argmax must be agg-based, not window:\n$plan")
+  }
 }
