@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -642,5 +643,67 @@ object EventQueries {
           ((col("n") * col("v") - col("s")) * (col("n") * col("v") - col("s"))).as("dev2"),
           (lit(9L) * (col("n") * col("s2") - col("s") * col("s"))).as("thr2"))
         .orderBy("event_id")
+    },
+
+    // ---- RFM user segmentation (recency / frequency / monetary) ----
+    // The classic behavioral scoring op: per-user recency (latest
+    // event µs), frequency (event count), monetary (cent-quantized
+    // value sum), each scored 1–5 against the GLOBAL quintile
+    // thresholds. Scale shape: one user-keyed aggregate over the
+    // fact table, then the 12 thresholds ride in as a 1-ROW scalar
+    // broadcast (the benign PLANAUDIT class — p9/p15's shape) and
+    // scoring is a codegen'd comparison per user — NO global
+    // sort/ntile over the user table, which would be the
+    // single-partition window a billion-user run cannot survive.
+    // Cross-engine exactness: all three metric domains are integral
+    // (µs bigint, count, cents), where Spark `percentile` and DuckDB
+    // `quantile_cont` interpolate to identical doubles (q31's proven
+    // contract); scores count strict threshold exceedances.
+    QueryDef("e19_rfm_scores",
+      """WITH per AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS r_ts,
+        |    CAST(COUNT(*) AS BIGINT) AS f,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m_q
+        |  FROM events GROUP BY user_id
+        |), th AS (
+        |  SELECT
+        |    quantile_cont(r_ts, 0.2) AS r1, quantile_cont(r_ts, 0.4) AS r2,
+        |    quantile_cont(r_ts, 0.6) AS r3, quantile_cont(r_ts, 0.8) AS r4,
+        |    quantile_cont(f, 0.2) AS f1, quantile_cont(f, 0.4) AS f2,
+        |    quantile_cont(f, 0.6) AS f3, quantile_cont(f, 0.8) AS f4,
+        |    quantile_cont(m_q, 0.2) AS m1, quantile_cont(m_q, 0.4) AS m2,
+        |    quantile_cont(m_q, 0.6) AS m3, quantile_cont(m_q, 0.8) AS m4
+        |  FROM per
+        |)
+        |SELECT user_id,
+        |  CAST(1 + (CASE WHEN r_ts > r1 THEN 1 ELSE 0 END) + (CASE WHEN r_ts > r2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN r_ts > r3 THEN 1 ELSE 0 END) + (CASE WHEN r_ts > r4 THEN 1 ELSE 0 END) AS BIGINT) AS r_score,
+        |  CAST(1 + (CASE WHEN f > f1 THEN 1 ELSE 0 END) + (CASE WHEN f > f2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN f > f3 THEN 1 ELSE 0 END) + (CASE WHEN f > f4 THEN 1 ELSE 0 END) AS BIGINT) AS f_score,
+        |  CAST(1 + (CASE WHEN m_q > m1 THEN 1 ELSE 0 END) + (CASE WHEN m_q > m2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN m_q > m3 THEN 1 ELSE 0 END) + (CASE WHEN m_q > m4 THEN 1 ELSE 0 END) AS BIGINT) AS m_score
+        |FROM per, th ORDER BY user_id""".stripMargin) { (s, dir) =>
+      def score(m: Column, ts: Seq[String]): Column =
+        ts.foldLeft(lit(1L)) { (acc, t) =>
+          acc + when(m > col(t), 1L).otherwise(0L)
+        }
+      val per = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(max(expr("ts div 1000")).as("r_ts"),
+          count(lit(1)).as("f"),
+          sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("m_q"))
+      val th = per.agg(
+        expr("percentile(r_ts, 0.2)").as("r1"), expr("percentile(r_ts, 0.4)").as("r2"),
+        expr("percentile(r_ts, 0.6)").as("r3"), expr("percentile(r_ts, 0.8)").as("r4"),
+        expr("percentile(f, 0.2)").as("f1"), expr("percentile(f, 0.4)").as("f2"),
+        expr("percentile(f, 0.6)").as("f3"), expr("percentile(f, 0.8)").as("f4"),
+        expr("percentile(m_q, 0.2)").as("m1"), expr("percentile(m_q, 0.4)").as("m2"),
+        expr("percentile(m_q, 0.6)").as("m3"), expr("percentile(m_q, 0.8)").as("m4"))
+      per.crossJoin(broadcast(th))
+        .select(col("user_id"),
+          score(col("r_ts"), Seq("r1", "r2", "r3", "r4")).as("r_score"),
+          score(col("f"), Seq("f1", "f2", "f3", "f4")).as("f_score"),
+          score(col("m_q"), Seq("m1", "m2", "m3", "m4")).as("m_score"))
+        .orderBy("user_id")
     })
 }

@@ -493,5 +493,79 @@ object SimilarityQueries {
         |SELECT sel_rank, vec_id, rel_bp, mmr10 FROM sel ORDER BY sel_rank""".stripMargin) { (s, dir) =>
       Similarity.mmrDiverseTopK(Tables.embeddings(s, dir),
         queryId = 0L, k = 10, pool = 50, lambda10 = 7)
+    },
+
+    // ---- nearest-centroid classification (Rocchio) + confusion matrix ----
+    // The cheap embedding classifier real pipelines run before anything
+    // neural: assign every vector to the label whose centroid it is
+    // most cosine-similar to, then report the label × predicted
+    // confusion matrix (resubstitution — centroids include the vector
+    // being scored; deterministic and the standard quick-look). Scale
+    // shape: centroids are an (L × dims) aggregate — control-plane
+    // sized — so scoring is ONE broadcast join of the per-dim cell
+    // table onto the centroid cells keyed by pos and a hash aggregate
+    // per (vec, label): O(n·d·L) work, no all-pairs, no global sort.
+    // The argmax is the same two-aggregate max-join pattern as LPA
+    // (g6) — hash-only, no window. Cosine vs the SUM vector ≡ cosine
+    // vs the mean (scale-invariant), which keeps every operand
+    // integral: s7's ×1000 dim quantization, integer dots, one double
+    // division quantized to basis points (d12's discipline). BIGINT
+    // headroom: dot ≤ d·1000·(n_label·1000) ≈ 1e14 at 1e8 rows/label —
+    // lift to DECIMAL(38,0) beyond that.
+    QueryDef("s12_centroid_classify",
+      """WITH dims AS (
+        |  SELECT vec_id, label, pos, CAST(floor(CAST(v AS DOUBLE)*1000) AS BIGINT) AS vq
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |), xn2 AS (
+        |  SELECT vec_id, MIN(label) AS label,
+        |    CAST(SUM(vq*vq) AS BIGINT) AS x_n2 FROM dims GROUP BY vec_id
+        |), cent AS (
+        |  SELECT label AS clabel, pos, CAST(SUM(vq) AS BIGINT) AS sum_q
+        |  FROM dims GROUP BY label, pos
+        |), cn2 AS (
+        |  SELECT clabel, CAST(SUM(sum_q*sum_q) AS BIGINT) AS c_n2
+        |  FROM cent GROUP BY clabel
+        |), dots AS (
+        |  SELECT d.vec_id, c.clabel, CAST(SUM(d.vq * c.sum_q) AS BIGINT) AS dot
+        |  FROM dims d JOIN cent c ON c.pos = d.pos GROUP BY d.vec_id, c.clabel
+        |), scored AS (
+        |  SELECT t.vec_id, x.label, t.clabel,
+        |    CAST(floor(10000.0 * CAST(t.dot AS DOUBLE) /
+        |      (sqrt(CAST(x.x_n2 AS DOUBLE)) * sqrt(CAST(n.c_n2 AS DOUBLE)))) AS BIGINT) AS score_bp
+        |  FROM dots t JOIN cn2 n ON n.clabel = t.clabel
+        |  JOIN xn2 x ON x.vec_id = t.vec_id
+        |), mx AS (
+        |  SELECT vec_id, MAX(score_bp) AS score_bp FROM scored GROUP BY vec_id
+        |), pred AS (
+        |  SELECT s.vec_id, MIN(s.label) AS label, MIN(s.clabel) AS pred_label
+        |  FROM scored s JOIN mx m ON m.vec_id = s.vec_id AND m.score_bp = s.score_bp
+        |  GROUP BY s.vec_id
+        |)
+        |SELECT label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |FROM pred GROUP BY label, pred_label
+        |ORDER BY label, pred_label""".stripMargin) { (s, dir) =>
+      val dims = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).as("pos"),
+          expr("CAST(floor(CAST(col AS DOUBLE)*1000) AS BIGINT)").as("vq"))
+      val xn2 = dims.groupBy("vec_id")
+        .agg(min("label").as("label"), sum(col("vq") * col("vq")).as("x_n2"))
+      val cent = dims.groupBy(col("label").as("clabel"), col("pos"))
+        .agg(sum("vq").as("sum_q"))
+      val cn2 = cent.groupBy("clabel").agg(sum(col("sum_q") * col("sum_q")).as("c_n2"))
+      val dots = dims.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "clabel").agg(sum(col("vq") * col("sum_q")).as("dot"))
+      val scored = dots.join(broadcast(cn2), Seq("clabel"))
+        .join(xn2, Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          floor(lit(10000.0) * col("dot").cast("double") /
+            (sqrt(col("x_n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
+            .cast("long").as("score_bp"))
+      val mx = scored.groupBy("vec_id").agg(max("score_bp").as("score_bp"))
+      scored.join(mx, Seq("vec_id", "score_bp"))
+        .groupBy("vec_id").agg(min("label").as("label"), min("clabel").as("pred_label"))
+        .groupBy("label", "pred_label").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("label", "pred_label")
     })
 }
