@@ -628,12 +628,23 @@ object Graph {
       "personalizedPageRank needs prepare(symmetric = true) — a node " +
         "with no out-edges would silently leak teleport mass")
     require(iters >= 1, "personalizedPageRank needs at least one round")
-    // |S| is control-plane: one small job over the seed frame. Cache
-    // the seed rows first so the count and the per-round flag join
-    // read one materialization, not two recomputes of the derivation.
-    val sd = ckpt(seeds.select(col("node").cast("long")))
-    val nS = sd.count().toDouble
-    require(nS > 0, "personalizedPageRank needs a non-empty seed set")
+    // The seed set is control-plane BY DEFINITION (it is the support
+    // of the teleport vector — PPR with a fact-sized restart set is
+    // just PageRank). Collect it once — ONE small job — and re-emit
+    // as a local relation: |S| is then a driver literal (no count
+    // job), the r⁰ frame and the per-round zero-union scan no
+    // cluster state, and the restart-flag broadcast builds from
+    // driver memory (no checkpoint barrier). Sorted for a
+    // deterministic local plan.
+    val spark = p.ewd.sparkSession
+    val ids = seeds.select(col("node").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(ids.nonEmpty, "personalizedPageRank needs a non-empty seed set")
+    val nS = ids.length.toDouble
+    val sd = {
+      import spark.implicits._
+      ids.toSeq.toDF("node")
+    }
     val seedFlag = sd.withColumn("is_seed", lit(1))
     withStablePartitioning(p.ewd.sparkSession) {
       var r = sd.select(col("node"), (lit(1.0) / lit(nS)).as("r"))
@@ -681,9 +692,14 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1, "labelPropagation needs at least one round")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    var labels = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to iters) {
+    // Round 1 in closed form: with identity labels every neighbor
+    // contributes its OWN id, all vote counts are 1 (distinct edge
+    // list), so the mode-with-min-tie-break is simply the minimum
+    // neighbor id — ONE aggregate replaces the init-distinct + count
+    // + max + argmax pipeline (algebraically identical; the oracle
+    // replays the unspecialized round and hashes equal).
+    var labels = e.groupBy(col("dst").as("node")).agg(min("src").as("lbl"))
+    for (_ <- 2 to iters) {
       val cnts = e
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("lbl"))
