@@ -236,7 +236,24 @@ object Explain {
         |one exchange for its groupBy; the integer scores need no
         |normalization job, so there is no scalar broadcast and no
         |single-partition funnel anywhere. On a bucketed edge table every
-        |per-round exchange on the edge side disappears.""".stripMargin)
+        |per-round exchange on the edge side disappears.""".stripMargin,
+    "g5_personalized_pagerank" ->
+      """Sparse-frontier PPR: r⁰ is a LocalTableScan of the seed set (the
+        |teleport support is control-plane — collected once, no cluster
+        |materialization), each round is the g1 contribution shape — an
+        |exchange-free rank-onto-edge join (alias-aware partitioning
+        |against the prepared src-hash edge table) into ONE aggregate
+        |exchange — plus a BroadcastHashJoin of the seed restart flag.
+        |Only reached nodes carry rows, so round state is O(frontier);
+        |the unreachable part of a 100 TB graph is never touched.""".stripMargin,
+    "g6_lpa_communities" ->
+      """Determinized LPA: round 1 is the closed-form min-neighbor
+        |aggregate (one exchange); each later round is a label join onto
+        |the edge table feeding three hash aggregates — vote counts keyed
+        |(node, lbl), max-count per node, and the min-label argmax join —
+        |with NO window and NO sort anywhere (the argmax is the
+        |two-aggregate max-join pattern). All exchanges hash on node-scale
+        |keys; the edge table reuses its partitioning round over round.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -260,6 +277,45 @@ object Explain {
           .distinct()
         graft.operators.Graph.hits(edges, iters = 3)
           .orderBy(col("auth_score").desc, col("node")).limit(50)
+      },
+      "g5_personalized_pagerank" -> { (s, dir) =>
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val e0 = graft.sources.Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(graft.sources.Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val p = graft.operators.Graph.prepare(
+          e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+          symmetric = true)
+        // the public entry returns a checkpointed O(nodes) table; this
+        // re-derives the LAZY loop body (GraphSpec's plan-test shape)
+        // so the per-round join/aggregate/broadcast structure is
+        // visible instead of an opaque RDD scan
+        val ids = p.nodes.filter(col("node") % 2 === 0 && col("node") <= 50)
+          .collect().map(_.getLong(0)).sorted
+        val sd = ids.toSeq.toDF("node")
+        val nS = ids.length.toDouble
+        var r = sd.select(col("node"), (lit(1.0) / lit(nS)).as("r"))
+        for (_ <- 1 to 3) {
+          r = p.ewd.join(r.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node"),
+              (col("r") / col("outdeg")).cast("decimal(30,15)").as("c"))
+            .union(sd.select(col("node"), lit(0).cast("decimal(30,15)").as("c")))
+            .groupBy("node").agg(sum("c").as("csum"))
+            .join(broadcast(sd.withColumn("is_seed", lit(1))), Seq("node"), "left")
+            .select(col("node"),
+              (when(col("is_seed").isNotNull, lit(1.0 - 0.85) / lit(nS))
+                .otherwise(lit(0.0))
+                + lit(0.85) * col("csum").cast("double")).as("r"))
+        }
+        r.select(col("node"),
+          floor(lit(1000000000.0) * col("r")).cast("long").as("rank_bp"))
+          .orderBy(col("rank_bp").desc, col("node")).limit(50)
       })
     val sb = new StringBuilder
     sb.append("# EXPLAIN — physical-plan review of headline queries\n\n")
