@@ -393,6 +393,32 @@ class GraphSpec extends AnyFunSuite {
     assert(run(2) === run(7), "mode+min-tiebreak must be partition-independent")
   }
 
+  test("labelPropagation: matches a reference synchronous simulation on random graphs") {
+    // independent in-memory model of the declared semantics (every
+    // node simultaneously adopts the most frequent in-neighbor label,
+    // min tie-break) — guards both the closed-form round 1 and the
+    // max-join argmax against drift
+    val rnd = new scala.util.Random(43)
+    for (_ <- 1 to 3) {
+      val und = (1 to 60)
+        .map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val edges = (und ++ und.map(_.swap)).distinct
+      val got = Graph.labelPropagation(edges.toDF("src", "dst"), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val inNbrs = edges.groupBy(_._2).map { case (v, es) => v -> es.map(_._1) }
+      var lbl = inNbrs.keys.map(v => v -> v).toMap
+      for (_ <- 1 to 3) {
+        lbl = inNbrs.map { case (v, ins) =>
+          val votes = ins.groupBy(lbl).map { case (l, xs) => l -> xs.size }
+          val mx = votes.values.max
+          v -> votes.collect { case (l, n) if n == mx => l }.min
+        }
+      }
+      assert(got === lbl)
+    }
+  }
+
   test("labelPropagation plan: hash aggregates and equi-joins only — no sorts, no windows") {
     val und = Seq((0L, 1L), (1L, 2L), (2L, 3L))
     val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
