@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -272,5 +273,64 @@ object ScaleQueries {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("suppkey"))
         .limit(25)
+    },
+
+    // ---- MERGE INTO / upsert semantics as a relational plan ----
+    // The warehouse maintenance op the CTAS family (S5, q23, q36)
+    // leads to: fold a late-arriving batch (orders from 2001) into
+    // the persisted per-customer summary dim built from history,
+    // update-matched / insert-new, with the per-row action recorded —
+    // the audit column a production MERGE writes to its log. Shape:
+    // ONE fact scan feeds both aggregates (the filters partition it),
+    // then a key-hash FULL OUTER join of dim-sized aggregates;
+    // coalesce arithmetic is codegen'd. At 100 TB the base side is
+    // the bucketed persisted dim (no exchange), the delta batch is
+    // small → AQE broadcasts it, and the action flag makes the
+    // update idempotency auditable. DECIMAL sums keep both engines
+    // bit-exact; the NTZ cutoff literal follows q42's UTC contract.
+    QueryDef("q43_merge_upsert",
+      """WITH base AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01'
+        |  GROUP BY o_custkey
+        |), delta AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        |  GROUP BY o_custkey
+        |)
+        |SELECT COALESCE(b.o_custkey, d.o_custkey) AS o_custkey,
+        |  CAST(COALESCE(b.n_orders, 0) + COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders,
+        |  CAST(COALESCE(b.total, 0) + COALESCE(d.total, 0) AS DOUBLE) AS total_spend,
+        |  CASE WHEN b.o_custkey IS NULL THEN 'insert'
+        |       WHEN d.o_custkey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM base b FULL OUTER JOIN delta d ON d.o_custkey = b.o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val cutoff = lit("2001-01-01").cast("timestamp")
+      val orders = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("od"),
+          col("o_totalprice").cast(dec18_2).as("p"))
+      def summarize(f: Column): DataFrame = orders.where(f)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum("p").as("total"))
+      val base = summarize(col("od") < cutoff)
+      val delta = summarize(col("od") >= cutoff)
+        .select(col("o_custkey").as("d_custkey"),
+          col("n_orders").as("d_n"), col("total").as("d_total"))
+      base.join(delta, col("d_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("o_custkey"), col("d_custkey")).as("ck"),
+          (coalesce(col("n_orders"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("total"), lit(0).cast(dec18_2))
+            + coalesce(col("d_total"), lit(0).cast(dec18_2)))
+            .cast("double").as("total_spend"),
+          when(col("o_custkey").isNull, "insert")
+            .when(col("d_custkey").isNull, "keep")
+            .otherwise("update").as("action"))
+        .withColumnRenamed("ck", "o_custkey")
+        .orderBy("o_custkey")
     })
 }
