@@ -355,4 +355,64 @@ object EventStream {
           out.iterator
       }
   }
+
+  /** Streaming MERGE INTO — the incremental form of q43's upsert:
+    * maintain a keyed per-user summary dim (user_id, n_events,
+    * total_cents) in plain parquet by folding each micro-batch's
+    * delta aggregate into the current version with the same
+    * full-outer/coalesce merge shape (update-matched, insert-new).
+    *
+    * Versioned MVCC-style commits instead of in-place mutation:
+    * batch k writes `v<k>` derived from the latest version below k,
+    * so a reader always scans a complete immutable snapshot, history
+    * is auditable, and a RETRIED micro-batch is idempotent by
+    * construction — it recomputes the same `v<k>` from the same
+    * predecessor (the delta is deterministic from the replayed batch).
+    * This is the manifest/snapshot pattern table formats productionize;
+    * on a plain filesystem the version directory stands in for the
+    * manifest. Scale shape: the delta is batch-bounded, the dim is
+    * key-bounded, and the merge is one key-hash full-outer join —
+    * bucket the dim by user_id at warehouse scale and it is
+    * exchange-free on the base side.
+    */
+  def upsertUserSummary(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("total_cents"))
+        val root = new java.io.File(path)
+        val prevV = Option(root.listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+          .filter(_ < batchId).sorted.lastOption
+        val merged = prevV match {
+          case None => delta
+          case Some(pv) =>
+            val base = spark.read.parquet(new java.io.File(root, s"v$pv").getPath)
+            base.join(delta.select(col("user_id").as("d_uid"),
+                col("n_events").as("d_n"), col("total_cents").as("d_c")),
+                col("d_uid") === col("user_id"), "full_outer")
+              .select(
+                coalesce(col("user_id"), col("d_uid")).as("user_id"),
+                (coalesce(col("n_events"), lit(0L))
+                  + coalesce(col("d_n"), lit(0L))).as("n_events"),
+                (coalesce(col("total_cents"), lit(0L))
+                  + coalesce(col("d_c"), lit(0L))).as("total_cents"))
+        }
+        merged.write.mode("overwrite")
+          .parquet(new java.io.File(root, s"v$batchId").getPath)
+        ()
+      }
+
+  /** The latest committed snapshot of [[upsertUserSummary]]'s dim. */
+  def latestUserSummary(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val vs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+    require(vs.nonEmpty, s"no committed version under $path")
+    spark.read.parquet(new java.io.File(path, s"v${vs.max}").getPath)
+  }
 }

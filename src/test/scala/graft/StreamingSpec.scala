@@ -230,6 +230,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming merge-upsert dim converges to the batch aggregate (q43 shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("upsert_dim").toString
+    val q = EventStream.upsertUserSummary(events, dir).start()
+    try {
+      // batch 0: users 1, 2 (inserts)
+      mem.addData((1L, 1L, 1L, "click", 1.50), (2L, 2L, 2L, "click", 2.25))
+      q.processAllAvailable()
+      // batch 1: user 2 again (update) + user 3 (insert)
+      mem.addData((3L, 3L, 2L, "view", 0.75), (4L, 4L, 3L, "view", 4.00))
+      q.processAllAvailable()
+      val got = EventStream.latestUserSummary(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch-side truth: groupBy over ALL rows (150+225=375 etc.)
+      assert(got === Set((1L, 1L, 150L), (2L, 2L, 300L), (3L, 1L, 400L)),
+        s"got $got")
+      // MVCC history: every micro-batch committed an immutable snapshot,
+      // and the intermediate version holds only batch-0 state
+      val v0 = spark.read.parquet(s"$dir/v0").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(v0 === Set((1L, 1L, 150L), (2L, 1L, 225L)), s"v0: $v0")
+    } finally q.stop()
+  }
+
   test("streaming minhash candidates match batch minhashPairs in one horizon") {
     implicit val sqlCtx = spark.sqlContext
     // synthetic corpus with engineered near-dups: shared long bodies
