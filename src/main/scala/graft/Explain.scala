@@ -253,7 +253,15 @@ object Explain {
         |(node, lbl), max-count per node, and the min-label argmax join —
         |with NO window and NO sort anywhere (the argmax is the
         |two-aggregate max-join pattern). All exchanges hash on node-scale
-        |keys; the edge table reuses its partitioning round over round.""".stripMargin)
+        |keys; the edge table reuses its partitioning round over round.""".stripMargin,
+    "q43_merge_upsert" ->
+      """The MERGE INTO shape: the date filters partition ONE orders scan
+        |into base/delta aggregate branches (each with partial_* map-side
+        |aggregation), joined FULL OUTER on the customer key; the
+        |insert/update/keep action and coalesce arithmetic are a codegen'd
+        |projection above the join. At warehouse scale the base branch is
+        |the bucketed persisted dim (its exchange disappears) and AQE
+        |broadcasts the batch-sized delta.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
