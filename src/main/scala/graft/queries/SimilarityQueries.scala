@@ -549,15 +549,18 @@ object SimilarityQueries {
         .select(col("vec_id"), col("label"), posexplode(col("embedding")))
         .select(col("vec_id"), col("label"), (col("pos") + 1).as("pos"),
           expr("CAST(floor(CAST(col AS DOUBLE)*1000) AS BIGINT)").as("vq"))
-      val xn2 = dims.groupBy("vec_id")
-        .agg(min("label").as("label"), sum(col("vq") * col("vq")).as("x_n2"))
       val cent = dims.groupBy(col("label").as("clabel"), col("pos"))
         .agg(sum("vq").as("sum_q"))
       val cn2 = cent.groupBy("clabel").agg(sum(col("sum_q") * col("sum_q")).as("c_n2"))
+      // the vector norm Σvq² rides the SAME (vec, label) aggregate as
+      // the dot product — every group holds the vec's full pos set, so
+      // a separate per-vec norm branch (scan + exchange + join-back)
+      // is pure overhead; min(label) carries the true label along
       val dots = dims.join(broadcast(cent), Seq("pos"))
-        .groupBy("vec_id", "clabel").agg(sum(col("vq") * col("sum_q")).as("dot"))
+        .groupBy("vec_id", "clabel")
+        .agg(min("label").as("label"), sum(col("vq") * col("sum_q")).as("dot"),
+          sum(col("vq") * col("vq")).as("x_n2"))
       val scored = dots.join(broadcast(cn2), Seq("clabel"))
-        .join(xn2, Seq("vec_id"))
         .select(col("vec_id"), col("label"), col("clabel"),
           floor(lit(10000.0) * col("dot").cast("double") /
             (sqrt(col("x_n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
