@@ -170,4 +170,37 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"),
       s"p27 must not cross-join scalar statistics:\n$plan")
   }
+
+  test("q43 merge-upsert: key-hash FULL OUTER join, no funnel, no quadratic join") {
+    val df = graft.SparkEntry.queries("q43_merge_upsert")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"MERGE needs a full-outer join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the merge join must be key-hash:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"nothing in the merge funnels to one partition:\n$plan")
+  }
+
+  test("e19 RFM scoring has no fact-sized window — thresholds ride one 1-row broadcast") {
+    val df = graft.SparkEntry.queries("e19_rfm_scores")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"quintile scoring must not be a global ntile window:\n$plan")
+    // the 12-threshold frame is 1 row: its cross join is the benign
+    // dispositioned BNL (PLANAUDIT e19); the user aggregate must not
+    // itself funnel before the percentile aggregate consumes it
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the 1-row threshold broadcast:\n$plan")
+  }
+
+  test("p29 subword packing broadcasts the trained segmentation onto the corpus scan") {
+    val df = graft.SparkEntry.queries("p29_pack_bpe_budget")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocab-sized BPE merge table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no quadratic joins in the encode path:\n$plan")
+  }
 }
