@@ -140,12 +140,14 @@ object Graph {
       .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
       .select(col("dst").as("node"),
         (col("r") / col("outdeg")).cast("decimal(30,15)").as("c"))
-    // symmetric graphs: every node has in-edges, so the dangling-zeros
-    // union is a no-op on an exact DECIMAL sum — skip it
-    val withZeros =
-      if (p.symmetric) contrib
-      else contrib.union(
+    val withZeros = if (p.symmetric) {
+      // symmetric graphs: every node has in-edges, so the
+      // dangling-zeros union is a no-op on an exact DECIMAL sum
+      contrib
+    } else {
+      contrib.union(
         p.nodes.select(col("node"), lit(0).cast("decimal(30,15)").as("c")))
+    }
     withZeros
       .groupBy("node")
       .agg(sum("c").as("csum"))
