@@ -691,6 +691,43 @@ object Graph {
     * LPA on bipartite-ish graphs can oscillate, which a fixed round
     * count renders harmless and deterministic.
     */
+  /** Breadth-first min-hop distances from a seed set, bounded at
+    * `maxHops` — the k-hop-neighborhood primitive (graph features,
+    * blast-radius queries, seed-expansion curation). Returns
+    * (node, hop) for every node within `maxHops` of a seed.
+    *
+    * Frontier-expansion loop with the library's checkpoint
+    * discipline: per round ONE edge join (exchange-free against the
+    * prepared src-partitioned edge table), a distinct, and an
+    * anti-join against the visited set — all node-keyed hash
+    * exchanges; per-round state is O(reached), like [[personalizedPageRank]]'s
+    * sparse frontier. The visited set is checkpointed each round
+    * (it feeds both the next anti-join and the result), frontier
+    * checkpoints are released once superseded.
+    */
+  def bfsHops(p: Prepared, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 0, "bfsHops needs maxHops >= 0")
+    var frontier = ckpt(seeds.select(col("node").cast("long")).distinct())
+    // independent materialization: visited must own its blocks so the
+    // frontier checkpoint can be released without tearing it down
+    var visited = ckpt(frontier.withColumn("hop", lit(0)))
+    var hop = 1
+    while (hop <= maxHops) {
+      val next = ckpt(
+        p.ewd.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti"))
+      release(frontier) // `next` and `visited` are materialized — safe
+      frontier = next
+      val grown = ckpt(visited.union(next.withColumn("hop", lit(hop))))
+      release(visited) // `grown` holds its own copy now
+      visited = grown
+      hop += 1
+    }
+    release(frontier) // final frontier's rows live inside `visited`
+    visited
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1, "labelPropagation needs at least one round")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))

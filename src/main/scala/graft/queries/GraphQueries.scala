@@ -365,5 +365,48 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_members"), min("node").as("min_node"))
         .orderBy(col("n_members").desc, col("community"))
         .limit(50)
+    },
+
+    // ---- k-hop BFS neighborhood from the trusted seed set ----
+    // Min-hop distances from g5's seed customers, bounded at 3 hops —
+    // the blast-radius / seed-expansion primitive. The engine runs
+    // the frontier loop (per round: one exchange-free edge join, a
+    // distinct, an anti-join vs visited — O(reached) state,
+    // checkpoint discipline); the oracle replays each level as a
+    // chained CTE with NOT-IN exclusions of all prior levels. Output
+    // is the per-hop histogram with node-range anchors.
+    QueryDef("g7_khop_bfs", {
+      def level(k: Int): String = {
+        val excl = (0 until k)
+          .map(j => s"sym.dst NOT IN (SELECT node FROM l$j)").mkString(" AND ")
+        s""", l$k AS MATERIALIZED (
+           |  SELECT DISTINCT sym.dst AS node
+           |  FROM sym JOIN l${k - 1} ON sym.src = l${k - 1}.node
+           |  WHERE $excl
+           |)""".stripMargin
+      }
+      oracleGraph +
+        """, seeds AS MATERIALIZED (
+          |  SELECT DISTINCT src AS node FROM sym
+          |  WHERE src % 2 = 0 AND src <= 50
+          |), l0 AS MATERIALIZED (SELECT node FROM seeds)""".stripMargin +
+        level(1) + level(2) + level(3) +
+        """, hops AS (
+          |  SELECT node, 0 AS hop FROM l0
+          |  UNION ALL SELECT node, 1 FROM l1
+          |  UNION ALL SELECT node, 2 FROM l2
+          |  UNION ALL SELECT node, 3 FROM l3
+          |)
+          |SELECT CAST(hop AS BIGINT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          |  MIN(node) AS min_node, MAX(node) AS max_node
+          |FROM hops GROUP BY hop ORDER BY hop""".stripMargin
+    }) { (s, dir) =>
+      val p = tradeGraph(s, dir)
+      val seeds = p.nodes.filter(col("node") % 2 === 0 && col("node") <= 50)
+      Graph.bfsHops(p, seeds, maxHops = 3)
+        .groupBy(col("hop").cast("long").as("hop"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min("node").as("min_node"), max("node").as("max_node"))
+        .orderBy("hop")
     })
 }

@@ -393,6 +393,24 @@ class GraphSpec extends AnyFunSuite {
     assert(run(2) === run(7), "mode+min-tiebreak must be partition-independent")
   }
 
+  test("bfsHops: exact hop distances, bound respected, unreachable component absent") {
+    // path 0-1-2-3-4-5 plus a disconnected edge 10-11, seed = {0}
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val p = Graph.prepare(edges, symmetric = true)
+    val got = Graph.bfsHops(p, Seq(0L).toDF("node"), maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3),
+      s"exact min-hop distances, bounded at 3, other component absent: $got")
+    // a seed inside a cycle: min-hop wins over the longer way round
+    val cyc = (0L to 4L).map(i => (i, (i + 1) % 5))
+    val pc = Graph.prepare((cyc ++ cyc.map(_.swap)).toDF("src", "dst"),
+      symmetric = true)
+    val g2 = Graph.bfsHops(pc, Seq(0L).toDF("node"), maxHops = 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(g2 === Map(0L -> 0, 1L -> 1, 4L -> 1, 2L -> 2, 3L -> 2), s"$g2")
+  }
+
   test("labelPropagation: matches a reference synchronous simulation on random graphs") {
     // independent in-memory model of the declared semantics (every
     // node simultaneously adopts the most frequent in-neighbor label,
