@@ -705,5 +705,38 @@ object EventQueries {
           score(col("f"), Seq("f1", "f2", "f3", "f4")).as("f_score"),
           score(col("m_q"), Seq("m1", "m2", "m3", "m4")).as("m_score"))
         .orderBy("user_id")
+    },
+
+    // ---- per-window top-k (hourly leading event types) ----
+    // The windowed-heavy-hitters report: top-3 event types per hour
+    // by exact count, dense_rank ties kept. One (hour, type) hash
+    // aggregate (map-side combined), then a rank window PARTITIONED
+    // BY the hour bucket — partitions are bounded by the per-hour
+    // type cardinality, never fact-sized, so the sort inside each is
+    // trivial at any scale (contrast q19's dispositioned global
+    // funnel). Exact counts; p9/e7 are the sketch alternatives when
+    // the per-window key domain explodes.
+    QueryDef("e20_hourly_top_events",
+      """WITH c AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT hour_bucket, event_type, n,
+        |    CAST(dense_rank() OVER (PARTITION BY hour_bucket
+        |      ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        |  FROM c
+        |)
+        |SELECT hour_bucket, event_type, n, rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY hour_bucket, rnk, event_type""".stripMargin) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("hour_bucket")
+        .orderBy(col("n").desc, col("event_type"))
+      c.withColumn("rnk", dense_rank().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .orderBy("hour_bucket", "rnk", "event_type")
     })
 }

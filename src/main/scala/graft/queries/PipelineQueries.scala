@@ -1336,6 +1336,54 @@ object PipelineQueries {
         .orderBy("lang", "source", "bin_id")
     },
 
+    // ---- corpus snapshot diff (dataset versioning audit) ----
+    // The between-releases report every curated dataset needs: which
+    // docs were added, removed, or edited from snapshot v1 to v2, by
+    // content hash, rolled up per source. Snapshots are derived
+    // deterministically from the one corpus so the oracle replays
+    // them byte-identically: v1 drops doc_id % 11 = 0 (later
+    // additions) and carries an old revision for doc_id % 13 = 0
+    // (later edits, simulated by a prefix marker); v2 is the corpus
+    // as shipped. Shape: two filter-partitioned scans, ONE key-hash
+    // FULL OUTER join (q43's merge skeleton read-only), md5
+    // comparison, source × status rollup — dim-sized output, no
+    // funnel. At 100 TB the snapshots are two manifests/tables
+    // bucketed by doc_id and the join is exchange-free.
+    QueryDef("p30_snapshot_diff",
+      """WITH v1 AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN 'rev0 ' || text ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 11 != 0
+        |), v2 AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents
+        |), d AS (
+        |  SELECT COALESCE(v2.source, v1.source) AS source,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN v1.h != v2.h THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id
+        |)
+        |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM d GROUP BY source, status
+        |ORDER BY source, status""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("source"),
+          md5(when(col("doc_id") % 13 === 0, concat(lit("rev0 "), col("text")))
+            .otherwise(col("text"))).as("h"))
+      val v2 = docs.select(col("doc_id").as("d2_id"), col("source").as("d2_src"),
+        md5(col("text")).as("h2"))
+      v1.join(v2, col("d2_id") === col("doc_id"), "full_outer")
+        .select(coalesce(col("d2_src"), col("source")).as("source"),
+          when(col("doc_id").isNull, "added")
+            .when(col("d2_id").isNull, "removed")
+            .when(col("h") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "status")
+    },
+
     // ---- DSIR-style importance-weighted data selection ----
     // Data Selection via Importance Resampling (Xie et al. 2023):
     // score every candidate document by how target-like its token
