@@ -231,12 +231,15 @@ object ScaleQueries {
     // order" — the classic multi-correlated query (Q21 is EXISTS +
     // NOT EXISTS over the same fact). Instead of two correlated
     // probes, the engine computes per-(order, supplier) lateness ONCE
-    // (fact-keyed aggregate), derives per-order supplier/late counts
-    // from it (order-keyed aggregate), and joins back — every
-    // correlation becomes a hash equi-join on keys that stay
-    // high-cardinality at 100 TB, and the fact table is scanned once.
-    // Lateness compares exact epoch microseconds (ship > order + 90d)
-    // so both engines agree bit-for-bit.
+    // (fact-keyed aggregate) and derives the per-order supplier/late
+    // counts with an unordered window over the SAME order-key
+    // partitioning — no second aggregate, no self-join, no recompute
+    // of the fact subtree. The explicit repartition on l_orderkey
+    // makes one exchange serve the (ok, sk) aggregate AND the window
+    // (ok alone clusters both), so the fact is exchanged exactly once
+    // before the final dim-sized supplier rollup. Lateness compares
+    // exact epoch microseconds (ship > order + 90d) so both engines
+    // agree bit-for-bit.
     QueryDef("q42_sole_late_supplier",
       """WITH per AS (
         |  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
@@ -257,6 +260,7 @@ object ScaleQueries {
           col("l_shipdate"))
         .join(Tables.orders(s, dir)
           .select(col("o_orderkey").as("ok"), col("o_orderdate")), Seq("ok"))
+        .repartition(col("ok"))
         .groupBy("ok", "sk")
         // NTZ→timestamp cast is the identity on the stored micros under
         // the UTC session (same normalization contract as Tables.events)
@@ -265,9 +269,12 @@ object ScaleQueries {
             unix_micros(col("o_orderdate").cast("timestamp"))
               + lit(7776000000000L), 1)
           .otherwise(0)).as("late"))
-      val stats = per.groupBy("ok")
-        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
-      per.join(stats, Seq("ok"))
+      // Unordered whole-partition window: ok-partitioning is already
+      // in place, so this is a sort within partitions, not a shuffle.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("ok")
+      per
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum(col("late")).over(w))
         .where(col("late") === 1 && col("n_late") === 1 && col("n_supp") >= 2)
         .groupBy(col("sk").as("suppkey"))
         .agg(count(lit(1)).as("numwait"))
