@@ -408,5 +408,49 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_nodes"),
           min("node").as("min_node"), max("node").as("max_node"))
         .orderBy("hop")
+    },
+
+    // ---- link prediction: resource-allocation index for a seed set ----
+    // "Which other customers look most like these 20 accounts?" —
+    // score candidate pairs by shared suppliers, each shared neighbor
+    // w contributing 1/deg(w) (the resource-allocation index; the
+    // hub-supplier everyone buys from says little, the niche supplier
+    // says a lot). The contribution is QUANTIZED to integer
+    // 1e12 div deg(w) so the score is an exact BIGINT sum — no
+    // engine-specific ln/double rounding (deg > 0, so truncating and
+    // floor division agree; same contract as e16's bucketing).
+    // Scale shape: the wedge join is SEED-SCOPED — per-seed work is
+    // the two-hop neighborhood, not the graph; the supplier-degree
+    // side is a dim-sized broadcast; never an all-pairs product. At
+    // 100 TB this is the standard two-hop candidate generator run per
+    // query cohort against the bucketed edge table.
+    QueryDef("g8_link_prediction",
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), deg_s AS MATERIALIZED (
+        |  SELECT dst, COUNT(*) AS d FROM e0 GROUP BY dst
+        |)
+        |SELECT a.src AS seed, b.src AS cand,
+        |  CAST(SUM(1000000000000 // deg_s.d) AS BIGINT) AS ra_q,
+        |  CAST(COUNT(*) AS BIGINT) AS n_common
+        |FROM e0 a JOIN e0 b ON a.dst = b.dst AND a.src <> b.src
+        |JOIN deg_s ON deg_s.dst = a.dst
+        |WHERE a.src <= 40
+        |GROUP BY a.src, b.src
+        |ORDER BY ra_q DESC, seed, cand LIMIT 100""".stripMargin) { (s, dir) =>
+      val e0 = tradeEdgesDirected(s, dir)
+      val degS = e0.groupBy("dst").agg(count(lit(1)).as("d"))
+      val seedEdges = e0.where(col("src") <= 40)
+        .select(col("src").as("seed"), col("dst"))
+      seedEdges
+        .join(e0.select(col("src").as("cand"), col("dst")), Seq("dst"))
+        .where(col("seed") =!= col("cand"))
+        .join(broadcast(degS), Seq("dst"))
+        .groupBy("seed", "cand")
+        .agg(sum(expr("CAST(1000000000000 AS BIGINT) div d")).as("ra_q"),
+          count(lit(1)).as("n_common"))
+        .orderBy(col("ra_q").desc, col("seed"), col("cand"))
+        .limit(100)
     })
 }

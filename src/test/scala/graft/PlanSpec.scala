@@ -203,4 +203,14 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"no quadratic joins in the encode path:\n$plan")
   }
+
+  test("g8 link prediction: seed-scoped wedge equi-joins, degree table broadcast") {
+    val df = graft.SparkEntry.queries("g8_link_prediction")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the supplier-degree dim must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge generation must be equi-join only, never all-pairs:\n$plan")
+  }
 }
