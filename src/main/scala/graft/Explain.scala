@@ -261,7 +261,28 @@ object Explain {
         |insert/update/keep action and coalesce arithmetic are a codegen'd
         |projection above the join. At warehouse scale the base branch is
         |the bucketed persisted dim (its exchange disappears) and AQE
-        |broadcasts the batch-sized delta.""".stripMargin)
+        |broadcasts the batch-sized delta.""".stripMargin,
+    "g8_link_prediction" ->
+      """Seed-scoped link prediction: the wedge generator is one shuffled
+        |hash equi-join of the ≤seed-degree edge slice onto the full edge
+        |table keyed by the shared-neighbor id, with the supplier-degree
+        |dim riding a BroadcastHashJoin — no cartesian anywhere, and the
+        |quantized 1e12 div deg contribution keeps the score an exact
+        |BIGINT sum (no ln/double drift between engines). Per-seed work
+        |is the two-hop neighborhood; at 100 TB the same plan runs per
+        |query cohort against the bucketed edge table and the wedge join
+        |inherits its partitioning.""".stripMargin,
+    "s13_knn_classify" ->
+      """Batched k-NN classification: the 20-vector query set is the
+        |BroadcastNestedLoopJoin fan-out (s1's query-broadcast shape,
+        |batched), scored by the codegen'd qdot expression; the per-query
+        |top-k is the bounded-heap TopKAgg — an ObjectHashAggregate whose
+        |partial state is O(k) per query, so the exchange carries
+        |queries×k rows, never the corpus — with the neighbor label
+        |packed into the deterministic tiebreak id (no second corpus
+        |scan). The vote argmax is the plan's only Window, over
+        |queries×k rows. The IVF-probed candidate restriction (s6) is
+        |the declared 100 TB path; the vote stages are unchanged.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -50,6 +50,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN majority-vote classifier: label each query vector
+    * (vec_id < nQueries, labels treated as unknown) by the majority
+    * label of its k nearest corpus neighbors (vec_id >= nQueries)
+    * under the quantized dot score; ties by score-sum DESC then
+    * smaller label. Scale shape: the query side is a broadcast dim,
+    * the per-query top-k runs as the bounded-heap TopKAgg (O(k)
+    * partial state per query, map-side combine — the shuffle carries
+    * queries×k rows, never the corpus), and the vote is a
+    * control-plane aggregate over queries×k rows. The neighbor label
+    * rides the heap packed into the tiebreak id (vec_id·16 + label,
+    * labels < 16 — order-preserving since vec_id is unique), so no
+    * second corpus scan fetches labels back.
+    */
+  def knnClassify(emb: DataFrame, nQueries: Long, k: Int): DataFrame = {
+    val reg = registered(emb)
+    val q = reg.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = reg.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(q))
+      .withColumn("score", qdot("embedding", "qv"))
+      .select(col("qid"), col("score"),
+        (col("vec_id") * 16 + col("label")).cast("long").as("packed"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("packed")).as("top"))
+      .select(col("qid"), explode(col("top.rows")).as("r"))
+      .select(col("qid"), col("r.score").as("score"),
+        pmod(col("r.id"), lit(16)).cast("long").as("pred_label"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("n_votes").desc, col("score_sum").desc, col("pred_label"))
+    top.groupBy("qid", "pred_label")
+      .agg(count(lit(1)).as("n_votes"), sum(col("score")).as("score_sum"))
+      .withColumn("vr", row_number().over(w))
+      .where(col("vr") === 1)
+      .select(col("qid"), col("pred_label"), col("n_votes"), col("score_sum"))
+      .orderBy("qid")
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-bit LSH:
     * dims×planes doubles, embedded as literals. `seed` selects an
     * independent table for OR-amplification.

@@ -570,5 +570,42 @@ object SimilarityQueries {
         .groupBy("vec_id").agg(min("label").as("label"), min("clabel").as("pred_label"))
         .groupBy("label", "pred_label").agg(count(lit(1)).as("n_vecs"))
         .orderBy("label", "pred_label")
+    },
+
+    // ---- k-NN majority-vote classification (instance-based) ----
+    // The lazy counterpart of s12's centroid model: label the 20
+    // held-out query vectors by the majority label among their 10
+    // nearest corpus neighbors (quantized-dot score), ties broken by
+    // score-sum then smaller label. The per-query top-k runs as the
+    // bounded-heap TopKAgg — the shuffle carries queries×k rows, not
+    // the corpus — and the neighbor label rides the heap packed into
+    // the deterministic tiebreak id (vec_id·16+label, order-
+    // preserving), so labels never need a second corpus scan. The
+    // oracle replays the exact same top-k (score DESC, vec_id) and
+    // vote with windows. Scale path: swap the scored scan for s6's
+    // IVF-probed candidate set; the vote is unchanged.
+    QueryDef("s13_knn_classify",
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20
+        |), scored AS (
+        |  SELECT q.qid, c.vec_id, c.label,
+        |    CAST(list_sum(list_transform(list_zip(c.embedding, q.qv),
+        |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS score
+        |  FROM embeddings c CROSS JOIN q WHERE c.vec_id >= 20
+        |), topk AS (
+        |  SELECT qid, label, score FROM (
+        |    SELECT qid, label, score,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+        |    FROM scored) t WHERE rk <= 10
+        |), votes AS (
+        |  SELECT qid, CAST(label AS BIGINT) AS pred_label,
+        |    CAST(COUNT(*) AS BIGINT) AS n_votes, CAST(SUM(score) AS BIGINT) AS score_sum
+        |  FROM topk GROUP BY qid, label
+        |)
+        |SELECT qid, pred_label, n_votes, score_sum FROM (
+        |  SELECT votes.*, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY n_votes DESC, score_sum DESC, pred_label) AS vr
+        |  FROM votes) v WHERE vr = 1 ORDER BY qid""".stripMargin) { (s, dir) =>
+      Similarity.knnClassify(Tables.embeddings(s, dir), nQueries = 20L, k = 10)
     })
 }

@@ -281,4 +281,38 @@ class SimilaritySpec extends AnyFunSuite {
       (2L, 3L, 9206L, 37928L),
       (3L, 2L, 9589L, 37126L)), s"got ${got.mkString(",")}")
   }
+
+  test("knnClassify: separated clusters classify perfectly; majority beats single near neighbor") {
+    // queries 0,1 (ids < 2); corpus: three axis-aligned cluster members
+    // per class plus one label-1 outlier sitting closest to query 0 —
+    // the k=4 majority must still pick label 0.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f), 9),   // query (label ignored)
+      (1L, Array(0.0f, 1.0f, 0.05f), 9),   // query
+      (2L, Array(0.99f, 0.0f, 0.0f), 0),
+      (3L, Array(0.97f, 0.1f, 0.0f), 0),
+      (4L, Array(0.95f, 0.05f, 0.0f), 0),
+      (5L, Array(1.0f, 0.06f, 0.0f), 1),   // near-twin outlier of q0
+      (6L, Array(0.0f, 0.98f, 0.0f), 1),
+      (7L, Array(0.05f, 0.99f, 0.0f), 1),
+      (8L, Array(0.0f, 0.97f, 0.1f), 1),
+      (9L, Array(0.0f, 0.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(vecs, nQueries = 2L, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 0L), (1L, 1L)), s"got ${got.mkString(",")}")
+  }
+
+  test("knnClassify plan: per-query top-k is the bounded heap, not a corpus-wide window") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array((i % 7).toFloat, (i % 3).toFloat), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val qe = Similarity.knnClassify(vecs, nQueries = 4L, k = 3).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"top-k must run as the TopKAgg heap (map-side partial):\n$plan")
+    // the only Window is the vote argmax over queries×k rows — if the
+    // top-k itself were window-ranked there would be a second one
+    assert(plan.linesIterator.count(_.contains("Window [")) == 1,
+      s"only the vote argmax may be window-based:\n$plan")
+  }
 }
