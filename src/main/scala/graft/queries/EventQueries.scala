@@ -738,5 +738,84 @@ object EventQueries {
       c.withColumn("rnk", dense_rank().over(w).cast("long"))
         .where(col("rnk") <= 3)
         .orderBy("hour_bucket", "rnk", "event_type")
+    },
+
+    // ---- recency-decayed engagement score (feature-store classic) ----
+    // Per-user engagement where each event's value decays with a
+    // 2-day half-life relative to a fixed as-of anchor — the standard
+    // recency feature a ranking model consumes. Exactness: the decay
+    // is a RIGHT SHIFT of the ×1000-quantized value by age_days/2
+    // (values and ages non-negative per the fixture contract, so >>
+    // equals floor division in both engines — no pow()/double drift);
+    // the anchor is a literal, so there is no max(ts) scalar job.
+    // Scale shape: ONE user-keyed hash aggregate over a projected
+    // scan (map-side combined) + TakeOrdered top-50 — the cheapest
+    // possible plan; the decay arithmetic is codegen'd scan-side.
+    QueryDef("e21_decay_engagement",
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vq,
+        |    (1706745600000000 - epoch_us(ts)) // 86400000000 AS age_days
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |  CAST(SUM(vq >> CAST(age_days // 2 AS INTEGER)) AS BIGINT) AS decay_q,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MIN(age_days) AS BIGINT) AS last_age_days
+        |FROM e GROUP BY user_id
+        |ORDER BY decay_q DESC, user_id LIMIT 50""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("vq"),
+          expr("(1706745600000000 - (ts div 1000)) div 86400000000")
+            .as("age_days"))
+        .groupBy("user_id")
+        .agg(sum(expr("shiftright(vq, CAST(age_days div 2 AS INT))"))
+            .cast("long").as("decay_q"),
+          count(lit(1)).as("n_events"),
+          min(col("age_days")).cast("long").as("last_age_days"))
+        .orderBy(col("decay_q").desc, col("user_id"))
+        .limit(50)
+    },
+
+    // ---- inter-arrival time distribution (burstiness profile) ----
+    // Order-of-magnitude histogram of the gap between consecutive
+    // events of the same (user, type) stream — the ops-side "is this
+    // feed bursty or steady" profile, and the sanity input to e5's
+    // session-gap threshold. The LAG window partitions by
+    // (user_id, event_type) — per-partition rows stay per-user-sized
+    // at any scale (e5's exact partitioning contract), never the
+    // bounded-cardinality event_type alone. The bucket is the DIGIT
+    // COUNT of the microsecond gap (length of its decimal rendering)
+    // — integer-exact in both engines, no log2()/double boundary
+    // drift at bucket edges.
+    QueryDef("e22_interarrival_hist",
+      """WITH g AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS tus, event_id,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  CAST(length(CAST(tus - prev AS VARCHAR)) AS BIGINT) AS gap_digits,
+        |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(tus - prev) AS BIGINT) AS min_gap_us,
+        |  CAST(MAX(tus - prev) AS BIGINT) AS max_gap_us
+        |FROM g WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, gap_digits""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("tus"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          expr("ts div 1000").as("tus"), col("event_id"))
+        .withColumn("prev", lag(col("tus"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("gap", col("tus") - col("prev"))
+        .groupBy(col("event_type"),
+          length(col("gap").cast("string")).cast("long").as("gap_digits"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap")).cast("long").as("min_gap_us"),
+          max(col("gap")).cast("long").as("max_gap_us"))
+        .orderBy("event_type", "gap_digits")
     })
 }

@@ -204,6 +204,17 @@ class PlanSpec extends AnyFunSuite {
       s"no quadratic joins in the encode path:\n$plan")
   }
 
+  test("e21 decay engagement: one user-keyed aggregate, TakeOrdered top-k, no window") {
+    val df = graft.SparkEntry.queries("e21_decay_engagement")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must be per-partition top-k, not a global sort:\n$plan")
+    assert(!plan.contains("Window ") && !plan.contains("Window ["),
+      s"decay is scan-side arithmetic, not a window:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"one user-keyed exchange only:\n$plan")
+  }
+
   test("g8 link prediction: seed-scoped wedge equi-joins, degree table broadcast") {
     val df = graft.SparkEntry.queries("g8_link_prediction")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
