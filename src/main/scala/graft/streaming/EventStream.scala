@@ -33,6 +33,29 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("w_start"),
         col("event_type"), col("n_events"), col("approx_users"))
 
+  /** Streaming twin of the batch e21 recency-decayed engagement
+    * score: because the decay anchors to a FIXED as-of timestamp, an
+    * event's contribution `floor(value·1000) >> (age_days/2)` is a
+    * pure per-row function — the "decay" never needs re-aging of
+    * accumulated state, so the running score is an ordinary keyed
+    * streaming SUM in Update mode (per-user state is three longs; no
+    * timers, no state rewrites on watermark progress). Same integer
+    * arithmetic as the batch query, so per-user totals converge to
+    * e21's exactly once the feed drains.
+    */
+  def decayEngagement(events: DataFrame,
+      anchorUs: Long = 1706745600000000L): DataFrame =
+    events
+      .select(col("user_id"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vq"),
+        (lit(anchorUs) - expr("ts div 1000")).as("age_us"))
+      .withColumn("age_days", expr("age_us div 86400000000"))
+      .groupBy("user_id")
+      .agg(sum(expr("shiftright(vq, CAST(age_days div 2 AS INT))"))
+          .cast("long").as("decay_q"),
+        count(lit(1)).as("n_events"),
+        min(col("age_days")).cast("long").as("last_age_days"))
+
   /** NATIVE session-window streaming aggregate — the built-in twin of
     * [[sessionize]]'s hand-rolled flatMapGroupsWithState (and of the
     * e9 batch query, which runs the same `session_window` operator on

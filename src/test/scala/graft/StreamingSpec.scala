@@ -588,4 +588,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.map(_._1) === Set(30L, 45L), s"spikes must be the flags: $got")
     } finally q.stop()
   }
+
+  test("streaming decayed engagement converges to the one-shot e21 aggregate") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val anchorUs = 1706745600000000L
+    // ts is the batch footer contract: nanoseconds as long
+    def tsAt(ageDays: Long): Long = (anchorUs - ageDays * 86400000000L) * 1000L
+    val rows = Seq(
+      (1L, tsAt(2), 1L, "c", 10.0),   // vq 10000  >> 1 = 5000
+      (2L, tsAt(4), 1L, "c", 100.0),  // vq 100000 >> 2 = 25000
+      (3L, tsAt(1), 2L, "c", 50.0),   // vq 50000  >> 0 = 50000
+      (4L, tsAt(6), 1L, "c", 1000.0), // vq 1000000>> 3 = 125000
+      (5L, tsAt(3), 2L, "c", 7.5))    // vq 7500   >> 1 = 3750
+    val q = EventStream.decayEngagement(events)
+      .writeStream.format("memory").queryName("decay_conv")
+      .outputMode("update").start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      // update mode re-emits a key on every change: final state = the
+      // row with the largest (monotone) n_events per user
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      val got = spark.table("decay_conv")
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select("user_id", "decay_q", "n_events", "last_age_days")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val oneShot = EventStream.decayEngagement(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === oneShot, s"stream $got vs one-shot $oneShot")
+      assert(got === Set((1L, 155000L, 3L, 2L), (2L, 53750L, 2L, 1L)),
+        s"hand-computed decay totals: $got")
+    } finally q.stop()
+  }
 }
