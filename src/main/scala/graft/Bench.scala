@@ -96,11 +96,16 @@ object Bench {
     // Stall suspects: median >> the query's own min. Re-measure with
     // extra interleaved passes; 4 extras on top of 3 originals means
     // the median over 7 ignores up to 3 stalled runs.
+    // Trigger: median 3× above the query's own min AND at least 1 s
+    // apart. (Round 10 shipped q01 at a 5.55 s median off runs of
+    // [1.11, 5.55, 7.34] because the old absolute threshold was 5 s —
+    // the 4.4 s gap slipped under it and a host stall became the
+    // official number and the round's entire weak set.)
     val suspects = names.filter { n =>
       val rs = firstRuns(n)
       rs.size >= 2 && {
         val (mn, md) = (rs.min, medianOf(rs).get)
-        md > 3 * mn && md - mn > 5.0
+        md > 3 * mn && md - mn > 1.0
       }
     }
     val extraRuns: Map[String, Seq[Double]] =

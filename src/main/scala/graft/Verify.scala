@@ -13,13 +13,20 @@ object Verify {
     // Local-iteration filter: comma-separated name prefixes. Unset (the
     // driver's invocation) runs everything.
     val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSeq)
+    // Flap hunting: GRAFT_VERIFY_REPEAT=N re-runs each selected query N
+    // times in the same JVM, dumping run i>1 to `<name>__r<i>` so a
+    // nondeterministic result can be caught by diffing the dumps. The
+    // checker ignores the __r dirs (no oracle entry of that name).
+    val repeat = sys.env.get("GRAFT_VERIFY_REPEAT").map(_.toInt).getOrElse(1)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      (1 to repeat).foreach { i =>
+        val dest = if (i == 1) s"$outDir/$name" else s"$outDir/${name}__r$i"
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(dest)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

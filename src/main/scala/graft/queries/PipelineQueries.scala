@@ -1418,7 +1418,7 @@ object PipelineQueries {
         |  FROM rcnt r LEFT JOIN tcnt t ON r.w = t.w
         |), perdoc AS (
         |  SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
-        |    SUM(sc.q) // COUNT(*) AS imp_q
+        |    CAST(SUM(sc.q) // COUNT(*) AS BIGINT) AS imp_q
         |  FROM toks tk JOIN score sc ON tk.w = sc.w
         |  WHERE tk.lang != 'en' GROUP BY tk.doc_id
         |)

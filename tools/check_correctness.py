@@ -98,11 +98,33 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         ok, msg = frames_equal(canon(got), canon(expected))
+        # Representational-divergence audit: a column that is exact int
+        # on the Spark side but float on the oracle side (DuckDB HUGEINT
+        # -> pandas float64, e.g. an uncast SUM()//) compares equal here
+        # but is hasher-dependent in other checkers — the p27 r10 flap's
+        # only cross-engine divergence was exactly this. Surface it so
+        # the oracle gets a CAST instead of relying on float tolerance.
+        for colname in set(got.columns) & set(expected.columns):
+            gk, ek = got[colname].dtype.kind, expected[colname].dtype.kind
+            if {gk, ek} == {"i", "f"}:
+                print(f"WARN {name}: dtype divergence on '{colname}' "
+                      f"(spark {got[colname].dtype} vs oracle "
+                      f"{expected[colname].dtype}) — CAST the oracle column")
         if ok:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
         else:
             print(f"FAIL {name}: {msg}")
+            # Persist BOTH engines' canonical dumps so a flap that never
+            # reproduces on re-run is still diagnosable post-hoc (judge
+            # round-10 task: artifact, not just verdict).
+            mdir = os.path.join(out_dir, "_mismatch")
+            os.makedirs(mdir, exist_ok=True)
+            canon(got).to_csv(f"{mdir}/{name}_spark.csv", index=False)
+            canon(expected).to_csv(f"{mdir}/{name}_oracle.csv", index=False)
+            with open(f"{mdir}/{name}_diff.txt", "w") as fh:
+                fh.write(msg + "\n")
+            print(f"     mismatch artifacts -> {mdir}/{name}_*.csv")
             n_fail += 1
     skip_note = f" / {n_skip} not-dumped" if n_skip else ""
     print(f"== {n_pass} pass / {n_fail} fail{skip_note} ==")
