@@ -80,6 +80,85 @@ case class QuantizedDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression `qdotl`: dot of an `array<float>` vector
+  * (quantized ×1000-floor, exactly like [[QuantizedDot]]) with an
+  * `array<long>` vector that is ALREADY on the quantized grid — e.g. a
+  * centroid that is the SUM of per-dim quantized values. Lets a scan
+  * score a row against L collected centroid literals with zero row
+  * fan-out (the s12 Rocchio path: the alternative broadcast-join on
+  * `pos` multiplies the exploded stream by L before its aggregate).
+  * Null elements count as 0; length mismatch truncates to the shorter.
+  */
+case class QuantizedDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"qdotl expects (array<float>, array<bigint>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "qdotl"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        acc += math.floor(x.getFloat(i).toDouble * 1000.0).toLong * y.getLong(i)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (long) java.lang.Math.floor((double) $a.getFloat($i) * 1000.0)
+         |          * $b.getLong($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedDotLong {
+
+  private[functions] val info =
+    new ExpressionInfo(classOf[QuantizedDotLong].getName, "qdotl")
+
+  private[functions] def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"qdotl expects 2 arguments, got ${exprs.length}")
+    QuantizedDotLong(exprs.head, exprs(1))
+  }
+
+  /** Idempotent per-session registration (see QuantizedDot.register). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("qdotl", builder, "built-in")
+}
+
 object QuantizedDot {
 
   private[functions] val info =
@@ -105,6 +184,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("qdot"), QuantizedDot.info,
       QuantizedDot.builder))
+    e.injectFunction((FunctionIdentifier("qdotl"), QuantizedDotLong.info,
+      QuantizedDotLong.builder))
     e.injectFunction((FunctionIdentifier("signbits"), SignBits.info,
       SignBits.builder))
   }

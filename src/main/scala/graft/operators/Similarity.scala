@@ -30,6 +30,7 @@ object Similarity {
 
   private def registered(df: DataFrame): DataFrame = {
     graft.functions.QuantizedDot.register(df.sparkSession)
+    graft.functions.QuantizedDotLong.register(df.sparkSession)
     graft.functions.SignBits.register(df.sparkSession)
     df
   }
@@ -67,11 +68,19 @@ object Similarity {
     val reg = registered(emb)
     val q = reg.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // The heap tiebreak id carries the neighbor label in its low 4 bits
+    // (order-preserving pack). That is only sound for 0 <= label < 16,
+    // so out-of-range labels fail loudly scan-side instead of silently
+    // corrupting both the tie order and the pmod label extraction.
+    val checkedLabel = when(
+      col("label") < 0 || col("label") >= 16,
+      raise_error(concat(lit("knnClassify: label out of packable range [0,16): "),
+        col("label").cast("string")))).otherwise(col("label"))
     val top = reg.filter(col("vec_id") >= nQueries)
       .crossJoin(broadcast(q))
       .withColumn("score", qdot("embedding", "qv"))
       .select(col("qid"), col("score"),
-        (col("vec_id") * 16 + col("label")).cast("long").as("packed"))
+        (col("vec_id") * 16 + checkedLabel).cast("long").as("packed"))
       .groupBy("qid")
       .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("packed")).as("top"))
       .select(col("qid"), explode(col("top.rows")).as("r"))
@@ -85,6 +94,62 @@ object Similarity {
       .where(col("vr") === 1)
       .select(col("qid"), col("pred_label"), col("n_votes"), col("score_sum"))
       .orderBy("qid")
+  }
+
+  /** Nearest-centroid (Rocchio) classification confusion matrix with
+    * ZERO row fan-out: the centroid SUM vectors (L·d quantized longs —
+    * control-plane sized, same class as LPA's seed collect) are
+    * aggregated in one map-side-combined pass and collected, then every
+    * vector is scored against all L centroids inside a single codegen'd
+    * scan projection (`qdotl` against literal arrays) with the argmax
+    * folded in as greatest+CASE. The former formulation broadcast-joined
+    * the per-dim cell table and multiplied the exploded stream by L
+    * before its aggregate — its sf-curve doubled per data decade
+    * (0.85 → 2.55 s, round-10 verdict) while this one rides the scan.
+    * Cosine vs the SUM vector ≡ cosine vs the mean (scale-invariant),
+    * so all operands stay integral (×1000 grid, d12's basis-point
+    * quantization); ties pick the smallest label (CASE scans ascending).
+    * BIGINT headroom: dot ≤ d·1000·(n_label·1000) ≈ 1e14 at 1e8
+    * rows/label — lift to DECIMAL(38,0) beyond that.
+    */
+  def centroidConfusion(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val reg = registered(emb)
+    val centRows = reg
+      .select(col(labelCol), posexplode(col(vecCol)))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum(expr("CAST(floor(CAST(col AS DOUBLE)*1000) AS BIGINT)")).as("sum_q"))
+      .collect()
+    // ascending label order so the first CASE hit on a score tie is the
+    // smallest label — the oracle's MIN(clabel)
+    val byLabel: Seq[(Int, Array[Long], Long)] =
+      centRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (l, rows) =>
+        val arr = new Array[Long](rows.map(_.getInt(1)).max + 1)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        (l, arr, arr.foldLeft(0L)((a, x) => a + x * x))
+      }
+    val withN = reg.select(col(labelCol).as("label"), col(vecCol).as("_v"),
+      qnorm2(vecCol).cast("double").as("_xn2"))
+    val scoreCols = byLabel.map { case (l, arr, cn2) =>
+      l -> floor(lit(10000.0) *
+          call_function("qdotl", col("_v"), lit(arr)).cast("double") /
+          (sqrt(col("_xn2")) * sqrt(lit(cn2.toDouble))))
+        .cast("long").as(s"_s$l")
+    }
+    val scored = withN.select(
+      (col("label") +: scoreCols.map(_._2)): _*)
+    val best =
+      if (byLabel.size == 1) col(s"_s${byLabel.head._1}")
+      else greatest(byLabel.map { case (l, _, _) => col(s"_s$l") }: _*)
+    val pred = byLabel.tail.foldLeft(
+        when(col(s"_s${byLabel.head._1}") === col("_best"),
+          lit(byLabel.head._1))) { case (acc, (l, _, _)) =>
+        acc.when(col(s"_s$l") === col("_best"), lit(l))
+      }
+    scored.withColumn("_best", best)
+      .select(col("label"), pred.as("pred_label"))
+      .groupBy("label", "pred_label").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label", "pred_label")
   }
 
   /** Deterministic pseudo-random hyperplanes for sign-bit LSH:

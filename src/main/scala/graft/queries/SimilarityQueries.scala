@@ -545,31 +545,11 @@ object SimilarityQueries {
         |SELECT label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
         |FROM pred GROUP BY label, pred_label
         |ORDER BY label, pred_label""".stripMargin) { (s, dir) =>
-      val dims = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("label"), (col("pos") + 1).as("pos"),
-          expr("CAST(floor(CAST(col AS DOUBLE)*1000) AS BIGINT)").as("vq"))
-      val cent = dims.groupBy(col("label").as("clabel"), col("pos"))
-        .agg(sum("vq").as("sum_q"))
-      val cn2 = cent.groupBy("clabel").agg(sum(col("sum_q") * col("sum_q")).as("c_n2"))
-      // the vector norm Σvq² rides the SAME (vec, label) aggregate as
-      // the dot product — every group holds the vec's full pos set, so
-      // a separate per-vec norm branch (scan + exchange + join-back)
-      // is pure overhead; min(label) carries the true label along
-      val dots = dims.join(broadcast(cent), Seq("pos"))
-        .groupBy("vec_id", "clabel")
-        .agg(min("label").as("label"), sum(col("vq") * col("sum_q")).as("dot"),
-          sum(col("vq") * col("vq")).as("x_n2"))
-      val scored = dots.join(broadcast(cn2), Seq("clabel"))
-        .select(col("vec_id"), col("label"), col("clabel"),
-          floor(lit(10000.0) * col("dot").cast("double") /
-            (sqrt(col("x_n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
-            .cast("long").as("score_bp"))
-      val mx = scored.groupBy("vec_id").agg(max("score_bp").as("score_bp"))
-      scored.join(mx, Seq("vec_id", "score_bp"))
-        .groupBy("vec_id").agg(min("label").as("label"), min("clabel").as("pred_label"))
-        .groupBy("label", "pred_label").agg(count(lit(1)).as("n_vecs"))
-        .orderBy("label", "pred_label")
+      // scan-side fold: L collected centroid literals scored per row by
+      // the codegen'd qdotl, argmax in the same projection — no L×
+      // row fan-out (see Similarity.centroidConfusion scaladoc; the
+      // former broadcast-join-on-pos shape doubled per data decade)
+      Similarity.centroidConfusion(Tables.embeddings(s, dir))
     },
 
     // ---- k-NN majority-vote classification (instance-based) ----
