@@ -728,9 +728,21 @@ object Graph {
     visited
   }
 
-  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+  /** @param edgesDistinct caller-certified "this is already a simple
+    *   edge list" — skips the boundary dedup exchange. Only pass true
+    *   with a structural proof (e.g. a distinct directed set unioned
+    *   with its reverse over disjoint id parities, as the trade graph).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 2,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, "labelPropagation needs at least one round")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // Distinct enforced at the boundary by default: the closed-form
+    // round 1 below (and the declared one-vote-per-neighbor semantics
+    // of every later round) is mode-vote-correct only on a simple edge
+    // list; a multigraph input would silently diverge from the
+    // synchronous-LPA contract.
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e = if (edgesDistinct) e0 else e0.distinct()
     // Round 1 in closed form: with identity labels every neighbor
     // contributes its OWN id, all vote counts are 1 (distinct edge
     // list), so the mode-with-min-tie-break is simply the minimum

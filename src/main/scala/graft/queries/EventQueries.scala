@@ -755,7 +755,7 @@ object EventQueries {
       """WITH e AS (
         |  SELECT user_id,
         |    CAST(floor(value * 1000) AS BIGINT) AS vq,
-        |    (1706745600000000 - epoch_us(ts)) // 86400000000 AS age_days
+        |    GREATEST((1706745600000000 - epoch_us(ts)) // 86400000000, 0) AS age_days
         |  FROM events
         |)
         |SELECT user_id,
@@ -764,11 +764,15 @@ object EventQueries {
         |  CAST(MIN(age_days) AS BIGINT) AS last_age_days
         |FROM e GROUP BY user_id
         |ORDER BY decay_q DESC, user_id LIMIT 50""".stripMargin) { (s, dir) =>
+      // age clamped at 0 like the streaming twin: a post-anchor event
+      // counts undecayed instead of hitting shiftright's masked (n&63)
+      // negative-shift garbage (fixture events are all pre-anchor, so
+      // this is contract hardening, not a result change)
       Tables.events(s, dir)
         .select(col("user_id"),
           expr("CAST(floor(value * 1000) AS BIGINT)").as("vq"),
-          expr("(1706745600000000 - (ts div 1000)) div 86400000000")
-            .as("age_days"))
+          greatest(expr("(1706745600000000 - (ts div 1000)) div 86400000000"),
+            lit(0L)).as("age_days"))
         .groupBy("user_id")
         .agg(sum(expr("shiftright(vq, CAST(age_days div 2 AS INT))"))
             .cast("long").as("decay_q"),

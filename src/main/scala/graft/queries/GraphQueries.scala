@@ -360,7 +360,11 @@ object GraphQueries {
           |FROM l2 GROUP BY lbl
           |ORDER BY n_members DESC, community LIMIT 50""".stripMargin
     }) { (s, dir) =>
-      Graph.labelPropagation(tradeEdges(s, dir), iters = 2)
+      // edgesDistinct proof: tradeEdgesDirected is .distinct() and maps
+      // src to even ids, dst to odd — its union with its own reverse
+      // (odd→even) can never produce a duplicate pair
+      Graph.labelPropagation(tradeEdges(s, dir), iters = 2,
+        edgesDistinct = true)
         .groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"), min("node").as("min_node"))
         .orderBy(col("n_members").desc, col("community"))

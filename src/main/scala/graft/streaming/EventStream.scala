@@ -49,7 +49,12 @@ object EventStream {
       .select(col("user_id"),
         expr("CAST(floor(value * 1000) AS BIGINT)").as("vq"),
         (lit(anchorUs) - expr("ts div 1000")).as("age_us"))
-      .withColumn("age_days", expr("age_us div 86400000000"))
+      // A live stream can cross a fixed past anchor; a negative
+      // age_days would reach shiftright, whose shift count is masked
+      // (n & 63) — shift by -2 silently behaves as shift by 62. Clamp:
+      // post-anchor events count undecayed (weight 1), matching the
+      // batch e21 clamp.
+      .withColumn("age_days", greatest(expr("age_us div 86400000000"), lit(0L)))
       .groupBy("user_id")
       .agg(sum(expr("shiftright(vq, CAST(age_days div 2 AS INT))"))
           .cast("long").as("decay_q"),
@@ -398,6 +403,28 @@ object EventStream {
     * bucket the dim by user_id at warehouse scale and it is
     * exchange-free on the base side.
     */
+  /** Versions under `path` whose write COMMITTED: the parquet job
+    * dropped a `_SUCCESS` marker and the staging directory was renamed
+    * into place. A crash- or concurrency-interrupted write is either a
+    * `_staging_v*` directory (never listed as a version) or a `v*`
+    * without the marker — both invisible here, so readers and the
+    * next batch's predecessor lookup only ever see complete immutable
+    * snapshots. Listing goes through the Hadoop FileSystem API, so the
+    * same code runs on HDFS/object stores, not just `file:`.
+    */
+  private def committedVersions(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.matches("v\\d+"))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName.drop(1).toLong)
+  }
+
   def upsertUserSummary(events: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
@@ -407,14 +434,12 @@ object EventStream {
         val delta = batch.groupBy("user_id")
           .agg(count(lit(1)).as("n_events"),
             sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("total_cents"))
-        val root = new java.io.File(path)
-        val prevV = Option(root.listFiles()).getOrElse(Array.empty)
-          .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
-          .filter(_ < batchId).sorted.lastOption
+        val prevV = committedVersions(spark, path).filter(_ < batchId)
+          .sorted.lastOption
         val merged = prevV match {
           case None => delta
           case Some(pv) =>
-            val base = spark.read.parquet(new java.io.File(root, s"v$pv").getPath)
+            val base = spark.read.parquet(s"$path/v$pv")
             base.join(delta.select(col("user_id").as("d_uid"),
                 col("n_events").as("d_n"), col("total_cents").as("d_c")),
                 col("d_uid") === col("user_id"), "full_outer")
@@ -425,17 +450,29 @@ object EventStream {
                 (coalesce(col("total_cents"), lit(0L))
                   + coalesce(col("d_c"), lit(0L))).as("total_cents"))
         }
-        merged.write.mode("overwrite")
-          .parquet(new java.io.File(root, s"v$batchId").getPath)
+        // Two-phase commit: write to a staging dir, then one atomic
+        // directory rename publishes the version. A reader (or a retry
+        // of this batch) can never observe a partial v<k> — the old
+        // direct write left a visible half-written directory that
+        // [[latestUserSummary]] would have picked as "latest".
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val staging = new org.apache.hadoop.fs.Path(path, s"_staging_v$batchId")
+        val target = new org.apache.hadoop.fs.Path(path, s"v$batchId")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(target, true) // a committed retry is idempotent: same bytes
+        require(fs.rename(staging, target),
+          s"upsertUserSummary: commit rename failed for $target")
         ()
       }
 
-  /** The latest committed snapshot of [[upsertUserSummary]]'s dim. */
+  /** The latest COMMITTED snapshot of [[upsertUserSummary]]'s dim
+    * (`_SUCCESS`-gated — see [[committedVersions]]).
+    */
   def latestUserSummary(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val vs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+    val vs = committedVersions(spark, path)
     require(vs.nonEmpty, s"no committed version under $path")
-    spark.read.parquet(new java.io.File(path, s"v${vs.max}").getPath)
+    spark.read.parquet(s"$path/v${vs.max}")
   }
 }

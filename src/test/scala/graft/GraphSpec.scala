@@ -382,6 +382,21 @@ class GraphSpec extends AnyFunSuite {
     assert(c1.head != c2.head, s"cliques must differ: $l")
   }
 
+  test("labelPropagation: multigraph input dedups at the boundary (mode-vote contract)") {
+    // Edge (1,2) repeated 3× must not out-vote the 2-member majority
+    // {3,4} at node 2 — the boundary distinct makes duplicate edges
+    // carry ONE vote, so a multigraph input equals its simple graph
+    val und = Seq((1L, 2L), (1L, 2L), (1L, 2L), (3L, 2L), (4L, 2L),
+      (3L, 4L))
+    val multi = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val simple = (und.distinct ++ und.distinct.map(_.swap)).toDF("src", "dst")
+    def lbls(df: org.apache.spark.sql.DataFrame) =
+      Graph.labelPropagation(df, iters = 2).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbls(multi) === lbls(simple),
+      "duplicated edges must carry a single vote")
+  }
+
   test("labelPropagation is deterministic: same labels on re-run and re-partition") {
     val rnd = new scala.util.Random(31)
     val und = (1 to 80).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))

@@ -254,6 +254,17 @@ class StreamingSpec extends AnyFunSuite {
       val v0 = spark.read.parquet(s"$dir/v0").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(v0 === Set((1L, 1L, 150L), (2L, 1L, 225L)), s"v0: $v0")
+      // Commit gating: a crash-interrupted write is a version directory
+      // WITHOUT _SUCCESS (or an unrenamed _staging_*); neither may ever
+      // become "latest" — the pre-fix listFiles picked the max v<k> by
+      // name and would have served the partial v99 here.
+      val partial = new java.io.File(dir, "v99"); partial.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "v99", "part-00000.parquet"), "torn")
+      val staging = new java.io.File(dir, "_staging_v98"); staging.mkdirs()
+      val still = EventStream.latestUserSummary(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(still === got, s"uncommitted v99/_staging must be invisible: $still")
     } finally q.stop()
   }
 
@@ -603,7 +614,10 @@ class StreamingSpec extends AnyFunSuite {
       (2L, tsAt(4), 1L, "c", 100.0),  // vq 100000 >> 2 = 25000
       (3L, tsAt(1), 2L, "c", 50.0),   // vq 50000  >> 0 = 50000
       (4L, tsAt(6), 1L, "c", 1000.0), // vq 1000000>> 3 = 125000
-      (5L, tsAt(3), 2L, "c", 7.5))    // vq 7500   >> 1 = 3750
+      (5L, tsAt(3), 2L, "c", 7.5),    // vq 7500   >> 1 = 3750
+      // POST-anchor event: age_days clamps to 0 (undecayed) instead of
+      // a negative shift hitting shiftright's (n & 63) mask garbage
+      (6L, tsAt(-5), 3L, "c", 2.0))   // vq 2000   >> 0 = 2000
     val q = EventStream.decayEngagement(events)
       .writeStream.format("memory").queryName("decay_conv")
       .outputMode("update").start()
@@ -624,7 +638,8 @@ class StreamingSpec extends AnyFunSuite {
           rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(got === oneShot, s"stream $got vs one-shot $oneShot")
-      assert(got === Set((1L, 155000L, 3L, 2L), (2L, 53750L, 2L, 1L)),
+      assert(got === Set((1L, 155000L, 3L, 2L), (2L, 53750L, 2L, 1L),
+          (3L, 2000L, 1L, 0L)),
         s"hand-computed decay totals: $got")
     } finally q.stop()
   }
