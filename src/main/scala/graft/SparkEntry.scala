@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    TutorialQueries.all ++ HierarchyQueries.all ++ CoreQueries.all ++
+    TutorialQueries.all ++ HierarchyQueries.all ++
+      DeepHierarchyQueries.all ++ CoreQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ EventQueries.all ++
       SqlQueries.all ++ PipelineQueries.all ++ ScaleQueries.all ++
       AnalyticsQueries.all ++ SourceQueries.all ++ GraphQueries.all

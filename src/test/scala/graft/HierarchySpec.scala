@@ -91,6 +91,51 @@ class HierarchySpec extends AnyFunSuite {
     assert(ro == cl)
   }
 
+  test("depth-8 generality: dim columns, closure depth-independence, report parity") {
+    // Heap-indexed binary tree of depth 8 (255 nodes) generated from a
+    // range — the reference's per-depth hand-edit caveat
+    // (aggregation_example.sql:202,325) must not exist here: the SAME
+    // builder call with levels = 8 derives all 8 level-column triples.
+    import spark.implicits._
+    val depth = 8
+    val n = (1 << depth) - 1
+    val nodes8 = (1 to n).map { k =>
+      val key = f"B$k%04d"
+      val parent = if (k == 1) null else f"B${k / 2}%04d"
+      (key, key, s"n$k", s"L${32 - Integer.numberOfLeadingZeros(k)}", parent)
+    }.toDF("node_id", "node_natural_key", "node_name", "level_name",
+      "parent_node_id")
+    val dim8 = Hierarchy.buildReportingDim(nodes8, levels = depth)
+      .localCheckpoint(true)
+    assert(dim8.count() == n)
+    // all 8 programmatic level-column triples exist and level_8 is
+    // populated exactly on the leaves
+    (1 to depth).foreach { i =>
+      assert(dim8.columns.contains(s"level_${i}_node_natural_key"), s"level $i")
+    }
+    assert(dim8.filter(col(s"level_${depth}_node_natural_key").isNotNull)
+      .count() == (1 << (depth - 1)))
+    val closure8 = Hierarchy.buildClosureDim(dim8).localCheckpoint(true)
+    // closure size for a complete binary tree: Σ_k depth(k) over nodes
+    // = Σ_{l=1..8} l·2^(l-1); net_level spans 0..7 (depth-independent walk)
+    val expectPairs = (1 to depth).map(l => l.toLong * (1L << (l - 1))).sum
+    assert(closure8.count() == expectPairs)
+    assert(closure8.agg(max("net_level")).head.getInt(0) == depth - 1)
+    // rollup and closure strategies agree at depth 8, facts on leaves
+    val facts8 = ((1 << (depth - 1)) until (1 << depth))
+      .map(k => (f"B$k%04d", k.toLong, k * 1.0))
+      .toDF("fact_key", "cid", "amt")
+    val aggs: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "s" -> sum(col("amt")).cast("double"), "c" -> countDistinct(col("cid")))
+    val ro = Hierarchy.rollupReport(facts8, dim8, col("fact_key"), aggs, depth)
+      .select("product_node_name", "s", "c").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val cl = Hierarchy.closureReport(facts8, closure8, col("fact_key"), aggs)
+      .select("product_node_name", "s", "c").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(ro == cl && ro.size == n, s"rollup=${ro.size} closure=${cl.size}")
+  }
+
   test("closure report row equals direct subtree aggregate (Candy)") {
     val facts = Tutorial.salesFacts(spark, nodes)
     val aggs: Seq[(String, org.apache.spark.sql.Column)] = Seq(
