@@ -60,13 +60,33 @@ object Multimodal {
     }
   }
 
-  /** Name → decoder registry for config-based selection. Only the
-    * sandbox stub ships; a real build adds codec-backed entries here.
+  /** Name → decoder selection. `byte-histogram` is the shipped sandbox
+    * stub; ANY other name is treated as a fully-qualified [[Decoder]]
+    * class (or Scala object) and loaded reflectively — the real swap
+    * point: a production build sets
+    * `spark.graft.multimodal.decoder=com.example.JpegDecoder` with its
+    * codec on the executor classpath, and no graft code changes.
     */
   def decoderForName(name: String): Decoder = name match {
     case "byte-histogram" => ByteHistogramDecoder
-    case other => throw new IllegalArgumentException(
-      s"unknown multimodal decoder '$other' (registered: byte-histogram)")
+    case className =>
+      val inst =
+        try {
+          // a Scala `object Foo` compiles to class Foo$ with MODULE$
+          try Class.forName(className + "$").getField("MODULE$").get(null)
+          catch { case _: ReflectiveOperationException =>
+            Class.forName(className).getDeclaredConstructor().newInstance()
+          }
+        } catch { case e: ReflectiveOperationException =>
+          throw new IllegalArgumentException(
+            s"unknown multimodal decoder '$className' — not 'byte-histogram' " +
+              "and not a loadable Decoder class/object on the classpath", e)
+        }
+      inst match {
+        case d: Decoder => d
+        case other => throw new IllegalArgumentException(
+          s"'$className' is ${other.getClass.getName}, not a graft Decoder")
+      }
   }
 
   // Non-nullable primitives: the typed encoder derives this from the
