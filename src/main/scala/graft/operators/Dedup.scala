@@ -323,6 +323,32 @@ object Dedup {
       .select(col(idCol), col("g"))
   }
 
+  /** [[keptShingles]] with a RELATIVE document-frequency cut:
+    * df ≤ max(`minCut`, N/`divisor`) where N is the corpus size. The
+    * absolute-cut form's survivor set DEGENERATES as the corpus grows —
+    * measured on the round-11 sf1 extrapolation, a fixed df ≤ 50 keeps
+    * 0.37% of shingle instances at sf0.1 and exactly ZERO at 10× that,
+    * silently turning the clustering into a scan — while the relative
+    * cut keeps the survivor semantics stable at every corpus size,
+    * which is how production dedup pipelines parameterize it. N enters
+    * as a 1-row count aggregate broadcast into the df filter (the
+    * dispositioned 1-row-funnel pattern), never a driver-side action.
+    */
+  def keptShinglesRelative(docs: DataFrame, divisor: Long = 100,
+      minCut: Long = 50, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = docs
+      .withColumn("g", explode(TextOps.shingles(textCol)))
+      .select(col(idCol), col("g"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val dfMap = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") <= expr(s"greatest(${minCut}L, n_docs div $divisor)"))
+      .select("g")
+    sh.join(dfMap, Seq("g"), "left_semi")
+      .select(col(idCol), col("g"))
+  }
+
   /** Exact Jaccard pairs over a pre-built kept-shingle index (possibly
     * read back from a bucketed table — see [[keptShingles]]).
     */

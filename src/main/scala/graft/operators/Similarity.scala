@@ -96,6 +96,44 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Hard-negative mining for embedding-model training: for each query
+    * vector, the `k` highest-scoring corpus vectors with a DIFFERENT
+    * label — the standard contrastive-pair miner (the "hardest"
+    * negatives are the most similar wrong-label items). Same bounded-
+    * heap shape as [[knnClassify]]: the query dim broadcasts onto the
+    * corpus scan, the label filter runs scan-side, and the shuffle
+    * carries queries×k heap rows, never the corpus; the neighbor label
+    * rides the packed tiebreak id (same 0≤label<16 guard). At 100 TB
+    * the scored scan swaps for the IVF-probed candidate set (s6)
+    * unchanged. Output: (qid, neg_rank 1..k, vec_id, neg_label, score),
+    * rank by score DESC then vec_id ASC (packed id order ≡ vec_id
+    * order — label bits sit below the ×16 shift).
+    */
+  def hardNegatives(emb: DataFrame, nQueries: Long, k: Int): DataFrame = {
+    val reg = registered(emb)
+    val q = reg.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+    val checkedLabel = when(
+      col("label") < 0 || col("label") >= 16,
+      raise_error(concat(lit("hardNegatives: label out of packable range [0,16): "),
+        col("label").cast("string")))).otherwise(col("label"))
+    reg.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(q))
+      .where(col("label") =!= col("qlabel"))
+      .withColumn("score", qdot("embedding", "qv"))
+      .select(col("qid"), col("score"),
+        (col("vec_id") * 16 + checkedLabel).cast("long").as("packed"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("packed")).as("top"))
+      .select(col("qid"), posexplode(col("top.rows")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("neg_rank"),
+        expr("col.id div 16").cast("long").as("vec_id"),
+        pmod(col("col.id"), lit(16)).cast("int").as("neg_label"),
+        col("col.score").as("score"))
+      .orderBy("qid", "neg_rank")
+  }
+
   /** Nearest-centroid (Rocchio) classification confusion matrix with
     * ZERO row fan-out: the centroid SUM vectors (L·d quantized longs —
     * control-plane sized, same class as LPA's seed collect) are

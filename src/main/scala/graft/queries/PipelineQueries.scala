@@ -1493,5 +1493,70 @@ object PipelineQueries {
           coalesce(col("n_novel"), lit(0L)).as("n_novel"),
           expr("(10000 * coalesce(n_novel, 0L)) div n_grams").as("novel_bp"))
         .orderBy("doc_id")
+    },
+
+    // ---- domain mixture weights (DoReMi-lite largest-remainder) ----
+    // The source-level sampling-weight assignment a mixture trainer
+    // consumes: each source's weight grows with its EXCESS quality
+    // signal over the corpus mean (proxy here: mean tokens per doc,
+    // millitoken-quantized — swap in any per-doc score), then the
+    // 10000 basis points are apportioned by LARGEST-REMAINDER rounding
+    // so the weights sum to exactly 10000 — integer-exact in both
+    // engines (no float softmax). Scale shape: one fact-side groupBy
+    // to |sources| rows; everything after (1-row totals, the rounding
+    // window) is control-plane over the bounded source dim — the
+    // single-partition window covers ~20 rows at any corpus size.
+    QueryDef("p31_domain_weights",
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS sum_toks
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT SUM(n_docs) AS tn, SUM(sum_toks) AS ts FROM per
+        |), scored AS (
+        |  SELECT p.source, p.n_docs,
+        |    (1000 * p.sum_toks) // p.n_docs AS mean_q,
+        |    GREATEST((1000 * p.sum_toks) // p.n_docs - (1000 * t.ts) // t.tn, 0) AS excess_q
+        |  FROM per p, tot t
+        |), w AS (
+        |  SELECT *, excess_q + 1000 AS wr FROM scored
+        |), wt AS (
+        |  SELECT SUM(wr) AS wt FROM w
+        |), based AS (
+        |  SELECT w.*, (10000 * w.wr) // wt.wt AS base_bp,
+        |         (10000 * w.wr) % wt.wt AS rem
+        |  FROM w, wt
+        |), lo AS (
+        |  SELECT 10000 - SUM(base_bp) AS leftover FROM based
+        |)
+        |SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
+        |  CAST(b.mean_q AS BIGINT) AS mean_q,
+        |  CAST(b.excess_q AS BIGINT) AS excess_q,
+        |  CAST(b.base_bp + CASE WHEN ROW_NUMBER() OVER (ORDER BY b.rem DESC, b.source) <= l.leftover
+        |       THEN 1 ELSE 0 END AS BIGINT) AS weight_bp
+        |FROM based b, lo l ORDER BY b.source""".stripMargin) { (s, dir) =>
+      val per = Tables.documents(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount("text")).as("sum_toks"))
+      val tot = per.agg(sum("n_docs").as("tn"), sum("sum_toks").as("ts"))
+      val scored = per.crossJoin(broadcast(tot))
+        .withColumn("mean_q", expr("(1000 * sum_toks) div n_docs"))
+        .withColumn("excess_q",
+          greatest(col("mean_q") - expr("(1000 * ts) div tn"), lit(0L)))
+        .withColumn("wr", col("excess_q") + lit(1000L))
+      val wt = scored.agg(sum("wr").as("wt"))
+      val based = scored.crossJoin(broadcast(wt))
+        .withColumn("base_bp", expr("(10000 * wr) div wt"))
+        .withColumn("rem", expr("(10000 * wr) % wt"))
+      val lo = based.agg((lit(10000L) - sum("base_bp")).as("leftover"))
+      val rkWin = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("source")) // |sources| rows only
+      based.crossJoin(broadcast(lo))
+        .withColumn("rk", row_number().over(rkWin))
+        .select(col("source"), col("n_docs"), col("mean_q"), col("excess_q"),
+          (col("base_bp")
+            + when(col("rk") <= col("leftover"), lit(1L)).otherwise(lit(0L)))
+            .as("weight_bp"))
+        .orderBy("source")
     })
 }

@@ -587,5 +587,33 @@ object SimilarityQueries {
         |    PARTITION BY qid ORDER BY n_votes DESC, score_sum DESC, pred_label) AS vr
         |  FROM votes) v WHERE vr = 1 ORDER BY qid""".stripMargin) { (s, dir) =>
       Similarity.knnClassify(Tables.embeddings(s, dir), nQueries = 20L, k = 10)
+    },
+
+    // ---- hard-negative mining (contrastive-pair generation) ----
+    // The embedding-training data miner: per query vector, the 5 most
+    // similar WRONG-label corpus vectors — the negatives a contrastive
+    // loss learns most from. Same bounded-heap TopKAgg shape as s13
+    // (shuffle = queries×k, label packed in the tiebreak id, scan-side
+    // label filter); the oracle replays the exact ranking with a
+    // window. Scale path: IVF-probe the candidate set (s6), unchanged.
+    QueryDef("s14_hard_negatives",
+      """WITH q AS (
+        |  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 20
+        |), scored AS (
+        |  SELECT q.qid, c.vec_id, c.label,
+        |    CAST(list_sum(list_transform(list_zip(c.embedding, q.qv),
+        |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS score
+        |  FROM embeddings c CROSS JOIN q
+        |  WHERE c.vec_id >= 20 AND c.label != q.qlabel
+        |)
+        |SELECT qid, CAST(rk AS BIGINT) AS neg_rank, vec_id,
+        |       label AS neg_label, score
+        |FROM (
+        |  SELECT qid, vec_id, label, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+        |  FROM scored) t
+        |WHERE rk <= 5 ORDER BY qid, neg_rank""".stripMargin) { (s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), nQueries = 20L, k = 5)
     })
 }

@@ -268,6 +268,120 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- RELATIVE-df-cut dup clustering (the corpus-size-safe form) ----
+    // d10/d11's absolute df ≤ 50 cut silently saturates as the corpus
+    // grows: measured on the round-11 sf1 extrapolation, 0.37% of
+    // shingle instances survive at sf0.1 and ZERO at 10× that — the
+    // clustering degrades to a scan with no error. Production pipelines
+    // scale the cut with corpus size; this variant uses
+    // df ≤ max(50, N/100), with N entering as a 1-row broadcast count
+    // (never a driver action), so the survivor fraction — and with it
+    // the candidate-pair density the clustering is supposed to process
+    // — stays stable at every sf. At sf ≤ 0.1 the relative cut equals
+    // the absolute one (N/100 ≤ 50), so the oracle hash doubles as an
+    // equivalence proof against d11 there; at sf1 this is the query
+    // whose curve row carries the real clustering work.
+    QueryDef("d23_dup_clusters_relcut",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh) t
+        |  WHERE df <= greatest(50, (SELECT COUNT(*) FROM documents) // 100)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+        |), cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT p.a_id, p.b_id
+        |  FROM cand p JOIN sizes sa ON p.a_id = sa.doc_id JOIN sizes sb ON p.b_id = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.6
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id, a_id FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.duplicateClustersLogN(
+        Dedup.ngramJaccardPairsFromKept(
+          Dedup.keptShinglesRelative(Tables.documents(s, dir)),
+          minJaccard = 0.6))
+        .orderBy("doc_id")
+    },
+
+    // ---- canonical-keep: the dedup DECISION, not just the clusters ----
+    // What a pipeline actually executes after clustering: every doc
+    // gets its cluster (singletons are their own), each cluster keeps
+    // exactly one canonical representative — longest text wins, ties
+    // to the smallest doc_id ("keep the fullest version" policy) —
+    // and the rest are drops. The argmax is the hash-only two-
+    // aggregate pattern (max of (len, −doc_id) structs + join-back),
+    // NOT a per-cluster window: cluster count ~ docs, so a window
+    // would sort the whole corpus for a 1-bit answer. One broadcast-
+    // size join against the (shared, memoized) cluster set, two hash
+    // aggregates — data-proportional at any sf.
+    QueryDef("d22_canonical_keep",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh) t WHERE df <= 50
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+        |), cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT p.a_id, p.b_id
+        |  FROM cand p JOIN sizes sa ON p.a_id = sa.doc_id JOIN sizes sb ON p.b_id = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.6
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id, a_id FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), cl AS (
+        |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+        |), everydoc AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+        |         length(d.text) AS len
+        |  FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id
+        |)
+        |SELECT doc_id, cluster_id,
+        |  (ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id) = 1) AS keep
+        |FROM everydoc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      val withCl = docs
+        .join(Dedup.duplicateClustersLogN(jaccardPairs(s, dir)),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("len"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      // distributed argmax as TWO hash aggregates + an equi-join (the
+      // g6/s12 pattern) — a max(struct) would demote to a keyed
+      // SortAggregate (immutable buffer) and sort the corpus
+      val maxLen = withCl.groupBy("cluster_id").agg(max("len").as("len"))
+      val canon = withCl.join(maxLen, Seq("cluster_id", "len"))
+        .groupBy("cluster_id").agg(min("doc_id").as("canon_id"))
+      withCl.join(canon, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("canon_id")).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // ---- MinHash-confirmed near-dup pairs (candidate → verify) ----
     // The production dedup shape: LSH band candidates (est ≥ 0.5),
     // each CONFIRMED by the exact inverted-index Jaccard; output =
