@@ -261,5 +261,56 @@ object HierarchyQueries {
           | ORDER BY c.ancestor_node_sort_order""".stripMargin) { (s, dir) =>
       Hierarchy.closureReport(facts(s, dir), closureDim(s, dir),
         col("fact_key"), reportAggs)
+    },
+
+    // ---- share-of-parent hierarchy report ----
+    // The drill-down ratio every rollup UI shows next to the absolute
+    // number: each node's total as BASIS POINTS of its parent's total
+    // (root = 10000). Totals come from ONE closure fan-out aggregate
+    // (h4's shape) in exact integer cents; the parent linkage is the
+    // dim's own adjacency (broadcast), so the share join is
+    // dim-sized × dim-sized — no second pass over facts, no window.
+    QueryDef("h14_share_of_parent",
+      nodesSql + closureSql + factsSql +
+        """, totals AS (
+          |  SELECT c.ancestor_node_natural_key AS node_key,
+          |         c.ancestor_node_name AS node_name,
+          |         c.ancestor_level_number AS level_number,
+          |         c.ancestor_node_sort_order AS sort_order,
+          |         SUM(CAST(CAST(f.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+          |  FROM facts f JOIN closure c ON f.fact_key = c.descendant_node_natural_key
+          |  GROUP BY 1, 2, 3, 4
+          |)
+          |SELECT t.node_name, t.level_number, CAST(t.cents AS BIGINT) AS cents,
+          |  CAST(CASE WHEN p.cents IS NULL THEN 10000
+          |       ELSE (10000 * t.cents) // p.cents END AS BIGINT) AS share_bp,
+          |  t.sort_order
+          |FROM totals t
+          |LEFT JOIN dim d ON t.node_key = d.node_natural_key
+          |LEFT JOIN totals p ON d.parent_natural_key = p.node_key
+          |ORDER BY t.sort_order""".stripMargin) { (s, dir) =>
+      val cl = closureDim(s, dir)
+      val f = facts(s, dir)
+        .withColumn("cents",
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      val totals = f.join(broadcast(cl),
+          col("fact_key") === col("descendant_node_natural_key"))
+        .groupBy(col("ancestor_node_natural_key").as("node_key"),
+          col("ancestor_node_name").as("node_name"),
+          col("ancestor_level_number").as("level_number"),
+          col("ancestor_node_sort_order").as("sort_order"))
+        .agg(sum("cents").as("cents"))
+      val parentOf = reportingDim(s, dir)
+        .select(col("node_natural_key").as("node_key"),
+          col("parent_node_id").as("parent_key"))
+      val parentTotals = totals
+        .select(col("node_key").as("parent_key"), col("cents").as("p_cents"))
+      totals.join(broadcast(parentOf), Seq("node_key"), "left")
+        .join(broadcast(parentTotals), Seq("parent_key"), "left")
+        .select(col("node_name"), col("level_number"), col("cents"),
+          when(col("p_cents").isNull, lit(10000L))
+            .otherwise(expr("(10000 * cents) div p_cents")).as("share_bp"),
+          col("sort_order"))
+        .orderBy("sort_order")
     })
 }

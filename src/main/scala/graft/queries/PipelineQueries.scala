@@ -1558,5 +1558,99 @@ object PipelineQueries {
             + when(col("rk") <= col("leftover"), lit(1L)).otherwise(lit(0L)))
             .as("weight_bp"))
         .orderBy("source")
+    },
+
+    // ---- curriculum ordering (difficulty-stratified interleave) ----
+    // Deterministic training-order assignment: docs stratify into
+    // difficulty buckets (token count div 25 → 0..4), shuffle WITHIN
+    // the bucket by a seeded md5 key, and interleave round-robin via
+    // the CLOSED FORM pos = (rank_in_bucket − 1)·5 + bucket — every
+    // batch window sees every difficulty stratum, no global sort ever
+    // materializes the order. The within-bucket rank is the only
+    // ranked stage; at 100 TB it runs as a range-partitioned sort per
+    // bucket (Spark's native parallel sort shape) — the interleave
+    // stays arithmetic either way. Slots are unique by construction;
+    // short buckets leave gaps (a round-robin slot grid, not a dense
+    // index — the consumer contract is ORDER BY pos).
+    QueryDef("p32_curriculum_order",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9]+')) // 25 AS bucket,
+        |    md5('cur7' || CAST(doc_id AS VARCHAR)) AS hkey
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY hkey, doc_id) - 1)
+        |       * 5 + bucket AS BIGINT) AS curriculum_pos
+        |FROM d ORDER BY curriculum_pos""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .withColumn("ntk", TextOps.tokenCount("text"))
+        .select(
+          col("doc_id"),
+          expr("ntk div 25").as("bucket"),
+          md5(concat(lit("cur7"), col("doc_id").cast("string"))).as("hkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("hkey", "doc_id")
+      d.select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+          ((row_number().over(w) - 1) * lit(5) + col("bucket"))
+            .cast("long").as("curriculum_pos"))
+        .orderBy("curriculum_pos")
+    },
+
+    // ---- winsorized per-source profile (robust stats, exact quantiles) ----
+    // Outlier-robust source statistics: exact p10/p90 of doc length per
+    // source by VALUE-DOMAIN cumulation — per-(source, n_chars) counts,
+    // a cumsum over the bounded length domain (≤ a few hundred distinct
+    // values, NOT a row-rank over the corpus), rank-target pick — then
+    // the winsorized mean clips every doc into [p10, p90] via a
+    // broadcast of the 20-row quantile dim. All integer; the quantile
+    // is the deterministic "value at 1-based rank (n−1)·q/100 + 1"
+    // contract, identical in both engines. This is the exact-quantile
+    // shape that scales: the only per-row work is two scans and a
+    // groupBy; ranking happens on the value histogram.
+    QueryDef("v4_robust_stats",
+      """WITH per AS (
+        |  SELECT source, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, SUM(cnt) AS n FROM per GROUP BY source
+        |), cum AS (
+        |  SELECT p.source, p.n_chars,
+        |    SUM(p.cnt) OVER (PARTITION BY p.source ORDER BY p.n_chars) AS cm
+        |  FROM per p
+        |), q AS (
+        |  SELECT c.source,
+        |    MIN(CASE WHEN c.cm >= (t.n - 1) // 10 + 1 THEN c.n_chars END) AS p10,
+        |    MIN(CASE WHEN c.cm >= ((t.n - 1) * 9) // 10 + 1 THEN c.n_chars END) AS p90
+        |  FROM cum c JOIN tot t ON c.source = t.source GROUP BY c.source
+        |)
+        |SELECT d.source, CAST(t.n AS BIGINT) AS n_docs,
+        |  CAST(q.p10 AS BIGINT) AS p10, CAST(q.p90 AS BIGINT) AS p90,
+        |  CAST(SUM(LEAST(GREATEST(d.n_chars, q.p10), q.p90)) // t.n AS BIGINT) AS wmean
+        |FROM documents d JOIN q ON d.source = q.source JOIN tot t ON d.source = t.source
+        |GROUP BY d.source, t.n, q.p10, q.p90
+        |ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val per = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+      val tot = per.groupBy("source").agg(sum("cnt").as("n"))
+      val cumW = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("n_chars") // bounded value domain
+      val cum = per.withColumn("cm", sum("cnt").over(cumW))
+      val q = cum.join(tot, Seq("source"))
+        .groupBy("source")
+        .agg(
+          min(when(col("cm") >= expr("(n - 1) div 10 + 1"), col("n_chars")))
+            .as("p10"),
+          min(when(col("cm") >= expr("((n - 1) * 9) div 10 + 1"), col("n_chars")))
+            .as("p90"))
+      docs.join(broadcast(q), Seq("source"))
+        .join(broadcast(tot), Seq("source"))
+        .withColumn("clipped",
+          least(greatest(col("n_chars"), col("p10")), col("p90")))
+        .groupBy("source")
+        .agg(min("n").as("n_docs"), min("p10").as("p10"),
+          min("p90").as("p90"), sum("clipped").as("sclip"))
+        .select(col("source"), col("n_docs"), col("p10"), col("p90"),
+          expr("sclip div n_docs").as("wmean"))
+        .orderBy("source")
     })
 }

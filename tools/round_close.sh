@@ -42,5 +42,11 @@ fi
 nq=$(grep -oP 'done: \d+/\K\d+' "$OUT_DIR/audit.log")
 grep -q "over all $nq declared queries" PLANAUDIT.md \
   || { echo "FAIL: PLANAUDIT.md header count != $nq"; exit 1; }
+# README's query-count lines must track the board too (round-10 verdict
+# task 8: extend the diff gate to the README count line)
+grep -q "driver contract: $nq named queries" README.md \
+  || { echo "FAIL: README 'driver contract: N named queries' != $nq"; exit 1; }
+grep -q "All $nq declared queries hash-match" README.md \
+  || { echo "FAIL: README 'All N declared queries hash-match' != $nq"; exit 1; }
 tail -1 "$OUT_DIR/audit.log"
 echo "== round close: ALL GREEN (logs in $OUT_DIR) =="
