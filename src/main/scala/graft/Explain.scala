@@ -282,7 +282,34 @@ object Explain {
         |packed into the deterministic tiebreak id (no second corpus
         |scan). The vote argmax is the plan's only Window, over
         |queries×k rows. The IVF-probed candidate restriction (s6) is
-        |the declared 100 TB path; the vote stages are unchanged.""".stripMargin)
+        |the declared 100 TB path; the vote stages are unchanged.""".stripMargin,
+    "s12_centroid_classify" ->
+      """Round-11 rewrite: the L collected centroid SUM vectors ride as
+        |array literals inside ONE WholeStageCodegen projection — L qdotl
+        |integer dots + greatest + first-match CASE per row — so scoring
+        |and argmax never multiply rows (the former broadcast-join-on-pos
+        |shape expanded the exploded stream ×L and its sf-curve doubled
+        |per decade; this plan's curve is flat to sf0.1 and
+        |scan-proportional at sf1). The only exchanges: the L·d centroid
+        |aggregate (control-plane collect) and the final L² confusion
+        |cells.""".stripMargin,
+    "d23_dup_clusters_relcut" ->
+      """The corpus-size-safe dedup clustering: identical inverted-index /
+        |candidate-join / CC-contraction pipeline as d10/d11, but the df
+        |cut compares against max(50, N/100) where N arrives as a 1-row
+        |broadcast count (BroadcastNestedLoopJoin of a single row — the
+        |dispositioned funnel class), so survivor density is stable at
+        |every corpus size. The absolute-cut variant measured DEGENERATE
+        |at sf1 (zero survivors — see BENCHNOTES round 11); this plan's
+        |sf1 curve row (12.7 s, sub-linear) is the one doing real
+        |clustering at that scale.""".stripMargin,
+    "h12_deep_rollup" ->
+      """Depth-6 level-column ROLLUP, every level column generated from the
+        |`depth` constant: one broadcast join of the 1365-node dim onto the
+        |leaf-keyed facts, one Expand (7 grouping-set replicas) with
+        |partial aggregation BEFORE its single exchange, then the dim-sized
+        |name/sort back-join. Depth enters the plan as Expand width and
+        |column count only — never as extra joins or shuffles.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

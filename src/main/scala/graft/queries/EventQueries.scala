@@ -821,5 +821,49 @@ object EventQueries {
           min(col("gap")).cast("long").as("min_gap_us"),
           max(col("gap")).cast("long").as("max_gap_us"))
         .orderBy("event_type", "gap_digits")
+    },
+
+    // ---- weekly cohort retention matrix ----
+    // The classic growth-analytics triangle: users cohorted by their
+    // FIRST active week (absolute epoch-week index — no calendar/tz
+    // functions, identical in both engines), one row per (cohort,
+    // week offset) counting distinct still-active users, plus
+    // retention in basis points of the cohort's own week-0 size.
+    // Scale shape: two user-keyed hash aggregates (first-week, then
+    // per-(user, cohort, offset) distinct) and one cohort-keyed count;
+    // the week-0 base is a cohort-dim-sized broadcast back-join —
+    // no windows, no fact-sized funnel.
+    QueryDef("e23_cohort_retention",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+        |), coh AS (
+        |  SELECT user_id, MIN(wk) AS cw FROM e GROUP BY user_id
+        |), act AS (
+        |  SELECT DISTINCT e.user_id, c.cw, e.wk - c.cw AS off
+        |  FROM e JOIN coh c ON e.user_id = c.user_id
+        |), ret AS (
+        |  SELECT cw, off, COUNT(*) AS n_users FROM act GROUP BY cw, off
+        |), base AS (
+        |  SELECT cw, n_users AS n0 FROM ret WHERE off = 0
+        |)
+        |SELECT CAST(r.cw AS BIGINT) AS cohort_week,
+        |  CAST(r.off AS BIGINT) AS week_offset,
+        |  CAST(r.n_users AS BIGINT) AS n_users,
+        |  CAST((10000 * r.n_users) // b.n0 AS BIGINT) AS retention_bp
+        |FROM ret r JOIN base b ON r.cw = b.cw
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("wk"))
+      val coh = e.groupBy("user_id").agg(min("wk").as("cw"))
+      val act = e.join(coh, Seq("user_id"))
+        .select(col("user_id"), col("cw"), (col("wk") - col("cw")).as("off"))
+        .distinct()
+      val ret = act.groupBy("cw", "off").agg(count(lit(1)).as("n_users"))
+      val base = ret.where(col("off") === 0)
+        .select(col("cw"), col("n_users").as("n0"))
+      ret.join(broadcast(base), Seq("cw"))
+        .select(col("cw").as("cohort_week"), col("off").as("week_offset"),
+          col("n_users"), expr("(10000 * n_users) div n0").as("retention_bp"))
+        .orderBy("cohort_week", "week_offset")
     })
 }
