@@ -382,6 +382,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- PPJoin prefix-filtered exact similarity join ----
+    // The LOSSLESS third candidate strategy (vs LSH's probabilistic
+    // recall and the df-cut's dropped hot docs): prefix filtering
+    // guarantees no J ≥ 0.6 pair can be missed (rarest-first global
+    // order theorem), and verification is exact — so the ORACLE need
+    // not replay prefixes at all: it computes the same pair set from
+    // the full inverted index, proving candidate completeness on every
+    // run. Set elements are distinct word 3-grams.
+    QueryDef("d24_ppjoin_pairs",
+      """WITH t0 AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS lt FROM documents
+        |), t AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(lt) - 2, 0) + 1),
+        |    i -> lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2]))) AS g
+        |  FROM t0
+        |), sz AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id
+        |), c AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c.a_id, c.b_id,
+        |  CAST((10000 * c.common) // (sa.n + sb.n - c.common) AS BIGINT) AS jaccard_bp
+        |FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+        |WHERE 10000 * c.common >= 6000 * (sa.n + sb.n - c.common)
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Dedup.ppjoinPairs(Tables.documents(s, dir), minJaccardBp = 6000)
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- MinHash-confirmed near-dup pairs (candidate → verify) ----
     // The production dedup shape: LSH band candidates (est ≥ 0.5),
     // each CONFIRMED by the exact inverted-index Jaccard; output =

@@ -141,6 +141,48 @@ class DedupSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("dup_bp") == 10000L * 32 / 52)
   }
 
+  test("ppjoinPairs: exact dup + near dup found, unrelated absent, scores exact") {
+    val pairs = Dedup.ppjoinPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 10000L, s"exact dup must score 10000: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"near dup must clear 0.6: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L),
+      s"unrelated docs must not pair: $pairs")
+  }
+
+  test("ppjoinPairs completeness: prefix filtering loses NO pair vs brute force") {
+    // randomized corpus with engineered overlap: mutated copies at
+    // several mutation rates straddling the 0.6 threshold
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julie", "kilo", "lima")
+    def fresh(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val bases = Vector.fill(8)(fresh(30))
+    val texts = (0 until 40).map { i =>
+      val b = bases(i % 8)
+      val mut = b.indices.map(j =>
+        if (rnd.nextDouble() < (i % 5) * 0.1) vocab(rnd.nextInt(vocab.size))
+        else b(j))
+      (i.toLong, mut.mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val got = Dedup.ppjoinPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: exact Jaccard over distinct word 3-grams, all pairs
+    def gramsOf(t: String) =
+      t.toLowerCase.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val gsets = texts.map { case (id, t) => id -> gramsOf(t) }.toMap
+    val brute = (for {
+      a <- texts.map(_._1); b <- texts.map(_._1) if a < b
+      common = (gsets(a) & gsets(b)).size.toLong
+      union = (gsets(a).size + gsets(b).size - common).toLong
+      if union > 0 && 10000 * common >= 6000 * union
+    } yield (a, b, 10000 * common / union)).toSet
+    assert(got == brute,
+      s"prefix filtering must be lossless: missing=${brute -- got} extra=${got -- brute}")
+  }
+
   test("lshPlan: recovers the measured-good split and tracks the threshold") {
     // the hand calculation in the band-sizing note, as an assertion:
     // 64 hashes at threshold 0.7 pick the deployed r=8 split (curve
