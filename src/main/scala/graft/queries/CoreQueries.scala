@@ -406,5 +406,98 @@ object CoreQueries {
         .select(coalesce(col("ck"), col("sk")).as("nationkey"),
           col("n_cust"), col("n_supp"))
         .orderBy("nationkey")
+    },
+
+    // ---- q44: bilateral volume shipping (TPC-H Q7 shape) ----
+    // Revenue flowing between two specific nations, split by direction
+    // and ship year. The two nation dims broadcast with their name
+    // filters PUSHED (each side prunes to one key before the join);
+    // lineitem⋈orders is the only shuffle; the year comes from the
+    // raw timestamp (no to_date wrapper — keeps the scan pushable).
+    QueryDef("q44_volume_shipping",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val n1 = broadcast(Tables.nation(s, dir)
+        .where(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, dir)
+        .where(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("l_extendedprice").cast(dec12_2) *
+            (lit(1) - col("l_discount")).cast(dec4_2)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // ---- q45: national market share within a region (TPC-H Q8 shape) ----
+    // NATION_3 suppliers' share of all revenue to EUROPE customers per
+    // order year, in exact basis points: volumes ride as BIGINT
+    // ten-thousandths (DECIMAL(17,4)·10⁴ — integer-exact in both
+    // engines, no double-sum drift in the ratio), so the share is an
+    // integer division, not a float. Same one-shuffle star shape as
+    // q05/q44; the CASE runs scan-side before the aggregate.
+    QueryDef("q45_market_share",
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT) AS vol4,
+        |    CASE WHEN sn.n_name = 'NATION_3'
+        |         THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT)
+        |         ELSE 0 END AS nat4
+        |  FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |    JOIN region ON cn.n_regionkey = r_regionkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'EUROPE'
+        |)
+        |SELECT o_year, CAST(SUM(nat4) AS BIGINT) AS nation_vol4,
+        |  CAST(SUM(vol4) AS BIGINT) AS total_vol4,
+        |  CAST((10000 * SUM(nat4)) // SUM(vol4) AS BIGINT) AS share_bp
+        |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val cn = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey")))
+      val sn = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val eu = broadcast(Tables.region(s, dir).where(col("r_name") === "EUROPE")
+        .select("r_regionkey"))
+      val vol4 = (col("l_extendedprice").cast(dec12_2) *
+        (lit(1) - col("l_discount")).cast(dec4_2) * lit(10000)).cast("long")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(cn, col("c_nationkey") === col("c_nk"))
+        .join(eu, col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(sn, col("s_nationkey") === col("s_nk"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          vol4.as("vol4"),
+          when(col("supp_nation") === "NATION_3", vol4).otherwise(lit(0L)).as("nat4"))
+        .groupBy("o_year")
+        .agg(sum("nat4").as("nation_vol4"), sum("vol4").as("total_vol4"))
+        .select(col("o_year"), col("nation_vol4"), col("total_vol4"),
+          expr("(10000 * nation_vol4) div total_vol4").as("share_bp"))
+        .orderBy("o_year")
     })
 }

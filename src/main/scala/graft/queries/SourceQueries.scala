@@ -50,5 +50,22 @@ object SourceQueries {
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- c5: parquet schema evolution via mergeSchema ----
+    // Append-only column add: the merged read surfaces NULL for the
+    // pre-evolution batch; the oracle recreates the same view from the
+    // original table with a CASE on the batch split.
+    QueryDef("c5_schema_evolution",
+      """SELECT lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Warehouse.documentsEvolved(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy("lang", "source")
     })
 }

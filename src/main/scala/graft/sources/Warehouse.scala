@@ -94,6 +94,26 @@ object Warehouse {
     * emits shortest-round-trip doubles, so numeric values survive the
     * text round-trip bit-exact).
     */
+  /** Schema-EVOLVED parquet table: batch 1 writes (doc_id, lang),
+    * batch 2 widens to (doc_id, lang, source) — the canonical
+    * append-only warehouse evolution — read back through
+    * `mergeSchema`, which unions the footers so batch-1 rows surface
+    * NULL source. The oracle replays the evolution as a CASE on the
+    * batch split, so a reader that dropped or misaligned the evolved
+    * column breaks the hash.
+    */
+  def documentsEvolved(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_evolved:$dir") {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"spark-warehouse/documents_evolved$safe"
+      val docs = Tables.documents(s, dir)
+      docs.where(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$path/batch=1")
+      docs.where(col("doc_id") % 2 === 1).select("doc_id", "lang", "source")
+        .write.mode("overwrite").parquet(s"$path/batch=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+    }
+
   def ordersJson(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrElseUpdate(s, s"orders_json:$dir") {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
