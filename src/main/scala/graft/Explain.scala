@@ -303,6 +303,19 @@ object Explain {
         |at sf1 (zero survivors — see BENCHNOTES round 11); this plan's
         |sf1 curve row (12.7 s, sub-linear) is the one doing real
         |clustering at that scale.""".stripMargin,
+    "d24_ppjoin_pairs" ->
+      """Exact similarity join with ZERO recall loss: the prefix index is a
+        |scan-side slice of each doc's sorted hashed-gram array (no df
+        |table, no join, no window feeding the Generate), the self-join on
+        |the 8-byte prefix hash carries length+positional-filtered
+        |candidates only, and verification is two-phase — hashed-long
+        |intersect as a lossless filter, exact string intersect on the
+        |output-sized survivors. Two inlining traps shaped this plan
+        |(BENCHNOTES round 11): the empty-doc filter tests the TOKEN count
+        |(filtering on the projected alias re-substitutes the interpreted
+        |HOF into the Filter), and the gram array is CHECKPOINTED before
+        |any explode (Generate over the inlined HOF measured ~18× slower).
+        |20.2 s → 1.84 s at sf0.1.""".stripMargin,
     "h12_deep_rollup" ->
       """Depth-6 level-column ROLLUP, every level column generated from the
         |`depth` constant: one broadcast join of the 1365-node dim onto the

@@ -189,6 +189,85 @@ object DocStream {
       .withColumn("text", Curation.redact(col("text")))
       .drop("__grams")
 
+  /** Streaming PPJoin admission gate: each ARRIVING doc is tested for
+    * exact Jaccard ≥ `minJaccardBp`/10000 similarity against a STATIC
+    * at-rest corpus, emitting one append-mode row per (arriving doc,
+    * corpus dup) pair — the ingest-time half of d24's exact-similarity
+    * dedup (the lossless analogue of d16's estimated admission).
+    *
+    * Why the HASH-ORDER prefix (Dedup.ppjoinPairs round-11 design)
+    * matters here: the global order is a pure function of the gram
+    * bytes, so the stream side needs NO frequency statistics — its
+    * prefix is a row-local slice of its sorted hashed-gram array,
+    * fully stateless. A df-ordered prefix would need a corpus
+    * frequency snapshot that staled as the stream ran.
+    *
+    * Shape: row-local gram/hash/prefix projections (interpreted HOFs —
+    * fine at ingest rates, wrong for backfill, same caveat as
+    * [[minhashCandidates]]); STREAM-STATIC equi-join on the corpus's
+    * prefix index (stateless — no watermark state, the static side is
+    * a broadcast-or-bucketed table); PPJoin length+positional filters;
+    * hashed phase-1 verify against the corpus's compact hash arrays;
+    * exact phase-2 verify on the true gram strings. Multi-gram
+    * duplicate pairs collapse via dropDuplicatesWithinWatermark.
+    * Output: (doc_id, dup_of, jaccard_bp); an admission feed is the
+    * left_anti of the input against these doc_ids, exactly as d16.
+    */
+  def ppjoinAdmission(docs: DataFrame, corpus: DataFrame,
+      minJaccardBp: Long = 6000, gramN: Int = 3,
+      horizonMinutes: Int = 60): DataFrame = {
+    val t = minJaccardBp
+    // static side, built once through the batch (codegen) path
+    val grams = array_distinct(
+      Curation.wordGrams(Curation.tokens(col("text")), gramN))
+    val cArrs = corpus
+      .where(size(Curation.tokens(col("text"))) >= gramN)
+      .select(col("doc_id").as("dup_of"), grams.as("c_arr"))
+      .localCheckpoint()
+    val cSorted = cArrs
+      .select(col("dup_of"), explode(col("c_arr")).as("g0"))
+      .select(col("dup_of"), xxhash64(col("g0")).as("h"))
+      .groupBy("dup_of")
+      .agg(sort_array(collect_list(col("h"))).as("c_h"),
+        count(lit(1)).cast("long").as("cn"))
+      .localCheckpoint()
+    val cPrefix = cSorted.select(col("dup_of"), col("cn"),
+        posexplode(slice(col("c_h"), lit(1),
+          expr(s"CAST(cn - ($t * cn + 9999) div 10000 + 1 AS INT)"))))
+      .select(col("dup_of"), col("cn"), col("col").as("g"),
+        (col("pos") + 1).as("pb"))
+      .localCheckpoint()
+    // stream side: all row-local
+    val sPrefixed = docs
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", s"$horizonMinutes minutes")
+      .where(size(Curation.tokens(col("text"))) >= gramN)
+      .withColumn("arr", grams)
+      .withColumn("harr", array_sort(expr("transform(arr, x -> xxhash64(x))")))
+      .withColumn("n", size(col("arr")).cast("long"))
+      .select(col("doc_id"), col("ets"), col("arr"), col("harr"), col("n"),
+        posexplode(slice(col("harr"), lit(1),
+          expr(s"CAST(n - ($t * n + 9999) div 10000 + 1 AS INT)"))))
+      .select(col("doc_id"), col("ets"), col("arr"), col("harr"), col("n"),
+        col("col").as("g"), (col("pos") + 1).as("pa"))
+    sPrefixed
+      .join(cPrefix, Seq("g")) // stream-static: stateless
+      .where(expr(s"10000 * cn >= $t * n") && expr(s"10000 * n >= $t * cn"))
+      .where(expr(s"least(n - pa, cn - pb) + 1 >= " +
+        s"($t * (n + cn) + ${10000 + t} - 1) div ${10000 + t}"))
+      .join(cSorted.drop("cn"), Seq("dup_of"))
+      .withColumn("hc", size(array_intersect(col("harr"), col("c_h"))).cast("long"))
+      .where(expr(s"10000 * hc >= $t * (n + cn - hc)"))
+      .join(cArrs, Seq("dup_of"))
+      .withColumn("common",
+        size(array_intersect(col("arr"), col("c_arr"))).cast("long"))
+      .where(expr(s"10000 * common >= $t * (n + cn - common)"))
+      .select(col("doc_id"), col("dup_of"), col("ets"),
+        expr(s"(10000 * common) div (n + cn - common)").as("jaccard_bp"))
+      .dropDuplicatesWithinWatermark("doc_id", "dup_of")
+      .select("doc_id", "dup_of", "jaccard_bp")
+  }
+
   case class DocRec(lang: String, doc_id: Long, text: String)
   case class TokenSketch(lang: String, tokens: Seq[String], counts: Seq[Long])
 

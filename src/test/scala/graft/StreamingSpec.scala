@@ -300,6 +300,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ppjoin admission equals batch exact cross-set pairs (lossless gate)") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus at rest: 4 docs; stream: exact dup, near dup (tail edit),
+    // borderline, unrelated — the gate must emit exactly the J≥0.6
+    // stream×corpus pairs with exact scores
+    val corpusDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight again"),
+      (101L, "completely different content about spark query engines and columnar formats on large clusters"),
+      (102L, "parquet row groups column chunks page headers and dictionary encodings discussed at great length"),
+      (103L, "a tiny one"))
+    val arriving = Seq(
+      (1L, corpusDocs.head._2),                                   // exact dup of 100
+      (2L, corpusDocs.head._2.replace("tonight again", "at dawn")), // near dup of 100
+      (3L, "entirely novel text with no overlap whatsoever to anything stored so far anywhere"),
+      (4L, corpusDocs(1)._2 + " extra trailing words appended here"))
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.DocStream.ppjoinAdmission(stream, corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ppjoin_adm").start()
+    try {
+      val M = 60L * 1000000000L
+      mem.addData(arriving.map { case (id, t) => (id, t, (10 + id) * M) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("ppjoin_adm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch truth: exact word-3-gram Jaccard, stream×corpus cross set
+      def gramsOf(t: String) = t.toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+      val brute = (for {
+        (sid, st) <- arriving; (cid, ct) <- corpusDocs
+        sg = gramsOf(st); cg = gramsOf(ct)
+        common = (sg & cg).size.toLong
+        union = (sg.size + cg.size - common).toLong
+        if union > 0 && 10000 * common >= 6000 * union
+      } yield (sid, cid, 10000 * common / union)).toSet
+      assert(brute.exists(_._3 == 10000L), "fixture must contain an exact dup")
+      assert(brute.exists(p => p._3 < 10000L), "fixture must contain a near dup")
+      assert(got === brute, s"stream $got vs batch truth $brute")
+      assert(!got.exists(_._1 == 3L), "novel doc must pass the gate")
+    } finally q.stop()
+  }
+
   test("streaming containment candidates match batch minhashContainmentPairs (d18 ratio)") {
     implicit val sqlCtx = spark.sqlContext
     // Engineered subset-duplication pairs: doc 2i+1 is a strict PREFIX
