@@ -638,6 +638,64 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- scale-path edit-distance join: PPJoin candidates → DP verify ----
+    // d13's dense-threshold contract (ed ≤ 45 of 120 chars) admits no
+    // lossless cheap prefilter, so its lang×length-block DP is
+    // quadratic-in-block BY CONTRACT — measured 65 s on the sf1 decade
+    // (round-11 curve) as block density grows linearly with corpus.
+    // This is the production alternative: DP-verify ONLY the d24-style
+    // exact near-dup candidate set (word-3-gram J ≥ 0.6, prefix-
+    // filtered, sub-quadratic), then apply the same block + threshold.
+    // The contract narrows to "edit distance among content near-dups"
+    // — which is what an ed-join is FOR in a dedup pipeline — and the
+    // oracle replays the entire composition exactly (full inverted
+    // index + levenshtein), so candidate completeness w.r.t. the
+    // declared contract is re-proven every run.
+    QueryDef("d25_editdist_verified",
+      """WITH t0 AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS lt FROM documents
+        |), t AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(lt) - 2, 0) + 1),
+        |    i -> lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2]))) AS g
+        |  FROM t0
+        |), sz AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id
+        |), c AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), jp AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+        |  WHERE 10000 * c.common >= 6000 * (sa.n + sb.n - c.common)
+        |), d AS (
+        |  SELECT doc_id, lang, n_chars // 64 AS bkt, substr(text, 1, 120) AS p
+        |  FROM documents
+        |)
+        |SELECT jp.a_id, jp.b_id, CAST(levenshtein(da.p, db.p) AS BIGINT) AS ed
+        |FROM jp JOIN d da ON jp.a_id = da.doc_id JOIN d db ON jp.b_id = db.doc_id
+        |WHERE da.lang = db.lang AND da.bkt = db.bkt
+        |  AND levenshtein(da.p, db.p) <= 45
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      graft.functions.EditDist.register(s)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / 64).cast("long").as("bkt"),
+          substring(col("text"), 1, 120).as("p"))
+      Dedup.ppjoinPairs(Tables.documents(s, dir))
+        .select("a_id", "b_id")
+        .join(d.select(col("doc_id").as("a_id"), col("lang").as("la"),
+          col("bkt").as("ba"), col("p").as("pa")), Seq("a_id"))
+        .join(d.select(col("doc_id").as("b_id"), col("lang").as("lb"),
+          col("bkt").as("bb"), col("p").as("pb")), Seq("b_id"))
+        .where(col("la") === col("lb") && col("ba") === col("bb"))
+        .withColumn("ed", expr("bedit(pa, pb, 45)").cast("long"))
+        .where(col("ed") >= 0)
+        .select("a_id", "b_id", "ed")
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- benchmark decontamination (word 4-gram overlap) ----
     // Flags every train document sharing a word 4-gram with the
     // benchmark slice (doc_id % 101 = 0 stands in for a held-out eval
