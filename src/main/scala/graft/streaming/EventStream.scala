@@ -122,6 +122,37 @@ object EventStream {
         unix_timestamp(col("clk_ets")).as("clk_s"))
   }
 
+  /** LEFT-OUTER variant of [[impressionClickJoin]]: the attribution
+    * report that also emits UNCONVERTED impressions (clk_id NULL) —
+    * the half of the funnel an inner join silently drops. Same bounded
+    * interval condition; the engine can only declare an impression
+    * unmatched once the watermark proves no qualifying click can still
+    * arrive, so null rows surface with watermark delay (exactly-once,
+    * no retraction), and state stays interval-bounded like the inner
+    * form. `converted` is the scan-side flag downstream CTR aggregates
+    * consume.
+    */
+  def impressionClickAttribution(impressions: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val imp = impressions
+      .withColumn("imp_ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("imp_ets", "1 hour")
+      .select(col("event_id").as("imp_id"), col("user_id"), col("imp_ets"))
+    val clk = clicks
+      .withColumn("clk_ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("clk_ets", "1 hour")
+      .select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+        col("clk_ets"))
+    imp.join(clk,
+      expr(s"""user_id = clk_user AND
+               clk_ets >= imp_ets AND
+               clk_ets <= imp_ets + interval $windowMinutes minutes"""),
+      "left_outer")
+      .select(col("imp_id"), col("user_id"), col("clk_id"),
+        col("clk_id").isNotNull.as("converted"),
+        unix_timestamp(col("imp_ets")).as("imp_s"))
+  }
+
   case class AsofIn(user_id: Long, ts: Long, side: Int, // 0 = rate, 1 = probe
       id: Long, value: Double)
   case class AsofState(rateTs: Long, rateId: Long, rateValue: Double)

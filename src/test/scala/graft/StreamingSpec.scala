@@ -173,6 +173,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT-OUTER attribution emits unconverted impressions after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val impMem = MemoryStream[(Long, Long, Long)]
+    val clkMem = MemoryStream[(Long, Long, Long)]
+    val imps = impMem.toDF().toDF("event_id", "ts", "user_id")
+    val clks = clkMem.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStream.impressionClickAttribution(imps, clks, windowMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      val H = 3600L * 1000000000L
+      val B = 100 * H
+      val M = 60L * 1000000000L
+      // imp 10 converts (click 10 min later); imp 11's click is 2 h
+      // late (outside the interval) — it must STILL emit, null-padded,
+      // but only once the watermark proves no qualifying click remains
+      impMem.addData((10L, B, 1L), (11L, B, 2L))
+      clkMem.addData((20L, B + 10 * M, 1L), (21L, B + 120 * M, 2L))
+      q.processAllAvailable()
+      // advance BOTH watermarks well past imp_ets + 30min + 1h delay
+      impMem.addData((12L, B + 10 * H, 9L))
+      clkMem.addData((29L, B + 10 * H, 9L))
+      q.processAllAvailable()
+      val out = spark.table("attr_out")
+        .select("imp_id", "user_id", "clk_id", "converted").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSet
+      assert(out.contains((10L, 1L, 20L, true)), s"converted pair: $out")
+      assert(out.contains((11L, 2L, -1L, false)),
+        s"unconverted impression must surface null-padded: $out")
+      assert(!out.exists(o => o._1 == 11L && o._4),
+        s"the out-of-window click must not attribute: $out")
+    } finally q.stop()
+  }
+
   test("streaming latest-per-key converges to the batch e8 compaction") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Rec]
