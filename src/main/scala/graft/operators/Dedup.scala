@@ -737,8 +737,13 @@ object Dedup {
     *
     * TWO-PHASE verify. Phase 1 intersects the 8-byte HASH arrays —
     * ~5× lighter through the candidate joins than the gram strings —
-    * and is lossless as a filter (collisions only INFLATE the hashed
-    * overlap). Phase 2 redoes the intersection on the true gram
+    * and is lossless as a filter up to xxhash64 collisions: a
+    * cross-doc collision (gram only in A colliding with a gram only
+    * in B) inflates the hashed overlap, which is safe, but if two
+    * DIFFERENT grams that are each in A∩B collide, each per-doc hash
+    * SET keeps the value once and `hc` undercounts the true overlap
+    * by one — a ~2⁻⁶⁴-probability-per-gram-pair false reject, not an
+    * absolute guarantee. Phase 2 redoes the intersection on the true gram
     * strings for the output-sized survivor set, so emitted pairs and
     * scores are exact. Dedup of multi-gram candidates happens ONCE at
     * the end (output-sized) instead of on the 100×-larger candidate

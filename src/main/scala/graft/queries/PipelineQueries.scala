@@ -1098,6 +1098,17 @@ object PipelineQueries {
     // is frequent-bigram-bounded (≪ corpus), hence broadcast; a
     // vocab-explosive LM would swap to a shuffle join on (w1, w2)
     // with no other change.
+    //
+    // Two measured Generate traps shape the Spark side (r11/r12):
+    //  - the original posexplode carried the WHOLE token array through
+    //    the Generate so `element_at(ts, pos+2)` could read it — every
+    //    bigram row serialized a copy of its doc's full array, O(n²)
+    //    bytes per doc (r12 profile: 2.9 s of the 3.2 s total);
+    //  - a zip_with bigram array INLINED into Generate re-evaluates
+    //    the HOF per OUTPUT row (the d24 trap). So the bigram-struct
+    //    array is built in one projection and localCheckpoint'd, and
+    //    both consumers (LM fit + probe) explode the materialized
+    //    column — one regexp pass, one HOF eval, linear bytes.
     QueryDef("p24_lm_doc_quality",
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
@@ -1562,7 +1573,9 @@ object PipelineQueries {
 
     // ---- curriculum ordering (difficulty-stratified interleave) ----
     // Deterministic training-order assignment: docs stratify into
-    // difficulty buckets (token count div 25 → 0..4), shuffle WITHIN
+    // difficulty buckets (token count div 25, CLAMPED to 0..4 so the
+    // 5-way stride below can never collide — an unclamped bucket ≥ 5
+    // would alias into another bucket's slot), shuffle WITHIN
     // the bucket by a seeded md5 key, and interleave round-robin via
     // the CLOSED FORM pos = (rank_in_bucket − 1)·5 + bucket — every
     // batch window sees every difficulty stratum, no global sort ever
@@ -1575,7 +1588,7 @@ object PipelineQueries {
     QueryDef("p32_curriculum_order",
       """WITH d AS (
         |  SELECT doc_id,
-        |    len(regexp_extract_all(text, '[A-Za-z0-9]+')) // 25 AS bucket,
+        |    LEAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) // 25, 4) AS bucket,
         |    md5('cur7' || CAST(doc_id AS VARCHAR)) AS hkey
         |  FROM documents
         |)
@@ -1587,7 +1600,7 @@ object PipelineQueries {
         .withColumn("ntk", TextOps.tokenCount("text"))
         .select(
           col("doc_id"),
-          expr("ntk div 25").as("bucket"),
+          least(expr("ntk div 25"), lit(4)).as("bucket"),
           md5(concat(lit("cur7"), col("doc_id").cast("string"))).as("hkey"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("bucket").orderBy("hkey", "doc_id")

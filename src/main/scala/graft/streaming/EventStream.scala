@@ -491,9 +491,22 @@ object EventStream {
         val staging = new org.apache.hadoop.fs.Path(path, s"_staging_v$batchId")
         val target = new org.apache.hadoop.fs.Path(path, s"v$batchId")
         merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(target, true) // a committed retry is idempotent: same bytes
-        require(fs.rename(staging, target),
-          s"upsertUserSummary: commit rename failed for $target")
+        // A retry of an ALREADY-COMMITTED batch must never delete the
+        // committed target before re-publishing it: a crash between
+        // delete and rename would leave no committed v<batchId> and
+        // readers would silently regress to v<batchId-1>. Committed
+        // retries produce identical bytes, so keeping the existing
+        // commit and dropping the staging copy is the idempotent path;
+        // only an UNCOMMITTED (no _SUCCESS) partial target is swept.
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+        if (committed) {
+          fs.delete(staging, true)
+        } else {
+          fs.delete(target, true)
+          require(fs.rename(staging, target),
+            s"upsertUserSummary: commit rename failed for $target")
+        }
         ()
       }
 

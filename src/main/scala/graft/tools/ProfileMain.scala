@@ -299,8 +299,12 @@ object ProfileMain {
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq("g1_pagerank"))
         val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
-        val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-          "/root/testdata/sf0.1")
+        // sf dirs overridable (e.g. add /tmp/sf1_graft for the sf1
+        // decade); the dir's basename becomes the row's "sf" label.
+        val sfs = sys.env.get("SPARK_GRAFT_CURVE_SFS")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1"))
         // one untimed warmup of everything (JIT/codegen)
         for (q <- qnames; sf <- sfs)
           graft.SparkEntry.queries(q)(spark, sf)
@@ -316,8 +320,13 @@ object ProfileMain {
           println(s"[curve] $line")
           line
         }
+        // Write the fresh rows to curve_new.json; the (q, sf)-keyed
+        // merge into the curve_out.json ledger is done by
+        // tools/merge_curve.py — the r11 d24 corruption (a hand-merge
+        // duplicating an sf1 row as sf0.1) is exactly what ad-hoc
+        // ledger editing produces, so the merge is now a tool.
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("curve_out.json"),
+          java.nio.file.Paths.get("curve_new.json"),
           rows.mkString("[", ",\n", "]"))
       case _ => sys.error(s"unknown profile target: $what")
     }

@@ -42,6 +42,21 @@ fi
 nq=$(grep -oP 'done: \d+/\K\d+' "$OUT_DIR/audit.log")
 grep -q "over all $nq declared queries" PLANAUDIT.md \
   || { echo "FAIL: PLANAUDIT.md header count != $nq"; exit 1; }
+# the summary count line must track the board too (r11 verdict task 3:
+# it said 19/160 on a 175 board for two rounds)
+nflag=$(echo "$documented" | grep -c . || true)
+grep -q "^$nflag/$nq queries flagged" PLANAUDIT.md \
+  || { echo "FAIL: PLANAUDIT.md summary line != $nflag/$nq queries flagged"; exit 1; }
+# curve ledger sanity: no duplicate (q, sf) rows, no stale copied rows
+# (r11 verdict task 3: d24's sf0.1 row was a byte-identical copy of sf1)
+python3 - <<'EOF' || { echo "FAIL: curve_out.json ledger invalid"; exit 1; }
+import json, sys
+sys.path.insert(0, "tools")
+from merge_curve import validate
+errs = validate(json.load(open("curve_out.json")))
+for e in errs: print(f"  {e}", file=sys.stderr)
+sys.exit(1 if errs else 0)
+EOF
 # README's query-count lines must track the board too (round-10 verdict
 # task 8: extend the diff gate to the README count line)
 grep -q "driver contract: $nq named queries" README.md \
