@@ -1137,13 +1137,18 @@ object PipelineQueries {
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
-      val big = docs
+      val cpBig = docs
         .select(col("doc_id"),
           expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
-        .select(col("doc_id"), col("ts"), posexplode(col("ts")))
-        .where(col("pos") < size(col("ts")) - 1)
-        .select(col("doc_id"), col("col").as("w1"),
-          element_at(col("ts"), col("pos") + 2).as("w2"))
+        .select(col("doc_id"), expr(
+          """zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),
+            |         slice(ts, 2, greatest(size(ts) - 1, 0)),
+            |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)
+          .as("bgs"))
+        .localCheckpoint()
+      val big = cpBig
+        .select(col("doc_id"), explode(col("bgs")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val lm = big.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
         .withColumn("p_cond", col("n").cast("double") /
           sum("n").over(Window.partitionBy("w1")).cast("double"))

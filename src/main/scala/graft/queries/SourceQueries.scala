@@ -67,5 +67,48 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id")).cast("long").as("sum_ids"))
         .orderBy("lang", "source")
+    },
+
+    // ---- c6: time travel + compaction over the versioned table ----
+    // The Delta/Iceberg-class read surface (sources/VersionedTable):
+    // the fixture commits v1 (partial aggregate), v2 (merged upsert),
+    // v3 (compaction of v2 — data-identical, fewer files), and the
+    // query diffs LATEST against readVersion(1): per changed user, the
+    // before/after event counts and the cents delta. The oracle
+    // replays both versions from raw events, so a reader that picked
+    // an uncommitted snapshot, mixed versions, or lost rows in
+    // compaction breaks the hash. Changed keys only (the CDC-style
+    // contract: the diff is delta-sized, not dim-sized).
+    QueryDef("c6_time_travel_diff",
+      """WITH v1 AS (
+        |  SELECT user_id, COUNT(*) AS n1,
+        |    SUM(CAST(floor(value * 100) AS BIGINT)) AS c1
+        |  FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+        |), d AS (
+        |  SELECT user_id, COUNT(*) AS nd,
+        |    SUM(CAST(floor(value * 100) AS BIGINT)) AS cd
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY user_id
+        |)
+        |SELECT COALESCE(v1.user_id, d.user_id) AS user_id,
+        |  CAST(COALESCE(v1.n1, 0) AS BIGINT) AS n_before,
+        |  CAST(COALESCE(v1.n1, 0) + d.nd AS BIGINT) AS n_after,
+        |  CAST(d.cd AS BIGINT) AS delta_cents
+        |FROM v1 FULL OUTER JOIN d ON v1.user_id = d.user_id
+        |WHERE d.nd IS NOT NULL
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val latest = Warehouse.userSummaryVersioned(s, dir)
+      val v1 = graft.sources.VersionedTable.readVersion(
+          s, Warehouse.userSummaryVersionedPath(dir), 1L)
+        .select(col("user_id").as("p_uid"), col("n_events").as("n_before"),
+          col("total_cents").as("c_before"))
+      latest.join(v1, col("p_uid") === col("user_id"), "full_outer")
+        .select(
+          coalesce(col("user_id"), col("p_uid")).as("user_id"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_events"), lit(0L)).as("n_after"),
+          (coalesce(col("total_cents"), lit(0L))
+            - coalesce(col("c_before"), lit(0L))).as("delta_cents"))
+        .where(col("n_after") =!= col("n_before"))
+        .orderBy("user_id")
     })
 }

@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned-snapshot table on a plain filesystem — the read surface
+  * of the Delta/Iceberg-class capability a 100 TB warehouse user hits
+  * first: time travel (`readVersion`), audit (`history`), and
+  * small-file `compact`ion, over the MVCC commit layout the streaming
+  * upsert (streaming/EventStream.upsertUserSummary) writes.
+  *
+  * Layout: `<path>/v<k>/` immutable parquet snapshot directories. A
+  * version EXISTS iff its directory carries the parquet job's
+  * `_SUCCESS` marker AND was atomically renamed from `_staging_v<k>`;
+  * interrupted writes are either an unlisted staging dir or a
+  * marker-less `v<k>` — invisible to every reader. On a plain
+  * filesystem the version directory stands in for the table-format
+  * manifest; the API is deliberately manifest-shaped so a real
+  * manifest (file list + stats) can replace directory listing without
+  * touching callers.
+  *
+  * Scale posture: snapshots are immutable and full — right for
+  * key-bounded dims (the streaming-merge target). Fact-scale tables
+  * version DELTAS plus periodic compaction instead; [[compact]] is
+  * that operation's dim-sized form (rewrite latest into fewer files
+  * as a NEW version — never in place, readers of v<k> are undisturbed).
+  */
+object VersionedTable {
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Versions under `path` whose write COMMITTED (`_SUCCESS`-gated;
+    * see the class doc for the crash story).
+    */
+  def committedVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val fs = fsFor(spark, path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.matches("v\\d+"))
+      .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+      .map(_.getName.drop(1).toLong)
+  }
+
+  /** Publish `df` as version `version`: write to a staging directory,
+    * then one atomic rename. A retry of an ALREADY-COMMITTED version
+    * keeps the committed directory and drops the staging copy (commits
+    * are deterministic replays, so the bytes are equivalent) — the
+    * committed snapshot is never transiently absent, which a
+    * delete-then-rename would risk on a crash between the two.
+    */
+  def commit(df: DataFrame, path: String, version: Long): Unit = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, path)
+    val staging = new Path(path, s"_staging_v$version")
+    val target = new Path(path, s"v$version")
+    df.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(new Path(target, "_SUCCESS"))) {
+      fs.delete(staging, true)
+    } else {
+      fs.delete(target, true) // sweep an uncommitted partial only
+      require(fs.rename(staging, target),
+        s"VersionedTable.commit: rename failed for $target")
+    }
+  }
+
+  /** Time travel: the immutable snapshot at `version` (Delta's
+    * `versionAsOf`). Fails loudly on an uncommitted/absent version
+    * rather than silently reading a partial directory.
+    */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    require(committedVersions(spark, path).contains(version),
+      s"version $version is not committed under $path")
+    spark.read.parquet(s"$path/v$version")
+  }
+
+  def latestVersion(spark: SparkSession, path: String): Long = {
+    val vs = committedVersions(spark, path)
+    require(vs.nonEmpty, s"no committed version under $path")
+    vs.max
+  }
+
+  /** The latest committed snapshot. */
+  def latest(spark: SparkSession, path: String): DataFrame =
+    readVersion(spark, path, latestVersion(spark, path))
+
+  /** Commit audit: one row per committed version with its file count
+    * and byte size — the manifest-level stats a compaction policy
+    * reads. Deterministic columns only (no wall-clock timestamps: the
+    * layout records no commit time, and fabricating one from file
+    * mtimes would make history() output machine-dependent).
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsFor(spark, path)
+    val rows = committedVersions(spark, path).sorted.map { v =>
+      val files = fs.listStatus(new Path(s"$path/v$v")).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      (v, files.size.toLong, files.map(_.getLen).sum)
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_files", "n_bytes")
+  }
+
+  /** Compaction: rewrite the LATEST snapshot into `targetFiles` files
+    * as a NEW version (data-identical, fewer files). Never in place —
+    * readers of every existing version are undisturbed, and time
+    * travel across the compaction boundary still works. Returns the
+    * new version number.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Long = {
+    val v = latestVersion(spark, path)
+    val compacted = readVersion(spark, path, v).coalesce(targetFiles)
+    commit(compacted, path, v + 1)
+    v + 1
+  }
+}

@@ -167,6 +167,52 @@ object Warehouse {
       s.read.parquet(ivfCentroidsPath)
     }
 
+  /** Versioned per-user summary built from the events table through
+    * [[VersionedTable]] — the c6 time-travel fixture. Three commits:
+    * v1 aggregates the `event_id % 3 <> 0` batch, v2 merges in the
+    * rest with the q43/streaming full-outer upsert shape, v3 is
+    * `compact(v2)` (data-identical, fewer files). Returns the LATEST
+    * snapshot (post-compaction), so the c6 diff against
+    * `readVersion(1)` proves both time travel and that compaction
+    * preserved every value — the oracle recomputes both versions from
+    * the raw events and any compaction/versioning corruption breaks
+    * the hash. Memoized per (session, sf dir) like every CTAS.
+    */
+  def userSummaryVersionedPath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/user_summary_versioned$safe"
+  }
+
+  def userSummaryVersioned(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"user_summary_versioned:$dir") {
+      val path = userSummaryVersionedPath(dir)
+      // rebuild from scratch: a prior run's directory may hold more
+      // versions than this fixture's contract (exactly v1, v2, v3)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val events = Tables.events(s, dir)
+        .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+      def agg(df: DataFrame): DataFrame = df.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+      VersionedTable.commit(
+        agg(events.where(col("event_id") % 3 =!= 0)), path, 1L)
+      val delta = agg(events.where(col("event_id") % 3 === 0))
+        .select(col("user_id").as("d_uid"), col("n_events").as("d_n"),
+          col("total_cents").as("d_c"))
+      val merged = VersionedTable.readVersion(s, path, 1L)
+        .join(delta, col("d_uid") === col("user_id"), "full_outer")
+        .select(
+          coalesce(col("user_id"), col("d_uid")).as("user_id"),
+          (coalesce(col("n_events"), lit(0L))
+            + coalesce(col("d_n"), lit(0L))).as("n_events"),
+          (coalesce(col("total_cents"), lit(0L))
+            + coalesce(col("d_c"), lit(0L))).as("total_cents"))
+      VersionedTable.commit(merged, path, 2L)
+      VersionedTable.compact(s, path)
+      VersionedTable.latest(s, path)
+    }
+
   /** Deterministic content-hash shard id in [0, nShards): first hex
     * char of md5(doc_id) → value, mod shards. Engine-portable (the
     * DuckDB oracle replays the same arithmetic from the raw table) and

@@ -434,27 +434,14 @@ object EventStream {
     * bucket the dim by user_id at warehouse scale and it is
     * exchange-free on the base side.
     */
-  /** Versions under `path` whose write COMMITTED: the parquet job
-    * dropped a `_SUCCESS` marker and the staging directory was renamed
-    * into place. A crash- or concurrency-interrupted write is either a
-    * `_staging_v*` directory (never listed as a version) or a `v*`
-    * without the marker — both invisible here, so readers and the
-    * next batch's predecessor lookup only ever see complete immutable
-    * snapshots. Listing goes through the Hadoop FileSystem API, so the
-    * same code runs on HDFS/object stores, not just `file:`.
+  /** Versions under `path` whose write COMMITTED — the commit layout
+    * and its crash story live in [[graft.sources.VersionedTable]],
+    * which also serves the read side (time travel / history /
+    * compaction) over the snapshots this sink writes.
     */
   private def committedVersions(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(_.getName.matches("v\\d+"))
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      .map(_.getName.drop(1).toLong)
-  }
+      path: String): Seq[Long] =
+    graft.sources.VersionedTable.committedVersions(spark, path)
 
   def upsertUserSummary(events: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -481,32 +468,10 @@ object EventStream {
                 (coalesce(col("total_cents"), lit(0L))
                   + coalesce(col("d_c"), lit(0L))).as("total_cents"))
         }
-        // Two-phase commit: write to a staging dir, then one atomic
-        // directory rename publishes the version. A reader (or a retry
-        // of this batch) can never observe a partial v<k> — the old
-        // direct write left a visible half-written directory that
-        // [[latestUserSummary]] would have picked as "latest".
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        val staging = new org.apache.hadoop.fs.Path(path, s"_staging_v$batchId")
-        val target = new org.apache.hadoop.fs.Path(path, s"v$batchId")
-        merged.write.mode("overwrite").parquet(staging.toString)
-        // A retry of an ALREADY-COMMITTED batch must never delete the
-        // committed target before re-publishing it: a crash between
-        // delete and rename would leave no committed v<batchId> and
-        // readers would silently regress to v<batchId-1>. Committed
-        // retries produce identical bytes, so keeping the existing
-        // commit and dropping the staging copy is the idempotent path;
-        // only an UNCOMMITTED (no _SUCCESS) partial target is swept.
-        val committed = fs.exists(
-          new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
-        if (committed) {
-          fs.delete(staging, true)
-        } else {
-          fs.delete(target, true)
-          require(fs.rename(staging, target),
-            s"upsertUserSummary: commit rename failed for $target")
-        }
+        // Two-phase commit (staging write + atomic publish, committed
+        // retries keep the existing snapshot) — the shared layout in
+        // [[graft.sources.VersionedTable.commit]].
+        graft.sources.VersionedTable.commit(merged, path, batchId)
         ()
       }
 

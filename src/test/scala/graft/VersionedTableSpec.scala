@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VersionedTable
+
+/** The table-format read surface: time travel, history, compaction,
+  * and the commit protocol's crash edges (uncommitted partials swept,
+  * committed retries never transiently lose the snapshot).
+  */
+class VersionedTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshPath(): String =
+    Files.createTempDirectory("vtab").resolve("t").toString
+
+  private def df(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  test("time travel reads each immutable version; latest tracks max") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L, 2L -> 20L), p, 1L)
+    VersionedTable.commit(df(1L -> 11L, 2L -> 20L, 3L -> 30L), p, 2L)
+    assert(VersionedTable.committedVersions(spark, p).sorted == Seq(1L, 2L))
+    assert(VersionedTable.readVersion(spark, p, 1L).count() == 2)
+    assert(VersionedTable.latestVersion(spark, p) == 2L)
+    val latest = VersionedTable.latest(spark, p)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(latest.toSeq == Seq(1L -> 11L, 2L -> 20L, 3L -> 30L))
+    // v1 is undisturbed by v2's commit (immutability)
+    val v1 = VersionedTable.readVersion(spark, p, 1L)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(v1.toSeq == Seq(1L -> 10L, 2L -> 20L))
+  }
+
+  test("reading an uncommitted or absent version fails loudly") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L), p, 1L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, p, 7L)
+    }
+    // a version directory WITHOUT _SUCCESS (simulated partial write)
+    // is invisible to listing and unreadable through the API
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(p, "v5"))
+    assert(VersionedTable.committedVersions(spark, p) == Seq(1L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, p, 5L)
+    }
+  }
+
+  test("compaction produces a data-identical new version with fewer files") {
+    val p = freshPath()
+    VersionedTable.commit(df((1L to 100L).map(i => i -> i * 2): _*)
+      .repartition(8), p, 1L)
+    val before = VersionedTable.history(spark, p)
+      .where(col("version") === 1).select("n_files").head().getLong(0)
+    assert(before > 1, s"fixture should start multi-file, got $before files")
+    val nv = VersionedTable.compact(spark, p, targetFiles = 1)
+    assert(nv == 2L)
+    val after = VersionedTable.history(spark, p)
+      .where(col("version") === 2).select("n_files").head().getLong(0)
+    assert(after == 1L)
+    // data-identical both ways
+    val v1 = VersionedTable.readVersion(spark, p, 1L)
+    val v2 = VersionedTable.readVersion(spark, p, 2L)
+    assert(v1.exceptAll(v2).isEmpty && v2.exceptAll(v1).isEmpty)
+    // and v1 files untouched (readers of the old version undisturbed)
+    assert(VersionedTable.history(spark, p)
+      .where(col("version") === 1).select("n_files").head().getLong(0) == before)
+  }
+
+  test("history lists versions in order with file and byte stats") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 1L), p, 1L)
+    VersionedTable.commit(df(1L -> 1L, 2L -> 2L), p, 2L)
+    val h = VersionedTable.history(spark, p).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(h.forall(r => r.getLong(1) >= 1 && r.getLong(2) > 0))
+  }
+
+  test("committed retry keeps the snapshot; uncommitted partial is swept") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L), p, 1L)
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val v1ModTime = fs.getFileStatus(new Path(p, "v1")).getModificationTime
+    // retry of the committed version: a no-op for the target (the
+    // committed directory is never deleted), staging is cleaned up
+    VersionedTable.commit(df(1L -> 10L), p, 1L)
+    assert(fs.getFileStatus(new Path(p, "v1")).getModificationTime == v1ModTime)
+    assert(!fs.exists(new Path(p, "_staging_v1")))
+    assert(VersionedTable.latest(spark, p).head().getLong(1) == 10L)
+    // an UNCOMMITTED partial target (no _SUCCESS) is replaced
+    fs.mkdirs(new Path(p, "v2"))
+    VersionedTable.commit(df(1L -> 11L), p, 2L)
+    assert(VersionedTable.readVersion(spark, p, 2L).head().getLong(1) == 11L)
+  }
+}

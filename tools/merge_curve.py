@@ -47,6 +47,9 @@ def main():
     new_path = sys.argv[1] if len(sys.argv) > 1 else "curve_new.json"
     with open(new_path) as f:
         fresh = json.load(f)
+    for r in fresh:  # the sf1 decade lives in /tmp/sf1_graft
+        if r["sf"] == "sf1_graft":
+            r["sf"] = "sf1"
     try:
         with open("curve_out.json") as f:
             ledger = json.load(f)
