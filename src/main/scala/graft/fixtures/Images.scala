@@ -1,0 +1,92 @@
+package graft.fixtures
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic PNG fixture for the multimodal decode path (m4):
+  * gray images whose pixel function is pure arithmetic —
+  * `pixel(x, y) = (x·31 + y·17 + seed) mod 256` — so the DuckDB
+  * oracle can compute every expected width/height/pixel-sum
+  * analytically from (w, h, seed) with a lateral `range(w) × range(h)`
+  * join, while Spark must recover the same facts by DECODING the
+  * actual PNG bytes (javax.imageio, lossless 8-bit gray round trip).
+  * Encode lives here on the fixture side; the engine ships only the
+  * decoder (operators/Multimodal.ImageIoDecoder) — generation and
+  * decode share no code beyond the pixel formula's documentation.
+  */
+object Images {
+
+  /** (img_id, w, h, seed) — dimensions deliberately non-square,
+    * non-power-of-two, including 1×1 and a 64×48 "large" frame.
+    */
+  val specs: Seq[(Long, Int, Int, Int)] = Seq(
+    (1L, 8, 5, 3), (2L, 16, 9, 7), (3L, 32, 16, 11), (4L, 64, 48, 19),
+    (5L, 1, 1, 0), (6L, 33, 7, 255), (7L, 5, 40, 128), (8L, 24, 24, 64),
+    (9L, 2, 63, 200), (10L, 48, 3, 90), (11L, 17, 17, 42), (12L, 60, 10, 170))
+
+  def pixel(x: Int, y: Int, seed: Int): Int = (x * 31 + y * 17 + seed) % 256
+
+  /** Encode one spec'd image to PNG bytes (TYPE_BYTE_GRAY — the 8-bit
+    * grayscale PNG round trip is bit-exact through javax.imageio).
+    */
+  def encodePng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, pixel(x, y, seed))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", out), "no PNG writer available")
+    out.toByteArray
+  }
+
+  case class SpecRow(doc_id: Long, w: Int, h: Int, seed: Int)
+  case class PayloadRow(doc_id: Long, payload: Array[Byte])
+
+  /** The fixture as a payload table (doc_id, payload: binary) —
+    * ENCODED ON EXECUTORS via a typed map, the same distributed shape
+    * real media ingestion has (payload bytes never transit the
+    * driver; at scale the map is a scan of an object store instead).
+    */
+  def pngPayloads(s: SparkSession): DataFrame = {
+    import s.implicits._
+    specs.map(t => SpecRow(t._1, t._2, t._3, t._4))
+      .toDS()
+      .repartition(4)
+      .map(r => PayloadRow(r.doc_id, encodePng(r.w, r.h, r.seed)))
+      .toDF()
+  }
+
+  /** The m4 oracle: DuckDB recomputes each image's pixel sum from the
+    * generation parameters alone — a VALUES table of the specs and a
+    * lateral range(w)×range(h) expansion of the pixel formula. The
+    * engine-side numbers come from decoding real PNG bytes; agreement
+    * is the proof the codec path is load-bearing.
+    */
+  def oracleSql: String = {
+    val values = specs
+      .map(t => s"(${t._1}, ${t._2}, ${t._3}, ${t._4})").mkString(", ")
+    // DuckDB's range() takes no lateral column params, so the pixel
+    // grid is a constant max-dims range cross join filtered per image
+    val maxW = specs.map(_._2).max
+    val maxH = specs.map(_._3).max
+    s"""WITH imgs(img_id, w, h, seed) AS (VALUES $values),
+       |xs AS (SELECT i FROM range(0, $maxW) t(i)),
+       |ys AS (SELECT j FROM range(0, $maxH) t(j))
+       |SELECT img_id AS doc_id,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST(SUM((xs.i * 31 + ys.j * 17 + seed) % 256) AS BIGINT) AS pix_sum
+       |FROM imgs, xs, ys WHERE xs.i < w AND ys.j < h
+       |GROUP BY img_id, w, h ORDER BY doc_id""".stripMargin
+  }
+}

@@ -60,15 +60,54 @@ object Multimodal {
     }
   }
 
-  /** Name → decoder selection. `byte-histogram` is the shipped sandbox
-    * stub; ANY other name is treated as a fully-qualified [[Decoder]]
-    * class (or Scala object) and loaded reflectively — the real swap
-    * point: a production build sets
+  /** REAL image decoder: `javax.imageio` (JDK-stdlib PNG/JPEG/BMP/GIF
+    * codecs — pure JVM, no native deps, present in any sandbox). The
+    * feature contract packs exact image facts into [[Decoded]]:
+    * features = [width, height, pixel-sum of channel 0], meanByte =
+    * pixel-sum / pixel-count, frameCount = 1 (stills). Integer-exact
+    * for images below 2^53 total luminance — the m4 oracle recomputes
+    * the same sums analytically from the generation parameters, so
+    * this decode of genuine binary media is hash-checked end to end.
+    *
+    * `ImageIO.read` allocates per call; a per-partition reader
+    * instance would go in [[open]] — kept allocation-per-decode here
+    * because ImageReader instances are not thread-safe and Spark may
+    * run multiple partitions per executor JVM.
+    */
+  object ImageIoDecoder extends Decoder {
+    override def decode(payload: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        "ImageIoDecoder: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sum += raster.getSample(x, y, 0)
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(1L, sum.toDouble / (w.toLong * h),
+        Array(w.toDouble, h.toDouble, sum.toDouble))
+    }
+  }
+
+  /** Name → decoder selection. `byte-histogram` is the sandbox stub,
+    * `imageio` the real JDK image codec; ANY other name is treated as
+    * a fully-qualified [[Decoder]] class (or Scala object) and loaded
+    * reflectively — the real swap point: a production build sets
     * `spark.graft.multimodal.decoder=com.example.JpegDecoder` with its
     * codec on the executor classpath, and no graft code changes.
     */
   def decoderForName(name: String): Decoder = name match {
     case "byte-histogram" => ByteHistogramDecoder
+    case "imageio" => ImageIoDecoder
     case className =>
       val inst =
         try {

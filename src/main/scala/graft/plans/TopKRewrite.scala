@@ -182,6 +182,10 @@ class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 object GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(new TopKRewrite(_))
+    // Runs inside the operator-optimization fixpoint, so it fires in
+    // the iteration after RewriteCorrelatedScalarSubquery produces the
+    // sibling-aggregate join chain it fuses.
+    ext.injectOptimizerRule(new MergeScalarAggJoins(_))
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }

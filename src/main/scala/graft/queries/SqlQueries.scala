@@ -217,6 +217,45 @@ object SqlQueries {
     QueryDef("h11_sql_correlated_agg", SqlText.h11) { (s, dir) =>
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
       s.sql(SqlText.h11)
+    },
+
+    // ---- TPC-H Q2 shape: scalar subquery inside a join's filter ----
+    // The decorrelation path no other query hits: a correlated MIN
+    // over a multi-join subquery, used as an EQUALITY filter on the
+    // outer join tree ("supplier with the region-minimum price per
+    // part"; lineitem stands in for partsupp in this schema). Catalyst
+    // plans the subquery ONCE as a per-partkey aggregate over the
+    // region-filtered join and hash-joins it back on (p_partkey,
+    // price) — never a nested-loop re-execution per outer row; the
+    // dims broadcast, the two lineitem scans shuffle on l_partkey.
+    // DISTINCT guards duplicate (part, supplier) rows when a pair hits
+    // the minimum price twice. Shared text; doubles compared by
+    // equality are safe (same parquet values, MIN picks one of them).
+    QueryDef("h15_sql_min_cost_supplier", SqlText.h15) { (s, dir) =>
+      Tables.part(s, dir).createOrReplaceTempView("part")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      Tables.region(s, dir).createOrReplaceTempView("region")
+      s.sql(SqlText.h15)
+    },
+
+    // ---- TPC-H Q20 shape: semi-join chain with an agg subquery ----
+    // The second missing decorrelation path: IN (semi) whose subquery
+    // is itself a GROUP BY with a HAVING that references a CORRELATED
+    // scalar aggregate ("suppliers who shipped >50% of a marked
+    // part's 1997 volume"). Three nesting levels: semi-join on
+    // s_suppkey ⊃ grouped aggregate on (suppkey, partkey) ⊃ correlated
+    // per-partkey total — Catalyst decorrelates the inner scalar into
+    // a partkey aggregate joined to the HAVING, and the outer IN into
+    // a left-semi hash join; DECIMAL sums keep the 0.5 threshold
+    // exact. Shared text verbatim.
+    QueryDef("h16_sql_semi_agg_chain", SqlText.h16) { (s, dir) =>
+      Tables.part(s, dir).createOrReplaceTempView("part")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      s.sql(SqlText.h16)
     })
 
   /** Shared verbatim between the Spark run and the DuckDB oracle. */
@@ -263,5 +302,37 @@ object SqlQueries {
         |         FROM lineitem l2
         |         WHERE l2.l_orderkey = l.l_orderkey)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+    val h15: String =
+      """SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, n.n_name,
+        |  CAST(l.l_extendedprice AS DOUBLE) AS best_price
+        |FROM part p, supplier s, lineitem l, nation n, region r
+        |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'EUROPE' AND p.p_size >= 40
+        |  AND l.l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY best_price DESC, p_partkey, s_name
+        |LIMIT 100""".stripMargin
+
+    val h16: String =
+      """SELECT s.s_name, n.n_name
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) * 10 >
+        |    (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) * 5
+        |     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+        |       AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |       AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+        |ORDER BY s_name""".stripMargin
   }
 }

@@ -577,6 +577,25 @@ object TextQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // ---- m4: REAL codec through the decode seam (javax.imageio) ----
+    // The round-11 gap closed: both prior decoders were synthetic byte
+    // arithmetic. Here the payloads are genuine PNG binaries (encoded
+    // on executors from a deterministic pixel formula), the decoder is
+    // the JDK image codec behind the SAME Multimodal.decodeFeatures
+    // seam m2 uses, and the oracle knows nothing of PNG — it recomputes
+    // width/height/pixel-sum analytically from the generation params.
+    // A codec that mis-decoded a single pixel breaks the hash.
+    QueryDef("m4_png_decode", graft.fixtures.Images.oracleSql) { (s, dir) =>
+      graft.operators.Multimodal.decodeFeatures(
+          graft.fixtures.Images.pngPayloads(s),
+          decoder = graft.operators.Multimodal.ImageIoDecoder)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("pix_sum"))
+        .orderBy("doc_id")
+    },
+
     // ---- blocked edit-distance (Levenshtein) near-dup pairs ----
     // The character-level complement to token Jaccard (d6) and
     // hash sketches (d7/d8): catches small in-place edits that shift

@@ -81,4 +81,36 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().head
     assert(dflt.getAs[Double]("mean_byte") == 98.0) // stub histogram math
   }
+
+  test("ImageIoDecoder: REAL PNG round trip is pixel-exact (incl. 1x1 edge)") {
+    // encode → decode locally, no Spark: the codec itself is exact
+    for ((_, w, h, seed) <- graft.fixtures.Images.specs) {
+      val d = Multimodal.ImageIoDecoder.decode(
+        graft.fixtures.Images.encodePng(w, h, seed))
+      assert(d.features(0) == w && d.features(1) == h,
+        s"dims for ${w}x$h seed=$seed")
+      var expect = 0L
+      for (x <- 0 until w; y <- 0 until h)
+        expect += graft.fixtures.Images.pixel(x, y, seed)
+      assert(d.features(2).toLong == expect, s"pixel sum for ${w}x$h seed=$seed")
+      assert(d.frameCount == 1L)
+    }
+    // a non-image payload fails loudly, not with garbage features
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode("not a png".getBytes)
+    }
+  }
+
+  test("'imageio' registry name selects the real codec via session config") {
+    assert(Multimodal.decoderForName("imageio") eq Multimodal.ImageIoDecoder)
+    val key = "spark.graft.multimodal.decoder"
+    spark.conf.set(key, "imageio")
+    try {
+      val out = Multimodal.decodeFeatures(
+          graft.fixtures.Images.pngPayloads(spark))
+        .where($"doc_id" === 4L).collect().head
+      assert(out.getAs[scala.collection.Seq[Double]]("features")
+        .take(2).toSeq == Seq(64.0, 48.0))
+    } finally spark.conf.unset(key)
+  }
 }

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{DocStream, EventStream}
+
+/** State-scale soak: the stateful operators' O(k)/O(window)/O(interval)
+  * state claims, MEASURED via `lastProgress.stateOperators` under
+  * sustained input (~100k rows) instead of argued in comments. Each
+  * test drives multiple micro-batches so state survives store commits,
+  * then asserts the store's own row/byte accounting against the bound
+  * the operator documents.
+  */
+class StreamSoakSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val H = 3600L * 1000 * 1000 * 1000 // 1h in ns
+
+  private def stateOps(q: StreamingQuery) =
+    Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+
+  test("soak: trendingTokens holds O(keys) sketch rows under 100k docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocStream.DocRec]
+    val langs = Array("en", "de", "fr", "es")
+    val q = DocStream.trendingTokens(mem.toDS(), k = 8)
+      .writeStream.outputMode("update").format("noop").start()
+    try {
+      var id = 0L
+      for (_ <- 0 until 5) {
+        val rows = (0 until 20000).map { _ =>
+          id += 1
+          DocStream.DocRec(langs((id % 4).toInt), id,
+            s"tok${id % 97} alpha beta tok${id % 31} gamma delta")
+        }
+        mem.addData(rows)
+        q.processAllAvailable()
+      }
+      val ops = stateOps(q)
+      assert(ops.nonEmpty, "expected a stateful operator in progress")
+      // the claim: one state row per KEY (each holding one O(k) sketch),
+      // regardless of the 100k docs ingested
+      assert(ops.map(_.numRowsTotal).sum == langs.length,
+        s"state rows != key count: ${ops.map(_.numRowsTotal).sum}")
+      val bytes = ops.map(_.memoryUsedBytes).sum
+      assert(bytes < 4L * 1024 * 1024,
+        s"4 bounded MG sketches should be KBs, got $bytes bytes")
+    } finally q.stop()
+  }
+
+  test("soak: anomalies ring buffer holds O(keys·window) under 100k events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Rec]
+    val types = Array("click", "view", "purchase", "scroll", "hover")
+    val q = EventStream.anomalies(mem.toDS(), window = 50, minN = 20)
+      .writeStream.outputMode("append").format("noop").start()
+    try {
+      var id = 0L
+      var firstPassBytes = 0L
+      for (batch <- 0 until 5) {
+        val rows = (0 until 20000).map { _ =>
+          id += 1
+          EventStream.Rec(id % 1000, types((id % 5).toInt), id,
+            id * 1000000L, (id % 37).toDouble + (if (id % 997 == 0) 500.0 else 0.0))
+        }
+        mem.addData(rows)
+        q.processAllAvailable()
+        if (batch == 1) firstPassBytes = stateOps(q).map(_.memoryUsedBytes).sum
+      }
+      val ops = stateOps(q)
+      // one ring buffer per event_type — user cardinality (1000) and
+      // event count (100k) must NOT leak into state rows
+      assert(ops.map(_.numRowsTotal).sum == types.length,
+        s"state rows != type count: ${ops.map(_.numRowsTotal).sum}")
+      // buffers saturate at `window` after the first batches: later
+      // batches may not grow state beyond store overhead drift
+      val finalBytes = ops.map(_.memoryUsedBytes).sum
+      assert(finalBytes <= firstPassBytes * 2,
+        s"state bytes grew after buffer saturation: $firstPassBytes -> $finalBytes")
+    } finally q.stop()
+  }
+
+  test("soak: interval-join attribution state plateaus at the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val impMem = MemoryStream[(Long, Long, Long)]
+    val clkMem = MemoryStream[(Long, Long, Long)]
+    def df(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStream.impressionClickAttribution(
+        df(impMem), df(clkMem), windowMinutes = 30)
+      .writeStream.outputMode("append").format("noop").start()
+    try {
+      val perHour = 1000
+      var id = 0L
+      var midRows = 0L
+      val hours = 12
+      for (hour <- 0 until hours) {
+        val imps = (0 until perHour).map { i =>
+          id += 1
+          (id, hour * H + i * (H / perHour), (id % 500))
+        }
+        val clks = (0 until perHour).map { i =>
+          id += 1
+          (id, hour * H + i * (H / perHour) + 60L * 1000000000L, (id % 500))
+        }
+        impMem.addData(imps)
+        clkMem.addData(clks)
+        q.processAllAvailable()
+        if (hour == hours / 2 - 1)
+          midRows = stateOps(q).map(_.numRowsTotal).sum
+      }
+      val finalRows = stateOps(q).map(_.numRowsTotal).sum
+      val total = 2L * perHour * hours
+      // watermark (1h) + interval (30min) bound live state: rows must
+      // plateau once the horizon fills, not track total input
+      assert(midRows > 0, "expected interval-join state mid-soak")
+      assert(finalRows <= midRows * 3 / 2,
+        s"state should plateau at the horizon: mid=$midRows final=$finalRows")
+      assert(finalRows < total / 4,
+        s"state ($finalRows) must stay far below total input ($total)")
+    } finally q.stop()
+  }
+
+  test("soak: ppjoinAdmission joins statelessly (dedup is the only state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (1L to 50L)
+      .map(i => (i, s"shared common tokens number ${i % 7} alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = DocStream.ppjoinAdmission(docs, corpus, minJaccardBp = 6000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("soak_ppjoin_out").start()
+    try {
+      var id = 10000L
+      for (batch <- 0 until 4) {
+        val rows = (0 until 2500).map { i =>
+          id += 1
+          val text =
+            if (i % 100 == 0) // a near-dup of a corpus doc
+              s"shared common tokens number ${i % 7} alpha beta gamma delta epsilon zeta"
+            else
+              s"unique payload $id with nothing in common at all entry $i run $batch"
+          (id, batch * H + i * 1000000000L, text)
+        }
+        mem.addData(rows)
+        q.processAllAvailable()
+      }
+      val ops = stateOps(q)
+      // the JOIN is stream-static — no symmetric-hash-join state may
+      // exist; the only stateful operator is the watermark dedup
+      assert(!ops.exists(_.operatorName.toLowerCase.contains("join")),
+        s"stream-static join must be stateless, got ${ops.map(_.operatorName)}")
+      val emitted = spark.table("soak_ppjoin_out").count()
+      assert(emitted >= 100, s"soak should emit dup pairs, got $emitted")
+      val dedupRows = ops.map(_.numRowsTotal).sum
+      // dedup state is OUTPUT-sized (emitted pairs in horizon), never
+      // input-sized (10k docs)
+      assert(dedupRows <= emitted * 2,
+        s"dedup state ($dedupRows) must track emitted pairs ($emitted)")
+    } finally q.stop()
+  }
+}
