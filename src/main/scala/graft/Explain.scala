@@ -322,7 +322,21 @@ object Explain {
         |leaf-keyed facts, one Expand (7 grouping-set replicas) with
         |partial aggregation BEFORE its single exchange, then the dim-sized
         |name/sort back-join. Depth enters the plan as Expand width and
-        |column count only — never as extra joins or shuffles.""".stripMargin)
+        |column count only — never as extra joins or shuffles.""".stripMargin,
+    "h11_sql_correlated_agg" ->
+      """The plans/MergeScalarAggJoins rule at work (round 12): the two
+        |correlated scalar subqueries (COUNT and SUM over lineitem by
+        |l_orderkey) decorrelate into a left-outer join CHAIN — three
+        |lineitem scans, two aggregate pipelines, two joins — because
+        |Spark's MergeScalarSubqueries only merges the uncorrelated form.
+        |The rule fuses the sibling aggregates: ONE HashAggregate computes
+        |count(1) and sum(quantity) in a single pass over the (key, qty)
+        |pruned scan, and ONE broadcast left-outer join serves both
+        |subquery outputs (the decorrelator's isnull(alwaysTrue) COUNT-bug
+        |patch is preserved above it, exprIds intact). Two scans total —
+        |the plan DuckDB reaches natively; at 100 TB each extra correlated
+        |aggregate costs one fused pass instead of a full scan + shuffle +
+        |join of its own.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
