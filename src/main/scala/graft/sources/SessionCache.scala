@@ -25,4 +25,8 @@ object SessionCache {
     }
     perSession.getOrElseUpdate(key, mk)
   }
+
+  /** Drop every cached frame (all sessions) — profiling hook so a
+    * repeated pass re-pays construction instead of hitting the cache. */
+  def clear(): Unit = caches.synchronized { caches.clear() }
 }

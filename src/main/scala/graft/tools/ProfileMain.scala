@@ -288,6 +288,21 @@ object ProfileMain {
           }
           confs.foreach { case (k, _) => spark.conf.unset(k) }
         }
+      case "d8" =>
+        // d8_simhash_pairs phase split: signature build+export vs the
+        // band-blocked pair join over the read-back parquet.
+        for (pass <- 1 to 2) {
+          graft.sources.SessionCache.clear()
+          val sh = timed(s"pass$pass simhash build+export") {
+            graft.sources.Warehouse.simhashExport(spark, dir)
+          }
+          timed(s"pass$pass pair join") {
+            graft.operators.Dedup.simhashPairsFrom(sh, maxHamming = 4)
+              .orderBy("a_id", "b_id")
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+
       case "curve" =>
         // sf-scaling curve for selected queries: min-of-N per (query,
         // sf) — the minimum is the principled statistic on a host with

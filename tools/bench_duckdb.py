@@ -57,6 +57,10 @@ def main(argv):
         except Exception as e:  # noqa: BLE001 — record and continue
             errors.append(name)
             print(f"{name}: ERROR {e}", file=sys.stderr)
+        # Long sweeps (sf1: single queries run minutes) must survive a
+        # killed process: keep a partial dump current after every query.
+        with open(out_path + ".partial", "w") as f:
+            json.dump({k: v["min"] for k, v in queries.items()}, f)
 
     total = round(sum(q["min"] for q in queries.values()), 4)
     record = {
