@@ -51,10 +51,15 @@ for t, keys in SHIFT.items():
         if c in keys:
             exprs.append(f"{c} + r * {maxes[c]} AS {c}")
         elif t == "events" and c == "ts":
-            # keep the nanosecond-BIGINT contract Spark-side: DuckDB
-            # reads the column as TIMESTAMP_NS, so shift via epoch_ns
-            # and write a plain INT64 (Spark reads it as long directly)
-            exprs.append(f"epoch_ns(ts) + r * 86400000000000 AS ts")
+            # shift by r days and keep the SOURCE parquet type —
+            # timestamp[us] — so DuckDB oracles using epoch_ns(ts)/
+            # epoch_us(ts) bind identically at every sf; the Spark side
+            # is layout-agnostic (Tables.normalizeEventTs). Source ts
+            # values are all microsecond-aligned, so this is exact.
+            # (A plain INT64 column here broke every e-family oracle
+            # at sf1: epoch_ns(BIGINT) doesn't exist.)
+            exprs.append(
+                "make_timestamp(epoch_us(ts) + r * 86400000000) AS ts")
         else:
             exprs.append(c)
     sel = ", ".join(exprs)
