@@ -51,6 +51,11 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Engine-wide native expressions (ascii_token_count /
+    // ascii_clean_count ride in TextOps helpers that have no session
+    // in scope, so the factory registers them once for every consumer
+    // — mains, specs, streaming).
+    graft.functions.AsciiCount.register(spark)
     spark
   }
 }

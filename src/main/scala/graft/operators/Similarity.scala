@@ -246,9 +246,18 @@ object Similarity {
     * hash-checked oracle. Single-table [[lshTopK]] stays the
     * cheapest-probe form; this is the production recall/cost point.
     *
-    * Shape: one pass computes all L bucket keys, the candidate set is
-    * a broadcast semi-join on (table, bucket) — never a cartesian —
-    * and only deduped candidates are scored.
+    * Shape: the query side is CONTROL PLANE — one row. Its vector and
+    * L bucket keys are collected once, then candidate selection AND
+    * exact scoring fold into a single codegen scan: per row, L
+    * `signbits` evaluations compared against L bucket literals
+    * (OR-chain) and one `qdotl` against the pre-quantized query
+    * literal, finishing in TakeOrderedAndProject. No checkpoint of the
+    * vector table, no L-way explode, no joins — the former
+    * explode+semi-join formulation materialized id+L buckets for every
+    * row and rescanned for the survivors (s12's fold-to-scan finding,
+    * applied to LSH probing; 5.0 s → sub-second at the sf1 decade).
+    * On a cluster the scan parallelizes per partition and the only
+    * shuffle is the k-row top-k merge.
     */
   def lshTopKMulti(emb: DataFrame, queryId: Long, k: Int, planes: Int = 2,
       tables: Int = 24, idCol: String = "vec_id",
@@ -256,19 +265,17 @@ object Similarity {
     val reg = registered(emb)
     val buckets = (0 until tables)
       .map(t => bucketCol(planes, 64, t.toLong, vecCol))
-    // Materialized for the same HOF re-inlining reason as
-    // lshCosinePairsMulti (bucket expressions are interpreted).
-    val withB = reg.withColumn("bks", array(buckets: _*)).localCheckpoint(true)
-    val keyed = withB.select(col(idCol),
-      posexplode(col("bks")).as(Seq("tbl", "bkt")))
-    val qKeys = keyed.filter(col(idCol) === queryId).select("tbl", "bkt")
-    val candIds = keyed.join(broadcast(qKeys), Seq("tbl", "bkt"), "left_semi")
-      .filter(col(idCol) =!= queryId)
-      .select(idCol).distinct()
-    val qv = withB.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
-    withB.join(candIds, Seq(idCol))
-      .crossJoin(broadcast(qv))
-      .withColumn("score", qdot(vecCol, "qv"))
+    val qRow = reg.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv") +:
+        buckets.zipWithIndex.map { case (b, i) => b.as(s"qb_$i") }: _*)
+      .head()
+    val qQuant: Array[Long] = qRow.getSeq[Float](0)
+      .map(f => math.floor(f.toDouble * 1000.0).toLong).toArray
+    val qBuckets = (0 until tables).map(i => qRow.getInt(1 + i))
+    val collides = buckets.zip(qBuckets)
+      .map { case (b, qb) => b === lit(qb) }.reduce(_ || _)
+    reg.filter(col(idCol) =!= queryId && collides)
+      .withColumn("score", call_function("qdotl", col(vecCol), lit(qQuant)))
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

@@ -18,10 +18,23 @@ object TextOps {
     expr(s"array_distinct(transform(sequence(1, greatest(length($text) - ${k - 1}, 1)), i -> substring($text, i, $k)))")
 
   /** ASCII token count ([A-Za-z0-9]+ runs) — deliberately an explicit
-    * ASCII class so the regex agrees byte-for-byte across engines.
+    * ASCII class so the count agrees byte-for-byte across engines.
+    * Computed by the native single-pass counter (functions/AsciiCount)
+    * instead of `size(regexp_extract_all(...))`: identical value (runs
+    * of ASCII members are exactly the regex matches), no token-array
+    * materialization, no regex stepping — the d3/p1 profile showed the
+    * regex forms dominating their scans at the sf1 decade.
     */
   def tokenCount(text: String): Column =
-    expr(s"CAST(size(regexp_extract_all($text, '[A-Za-z0-9]+', 0)) AS BIGINT)")
+    expr(s"ascii_token_count($text)")
+
+  /** Punctuation basis points: 10000 × (chars outside [A-Za-z0-9 ]) /
+    * length, floored — value-identical to the regexp_replace
+    * length-difference form the oracles use, via one byte pass.
+    */
+  def punctBp(text: String): Column =
+    expr(s"CAST(floor(10000.0 * (length($text) - ascii_clean_count($text))" +
+      s" / greatest(length($text), 1)) AS BIGINT)")
 
   def distinctTokenCount(text: String): Column =
     expr(s"CAST(size(array_distinct(regexp_extract_all(lower($text), '[a-z0-9]+', 0))) AS BIGINT)")

@@ -147,8 +147,7 @@ object PipelineQueries {
         .select(
           col("doc_id"), col("lang"),
           TextOps.tokenCount("text").as("n_tokens"),
-          expr("CAST(floor(10000.0 * (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', ''))) / greatest(length(text), 1)) AS BIGINT)")
-            .as("punct_bp"),
+          TextOps.punctBp("text").as("punct_bp"),
           TextOps.occurrences("text", " the ").as("cnt_en"))
         .where(col("n_tokens").between(20, 100000) &&
           col("punct_bp") < 1500 && col("cnt_en") >= 1)

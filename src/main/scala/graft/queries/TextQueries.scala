@@ -79,11 +79,10 @@ object TextQueries {
       Tables.documents(s, dir).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_calc"),
-        (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+        (length(col("text")) - length(expr("replace(text, ' ', '')")))
           .cast("long").as("n_spaces"),
         TextOps.tokenCount("text").as("n_tokens"),
-        expr("CAST(floor(10000.0 * (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', ''))) / greatest(length(text), 1)) AS BIGINT)")
-          .as("punct_bp"))
+        TextOps.punctBp("text").as("punct_bp"))
         .orderBy("doc_id")
     },
 

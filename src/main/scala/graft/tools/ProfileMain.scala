@@ -303,6 +303,42 @@ object ProfileMain {
           }
         }
 
+      case "d3" =>
+        // d3_text_stats cost split: which projection dominates —
+        // scan-only, +n_spaces (replace), +n_tokens (regexp array),
+        // +punct_bp (regexp_replace)?
+        val docs = graft.sources.Tables.documents(spark, dir)
+        for (pass <- 1 to 2) {
+          timed(s"pass$pass scan+len") {
+            docs.select(col("doc_id"), length(col("text")))
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed(s"pass$pass +n_spaces(regexp)") {
+            docs.select(col("doc_id"),
+              (length(col("text")) - length(regexp_replace(col("text"), " ", ""))))
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed(s"pass$pass +n_spaces(replace)") {
+            docs.select(col("doc_id"),
+              (length(col("text")) - length(expr("replace(text, ' ', '')"))))
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed(s"pass$pass +n_tokens") {
+            docs.select(col("doc_id"),
+              graft.operators.TextOps.tokenCount("text"))
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed(s"pass$pass +punct_bp") {
+            docs.select(col("doc_id"),
+              expr("length(regexp_replace(text, '[^A-Za-z0-9 ]', ''))"))
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed(s"pass$pass full d3") {
+            graft.SparkEntry.queries("d3_text_stats")(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+
       case "curve" =>
         // sf-scaling curve for selected queries: min-of-N per (query,
         // sf) — the minimum is the principled statistic on a host with
