@@ -33,6 +33,34 @@ object Explain {
       """Query vector broadcast; scoring runs the native qdot codegen
         |expression inside WholeStageCodegen; TakeOrderedAndProject does
         |per-partition top-k instead of a global sort.""".stripMargin,
+    "s2_ann_lsh" ->
+      """OR-amplified LSH probe as ONE codegen scan (round 12 fold-to-scan
+        |rewrite): the query row's vector and its 24 bucket keys are
+        |collected once (control plane), candidate selection is an
+        |OR-chain of native `signbits` evaluations against 24 bucket
+        |literals INSIDE the scan's Filter, exact scoring is `qdotl`
+        |against the pre-quantized query literal in the same stage, and
+        |TakeOrderedAndProject keeps per-partition top-k. No checkpoint of
+        |the vector table, no 24-way explode, no joins — the only shuffle
+        |is the k-row top-k merge, so the plan's cost is one embeddings
+        |pass at ANY corpus size (sf curve 0.53/0.42/0.64 s). The former
+        |explode+broadcast-semi-join formulation materialized id+24
+        |buckets for every row and re-scanned for survivors: 4.98 s at
+        |sf1.""".stripMargin,
+    "d8_simhash_pairs" ->
+      """Band-blocked hamming pairs over the persisted signature table.
+        |The 16-bit band equi-join (4 explode-keyed hash joins' worth of
+        |candidates in one join) fans out to 23.6M candidate pairs at sf1;
+        |the plan's load-bearing property (round 12) is that the codegen'd
+        |`bit_count(xor)` hamming filter runs ON THE JOIN OUTPUT, BEFORE
+        |the pair dropDuplicates — the dedup exchange carries only the
+        |output-sized survivor set, not the candidate stream (the
+        |pre-filter-dedup plan shuffled all 23.6M rows: 24.5 s vs 2.9 s
+        |warm at sf1). A pair sharing k>1 bands passes or fails the
+        |hamming test identically k times, so filter-then-dedup is
+        |set-identical to dedup-then-filter. DuckDB's OR-of-bands join on
+        |the same signatures is blockwise-NL: 17.1 s at sf1 — the blocked
+        |Spark plan wins 6.3×.""".stripMargin,
     "q22_salted_distinct" ->
       """Two-stage exact distinct: stage 1's exchange hashes the (key, user)
         |PAIR — a hot key's values spread over all reducers, with map-side

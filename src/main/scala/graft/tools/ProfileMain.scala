@@ -356,11 +356,18 @@ object ProfileMain {
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
             "/root/testdata/sf0.1"))
-        // one untimed warmup of everything (JIT/codegen)
-        for (q <- qnames; sf <- sfs)
+        val rows = for (q <- qnames; sf <- sfs) yield {
+          // Per-(query, sf) cache reset + one untimed warmup: queries
+          // with a warehouse export at a STATIC path (d8's signature
+          // table) overwrite it per sf dir, so a session-cached frame
+          // from another sf points at deleted part files (the
+          // documented single-process caveat in Warehouse). Clearing
+          // then warming re-pays JIT/codegen AND rebuilds this dir's
+          // caches untimed — the timed runs below then measure the
+          // same warm-engine protocol as the official bench.
+          graft.sources.SessionCache.clear()
           graft.SparkEntry.queries(q)(spark, sf)
             .write.format("noop").mode("overwrite").save()
-        val rows = for (q <- qnames; sf <- sfs) yield {
           val ts = (1 to runs).map { _ =>
             val t0 = System.nanoTime()
             graft.SparkEntry.queries(q)(spark, sf)
