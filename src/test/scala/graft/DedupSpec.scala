@@ -46,6 +46,17 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 0)
   }
 
+  test("simhash pairs: a pair colliding in EVERY band is emitted exactly once") {
+    // Identical docs share all 4 bands — 4 collision rows pre-dedup.
+    // Guards the round-12 filter-before-dedup reorder: the hamming
+    // filter now runs on the multiplied candidate stream, so the
+    // output dedup must still collapse multi-band survivors to one row.
+    val rows = Dedup.simhashPairs(docs, maxHamming = 4).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(rows.count(_ == (1L, 2L)) == 1)
+    assert(rows.distinct.length == rows.length)
+  }
+
   test("ngram jaccard: exact dup pair scores 1.0, computed sizes correct") {
     val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5, maxDf = 50)
     val p12 = pairs.filter(col("a_id") === 1 && col("b_id") === 2).collect().head
