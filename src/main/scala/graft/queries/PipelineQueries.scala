@@ -1669,5 +1669,92 @@ object PipelineQueries {
         .select(col("source"), col("n_docs"), col("p10"), col("p90"),
           expr("sclip div n_docs").as("wmean"))
         .orderBy("source")
+    },
+
+    // ---- isotonic calibration of a quality signal (PAV closed form) ----
+    // Calibrates the cheap English-stopword signal (d4's ' the '
+    // density, in bp of doc length) into a monotone P(lang='en')
+    // estimate — the model-calibration step a filtering pipeline runs
+    // before thresholding a learned quality score. Implementation is
+    // the MINIMAX CLOSED FORM of isotonic regression (Barlow et al.
+    // 1972): fitted(i) = max_{j<=i} min_{k>=i} avg(label | bucket in
+    // [j,k]) — not the sequential pool-adjacent-violators loop, which
+    // is inherently serial. Distributed shape: one scan buckets every
+    // doc (16 buckets via LEAST(score_bp/12, 15)); everything after
+    // the 16-row aggregate is control-plane arithmetic (a B² range
+    // join + B³ minimax, B = 16 — the range joins are
+    // broadcast-nested-loop over <=256-row inputs by construction).
+    // Rates are in exact ppm (floor over doubles < 2^53 — IEEE-
+    // identical in both engines); fitted_ppm is non-decreasing in
+    // bucket BY CONSTRUCTION, which the spec asserts.
+    QueryDef("p33_isotonic_calibration",
+      """WITH d AS (
+        |  SELECT CAST(floor(10000.0 * ((length(text) - length(replace(text, ' the ', ''))) / 5)
+        |                / greatest(length(text), 1)) AS BIGINT) AS score_bp,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        |  FROM documents
+        |), agg AS (
+        |  SELECT least(CAST(floor(score_bp / 12.0) AS BIGINT), 15) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(label) AS BIGINT) AS pos
+        |  FROM d GROUP BY 1
+        |), pre AS (
+        |  SELECT bucket, w, pos,
+        |    CAST(SUM(w) OVER (ORDER BY bucket) AS BIGINT) AS cw,
+        |    CAST(SUM(pos) OVER (ORDER BY bucket) AS BIGINT) AS cp
+        |  FROM agg
+        |), pairs AS (
+        |  SELECT j.bucket AS bj, k.bucket AS bk,
+        |    CAST(floor(1000000.0 * (k.cp - (j.cp - j.pos))
+        |         / (k.cw - (j.cw - j.w))) AS BIGINT) AS avg_ppm
+        |  FROM pre j JOIN pre k ON j.bucket <= k.bucket
+        |), tri AS (
+        |  SELECT i.bucket AS b, p.bj, MIN(p.avg_ppm) AS mn
+        |  FROM pre i JOIN pairs p ON p.bj <= i.bucket AND p.bk >= i.bucket
+        |  GROUP BY i.bucket, p.bj
+        |), fit AS (
+        |  SELECT b AS bucket, CAST(MAX(mn) AS BIGINT) AS fitted_ppm
+        |  FROM tri GROUP BY b
+        |)
+        |SELECT a.bucket, a.w AS n_docs, a.pos AS n_pos,
+        |  CAST(floor(1000000.0 * a.pos / a.w) AS BIGINT) AS raw_ppm,
+        |  f.fitted_ppm
+        |FROM agg a JOIN fit f ON a.bucket = f.bucket
+        |ORDER BY a.bucket""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        floor(lit(10000.0)
+          * ((length(col("text"))
+              - length(expr("replace(text, ' the ', '')"))) / lit(5))
+          / greatest(length(col("text")), lit(1))).cast("long").as("score_bp"),
+        when(col("lang") === "en", lit(1)).otherwise(lit(0)).as("label"))
+      val agg = d
+        .groupBy(least(floor(col("score_bp") / lit(12.0)).cast("long"), lit(15L))
+          .as("bucket"))
+        .agg(count(lit(1)).as("w"), sum("label").cast("long").as("pos"))
+      val preW = org.apache.spark.sql.expressions.Window
+        .orderBy("bucket") // 16 rows: control-plane single partition
+      val pre = agg
+        .withColumn("cw", sum("w").over(preW).cast("long"))
+        .withColumn("cp", sum("pos").over(preW).cast("long"))
+        .localCheckpoint() // B rows; cut the scan off the B^2/B^3 joins
+      val j = pre.select(col("bucket").as("bj"), col("w").as("jw"),
+        col("pos").as("jpos"), col("cw").as("jcw"), col("cp").as("jcp"))
+      val k = pre.select(col("bucket").as("bk"), col("cw").as("kcw"),
+        col("cp").as("kcp"))
+      val pairs = j.join(k, col("bj") <= col("bk"))
+        .select(col("bj"), col("bk"),
+          floor(lit(1000000.0) * (col("kcp") - (col("jcp") - col("jpos")))
+            / (col("kcw") - (col("jcw") - col("jw"))))
+            .cast("long").as("avg_ppm"))
+      val tri = pre.select(col("bucket").as("b"))
+        .join(pairs, col("bj") <= col("b") && col("bk") >= col("b"))
+        .groupBy("b", "bj").agg(min("avg_ppm").as("mn"))
+      val fit = tri.groupBy(col("b").as("bucket"))
+        .agg(max("mn").cast("long").as("fitted_ppm"))
+      agg.join(fit, Seq("bucket"))
+        .select(col("bucket"), col("w").as("n_docs"), col("pos").as("n_pos"),
+          floor(lit(1000000.0) * col("pos") / col("w")).cast("long")
+            .as("raw_ppm"),
+          col("fitted_ppm"))
+        .orderBy("bucket")
     })
 }

@@ -339,5 +339,84 @@ object ScaleQueries {
             .otherwise("update").as("action"))
         .withColumnRenamed("ck", "o_custkey")
         .orderBy("o_custkey")
+    },
+
+    // ---- sketch-backed rollup distinct (the 100 TB cube pattern) ----
+    // COUNT(DISTINCT) over rollup levels is the classic cube killer:
+    // exact distinct at every level re-shuffles every distinct value
+    // per level. The scale pattern: sketch ONCE at the finest grain —
+    // KMV bottom-k signatures per (event_type, day) — then derive
+    // every coarser level by merging the tiny signatures (k longs per
+    // leaf), never touching the rows again. Because the bottom-k set
+    // is a semilattice, the merged signature is BIT-IDENTICAL to
+    // sketching the coarse level directly — `merged_eq_direct`
+    // asserts exactly that array equality per level against freshly
+    // built direct sketches, and `within_tol` bounds the estimate
+    // against the exact count (k = 256 → ~6% expected error; 30%
+    // asserted). The oracle recomputes the exact distinct counts and
+    // expects both flags TRUE — a broken merge, a non-canonical
+    // signature, or an estimator drift all hash-mismatch.
+    QueryDef("q46_sketch_rollup",
+      """SELECT 'all' AS level, 'ALL' AS key,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |  TRUE AS merged_eq_direct, TRUE AS within_tol
+        |FROM events
+        |UNION ALL
+        |SELECT 'type' AS level, event_type AS key,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |  TRUE AS merged_eq_direct, TRUE AS within_tol
+        |FROM events GROUP BY event_type
+        |ORDER BY level, key""".stripMargin) { (s, dir) =>
+      import graft.functions.KmvSketch
+      val k = 256
+      // estimate from a canonical signature, relationally (no UDF):
+      // size < k → exact size; else (k-1) / unit(last), unit mapping
+      // the unsigned 64-bit hash into (0,1]. 2^64 = 1.8446744073709552e19.
+      def estOf(sig: Column): Column =
+        when(size(sig) < k, size(sig).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ((when(element_at(sig, -1) >= 0,
+                element_at(sig, -1).cast("double"))
+              .otherwise(element_at(sig, -1).cast("double")
+                + lit(1.8446744073709552e19)) + lit(1.0))
+              / lit(1.8446744073709552e19)))
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), expr("ts div 86400000000000").as("day_id"),
+        col("user_id"), xxhash64(col("user_id")).as("h"))
+      // ONE row-level pass builds the leaf sketches (and, for the
+      // contract check only, the per-level direct sketches + exacts —
+      // production would stop at `leaf` and persist it).
+      val leaf = ev.groupBy("event_type", "day_id")
+        .agg(KmvSketch.signature(k)(col("h")).as("sig"))
+        .localCheckpoint()
+      val typeMerged = leaf.groupBy("event_type")
+        .agg(KmvSketch.mergeSignatures(k)(col("sig")).as("msig"))
+        .localCheckpoint() // reused by the 'all' rollup: merge-of-merges
+      val allMerged = typeMerged
+        .agg(KmvSketch.mergeSignatures(k)(col("msig")).as("msig"))
+      val typeDirect = ev.groupBy("event_type")
+        .agg(KmvSketch.signature(k)(col("h")).as("dsig"),
+          countDistinct(col("user_id")).as("exact_distinct"))
+      val allDirect = ev
+        .agg(KmvSketch.signature(k)(col("h")).as("dsig"),
+          countDistinct(col("user_id")).as("exact_distinct"))
+      def contract(merged: DataFrame, direct: DataFrame, level: String,
+          keyCol: Option[String]): DataFrame = {
+        val joined = keyCol match {
+          case Some(c) => merged.join(direct, Seq(c))
+            .withColumn("key", col(c))
+          case None => merged.crossJoin(direct) // 1 x 1
+            .withColumn("key", lit("ALL"))
+        }
+        joined.select(lit(level).as("level"), col("key"),
+          col("exact_distinct"),
+          (col("msig") === col("dsig")).as("merged_eq_direct"),
+          (abs(estOf(col("msig")) - col("exact_distinct"))
+            <= lit(0.30) * col("exact_distinct")).as("within_tol"))
+      }
+      contract(allMerged, allDirect, "all", None)
+        .unionByName(contract(typeMerged, typeDirect, "type",
+          Some("event_type")))
+        .orderBy("level", "key")
     })
 }

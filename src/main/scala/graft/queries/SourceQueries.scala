@@ -110,5 +110,52 @@ object SourceQueries {
             - coalesce(col("c_before"), lit(0L))).as("delta_cents"))
         .where(col("n_after") =!= col("n_before"))
         .orderBy("user_id")
+    },
+
+    // ---- c7: row-level change data feed between versions ----
+    // The CDC read on the versioned table (VersionedTable.changeFeed):
+    // v1 → latest as typed change rows — `insert` for keys born after
+    // v1, `update_preimage`/`update_postimage` pairs for keys whose
+    // summary changed, nothing for untouched keys (delta-sized
+    // output, the CDF contract). The fixture's v3 is a compaction of
+    // v2, so the feed across the compaction boundary must see ZERO
+    // spurious changes from the rewrite — only the real v1→v2 delta.
+    // The oracle replays both snapshots from raw events and builds
+    // the same typed rows; a feed that misclassified an op, leaked an
+    // unchanged key, or diffed against the wrong snapshot breaks the
+    // hash.
+    QueryDef("c7_change_feed",
+      """WITH v1 AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+        |), v2 AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT v2.user_id, v2.n_events, v2.total_cents,
+        |  'insert' AS change_type
+        |FROM v2 LEFT JOIN v1 ON v1.user_id = v2.user_id
+        |WHERE v1.user_id IS NULL
+        |UNION ALL
+        |SELECT v1.user_id, v1.n_events, v1.total_cents,
+        |  'update_preimage' AS change_type
+        |FROM v1 JOIN v2 ON v1.user_id = v2.user_id
+        |WHERE v1.n_events <> v2.n_events OR v1.total_cents <> v2.total_cents
+        |UNION ALL
+        |SELECT v2.user_id, v2.n_events, v2.total_cents,
+        |  'update_postimage' AS change_type
+        |FROM v1 JOIN v2 ON v1.user_id = v2.user_id
+        |WHERE v1.n_events <> v2.n_events OR v1.total_cents <> v2.total_cents
+        |ORDER BY user_id, change_type""".stripMargin) { (s, dir) =>
+      Warehouse.userSummaryVersioned(s, dir) // build v1/v2/v3
+      val path = Warehouse.userSummaryVersionedPath(dir)
+      graft.sources.VersionedTable
+        .changeFeed(s, path, 1L,
+          graft.sources.VersionedTable.latestVersion(s, path),
+          Seq("user_id"))
+        .withColumnRenamed("_change_type", "change_type")
+        .orderBy("user_id", "change_type")
     })
 }

@@ -256,6 +256,52 @@ object SqlQueries {
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
       Tables.nation(s, dir).createOrReplaceTempView("nation")
       s.sql(SqlText.h16)
+    },
+
+    // ---- TPC-H Q13 shape: outer-join count distribution ----
+    // Two-level aggregation where the inner count comes from a LEFT
+    // OUTER join with a JOIN-SIDE (not WHERE-side) filter — the
+    // distinguishing Q13 trap: pushing the NOT LIKE into a WHERE would
+    // silently drop zero-order customers instead of counting them at
+    // 0. COUNT(o_orderkey) (not COUNT(*)) keeps NULL-matched rows out
+    // of the per-customer count. Distributed shape: one shuffle on
+    // o_custkey for the outer join + count, then the distribution
+    // aggregate is at most |distinct counts| rows. Shared text.
+    QueryDef("h17_sql_custdist", SqlText.h17) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(SqlText.h17)
+    },
+
+    // ---- TPC-H Q22 shape: scalar-avg threshold + anti-join ----
+    // Global-avg comparison done EXACTLY by cross-multiplication
+    // (acctbal * COUNT > SUM, all DECIMAL — no division, so no
+    // engine-specific AVG return-type drift), then NOT EXISTS against
+    // orders with a correlated predicate ("never placed an URGENT
+    // order") → a left-anti hash join. The two scalar subqueries scan
+    // the same filtered customer slice — exactly the shape the
+    // MergeScalarAggJoins rule (plans/MergeScalarAggJoins.scala)
+    // collapses into one aggregate pass. Shared text.
+    QueryDef("h18_sql_acctbal_anti", SqlText.h18) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(SqlText.h18)
+    },
+
+    // ---- TPC-H Q11 shape: HAVING vs global-scalar fraction ----
+    // Per-partkey value for one nation's suppliers, kept only when it
+    // exceeds a fixed fraction (1/700) of the SAME filtered global
+    // total — the post-aggregation scalar-subquery HAVING path (the
+    // one decorrelation shape h11/h15/h16 don't hit: the subquery is
+    // uncorrelated but sits in HAVING, so Catalyst plans it as a
+    // 1-row broadcast against the aggregate output, re-using nothing
+    // per-group). All arithmetic in DECIMAL; cents output. Shared
+    // text.
+    QueryDef("h19_sql_value_fraction", SqlText.h19) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      s.sql(SqlText.h19)
     })
 
   /** Shared verbatim between the Spark run and the DuckDB oracle. */
@@ -334,5 +380,54 @@ object SqlQueries {
         |       AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |       AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
         |ORDER BY s_name""".stripMargin
+
+    val h17: String =
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority NOT LIKE '1%'
+        |  GROUP BY c.c_custkey
+        |) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+    val h18: String =
+      """SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM (
+        |  SELECT RIGHT(c.c_name, 2) AS cntrycode, c.c_acctbal
+        |  FROM customer c
+        |  WHERE RIGHT(c.c_name, 2) IN ('01','13','25','37','49','50','62')
+        |    AND CAST(c.c_acctbal AS DECIMAL(18,2)) *
+        |        (SELECT COUNT(*) FROM customer c2
+        |         WHERE c2.c_acctbal > 0.00
+        |           AND RIGHT(c2.c_name, 2) IN ('01','13','25','37','49','50','62'))
+        |      > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+        |         WHERE c3.c_acctbal > 0.00
+        |           AND RIGHT(c3.c_name, 2) IN ('01','13','25','37','49','50','62'))
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c.c_custkey
+        |                      AND o.o_orderpriority = '1-URGENT')
+        |) t
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin
+
+    val h19: String =
+      """SELECT l.l_partkey,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |    AS value_cents
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_name = 'NATION_7'
+        |GROUP BY l.l_partkey
+        |HAVING SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 700 >
+        |  (SELECT SUM(CAST(l2.l_extendedprice AS DECIMAL(18,2)))
+        |   FROM lineitem l2
+        |   JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+        |   JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |   WHERE n2.n_name = 'NATION_7')
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin
   }
 }

@@ -101,4 +101,36 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.commit(df(1L -> 11L), p, 2L)
     assert(VersionedTable.readVersion(spark, p, 2L).head().getLong(1) == 11L)
   }
+
+  test("change feed classifies insert/delete/update and skips unchanged keys") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L, 2L -> 20L, 3L -> 30L), p, 1L)
+    VersionedTable.commit(df(2L -> 20L, 3L -> 31L, 4L -> 40L), p, 2L)
+    val feed = VersionedTable.changeFeed(spark, p, 1L, 2L, Seq("k"))
+      .orderBy("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(feed.toSeq == Seq(
+      (1L, 10L, "delete"),
+      (3L, 31L, "update_postimage"), // lexical: post < pre
+      (3L, 30L, "update_preimage"),
+      (4L, 40L, "insert")))
+    // key 2 is untouched and must NOT appear: the feed is delta-sized
+  }
+
+  test("change feed across a compaction boundary has zero spurious changes") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L, 2L -> 20L).repartition(4), p, 1L)
+    val nv = VersionedTable.compact(spark, p) // v2: same rows, fewer files
+    assert(VersionedTable.changeFeed(spark, p, 1L, nv, Seq("k")).isEmpty)
+  }
+
+  test("change feed rejects schema drift between versions") {
+    import spark.implicits._
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L), p, 1L)
+    VersionedTable.commit(Seq((1L, 10L)).toDF("k", "renamed"), p, 2L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.changeFeed(spark, p, 1L, 2L, Seq("k"))
+    }
+  }
 }
