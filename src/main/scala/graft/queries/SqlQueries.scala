@@ -302,6 +302,36 @@ object SqlQueries {
       Tables.supplier(s, dir).createOrReplaceTempView("supplier")
       Tables.nation(s, dir).createOrReplaceTempView("nation")
       s.sql(SqlText.h19)
+    },
+
+    // ---- TPC-H Q15 shape: CTE referenced twice (view + its MAX) ----
+    // The "top supplier" view pattern: a quarter-scoped per-supplier
+    // revenue CTE consumed BOTH as the join input and inside the
+    // scalar MAX subquery. Exercises CTE reuse (Spark plans the CTE
+    // once behind ReusedExchange when beneficial) and exact-DECIMAL
+    // equality against an aggregate of the same expression — safe
+    // only because revenue never leaves DECIMAL before the compare
+    // (a double sum would be partition-order-dependent and the MAX
+    // equality would flap). Shared text.
+    QueryDef("h20_sql_top_supplier", SqlText.h20) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+      s.sql(SqlText.h20)
+    },
+
+    // ---- TPC-H Q18 shape: semi-join on a HAVING aggregate + re-agg ----
+    // Large-order customers: IN over a grouped-HAVING subquery on the
+    // SAME fact table that is then re-joined and re-aggregated in the
+    // outer query — the double-scan shape Q18 is famous for. Catalyst
+    // plans the IN as a left-semi hash join on l_orderkey against the
+    // thresholded aggregate; the outer sum re-shuffles only the
+    // surviving orders. DECIMAL quantity sums keep the >300 threshold
+    // and the output exact. Shared text.
+    QueryDef("h21_sql_large_orders", SqlText.h21) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(SqlText.h21)
     })
 
   /** Shared verbatim between the Spark run and the DuckDB oracle. */
@@ -429,5 +459,36 @@ object SqlQueries {
         |   JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
         |   WHERE n2.n_name = 'NATION_7')
         |ORDER BY value_cents DESC, l_partkey""".stripMargin
+
+    val h20: String =
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * CAST(1 - l_discount AS DECIMAL(4,2))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s.s_suppkey, s.s_name,
+        |  CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin
+
+    val h21: String =
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin
   }
 }

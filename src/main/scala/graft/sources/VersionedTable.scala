@@ -164,4 +164,23 @@ object VersionedTable {
         valCols.map(c => image.getField(c).as(c)) :+
         col("_change_type"): _*)
   }
+
+  /** Apply a change feed to a snapshot: drop deleted/pre-image keys,
+    * add inserted/post-image rows. `apply(v_from, changeFeed(from, to))`
+    * reconstructs `v_to` exactly (round-trip property, spec-proven) —
+    * the consumer-side contract that makes the feed a transport: a
+    * downstream replica applies delta-sized feeds instead of copying
+    * snapshots. One left-anti join on the key + a union — both
+    * key-partitioned, no driver data.
+    */
+  def applyChanges(snapshot: DataFrame, feed: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val removedKeys = feed
+      .where(col("_change_type").isin("delete", "update_preimage"))
+      .select(keyCols.map(col): _*)
+    val added = feed
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+    snapshot.join(removedKeys, keyCols, "left_anti").unionByName(added)
+  }
 }

@@ -124,6 +124,17 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.changeFeed(spark, p, 1L, nv, Seq("k")).isEmpty)
   }
 
+  test("applying a change feed to the old snapshot reconstructs the new one") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L, 2L -> 20L, 3L -> 30L), p, 1L)
+    VersionedTable.commit(df(2L -> 21L, 3L -> 30L, 4L -> 40L, 5L -> 50L), p, 2L)
+    val feed = VersionedTable.changeFeed(spark, p, 1L, 2L, Seq("k"))
+    val rebuilt = VersionedTable.applyChanges(
+      VersionedTable.readVersion(spark, p, 1L), feed, Seq("k"))
+    val v2 = VersionedTable.readVersion(spark, p, 2L)
+    assert(rebuilt.exceptAll(v2).isEmpty && v2.exceptAll(rebuilt).isEmpty)
+  }
+
   test("change feed rejects schema drift between versions") {
     import spark.implicits._
     val p = freshPath()
