@@ -364,7 +364,32 @@ object Explain {
         |patch is preserved above it, exprIds intact). Two scans total —
         |the plan DuckDB reaches natively; at 100 TB each extra correlated
         |aggregate costs one fused pass instead of a full scan + shuffle +
-        |join of its own.""".stripMargin)
+        |join of its own.""".stripMargin,
+    "h18_sql_acctbal_anti" ->
+      """TPC-H Q22 shape. The two UNCORRELATED scalar slices (COUNT and SUM
+        |over the same filtered customer subset) are merged: each Subquery
+        |plan computes the fused `named_struct(count, sum)` mergedValue in
+        |ONE aggregate pass over ONE pruned scan (PushedFilters shows
+        |acctbal > 0 reaching parquet), and subquery reuse dedups the
+        |execution. The NOT EXISTS is a BroadcastHashJoin LeftAnti against
+        |the priority-filtered orders projection — the filter is pushed
+        |into the scan, so the broadcast side is urgent-orders-sized, not
+        |orders-sized. No nested loop anywhere.""".stripMargin,
+    "h20_sql_top_supplier" ->
+      """TPC-H Q15 shape. The revenue CTE appears twice (join input +
+        |scalar MAX); both consumers read the same suppkey-hash aggregate
+        |over the date-pruned lineitem scan (PushedFilters carries the
+        |ship-date range). The MAX is a 1-row funnel over the
+        |supplier-sized aggregate — dispositioned in PLANAUDIT.md — and
+        |the equality filter compares exact DECIMALs, which is what makes
+        |a MAX-equality query hash-stable at all.""".stripMargin,
+    "h21_sql_large_orders" ->
+      """TPC-H Q18 shape. The IN becomes a left-semi hash join of orders
+        |against the thresholded l_orderkey aggregate; the surviving
+        |orders re-join lineitem for the outer re-aggregation. Both
+        |lineitem scans prune to the 2-3 referenced columns; the
+        |customer side broadcasts. The final TakeOrderedAndProject does
+        |per-partition top-100, never a global sort.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
