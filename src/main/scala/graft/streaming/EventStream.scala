@@ -310,6 +310,40 @@ object EventStream {
       }
   }
 
+  case class SketchIn(event_type: String, h: Long)
+  case class SketchOut(event_type: String, n_distinct_le_k: Boolean,
+      est: Double, sig: Seq[Long])
+
+  /** Streaming distinct-user sketch per event_type — q46's
+    * leaf-signature maintenance as keyed state. The KMV bottom-k hash
+    * set is a semilattice (commutative + associative + IDEMPOTENT), so
+    * micro-batch boundaries, arrival order, and replayed duplicates
+    * cannot change the state: after any prefix of the stream the
+    * signature is BIT-IDENTICAL to the batch
+    * `KmvSketch.signature` over the same rows (parity-tested). State
+    * is O(k) longs per key unconditionally — the streaming analogue of
+    * materializing q46's leaf sketches, with coarser rollups derivable
+    * downstream from the emitted signatures alone (mergeSignatures).
+    * Hashing happens in the untyped projection (`xxhash64`, codegen)
+    * so the stream and batch hash the same bytes the same way.
+    */
+  def distinctSketch(events: DataFrame, k: Int = 64): Dataset[SketchOut] = {
+    import events.sparkSession.implicits._
+    val agg = new graft.functions.KmvSketch.Kmv(k)
+    events
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .as[SketchIn]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[SketchIn],
+            state: GroupState[graft.functions.KmvSketch.KmvBuf]) =>
+          val st0 = state.getOption.getOrElse(agg.zero)
+          val st = rows.foldLeft(st0)((b, r) => agg.reduce(b, r.h)).compacted
+          state.update(st)
+          SketchOut(tpe, st.hashes.size < k, agg.finish(st), st.hashes)
+      }
+  }
+
   case class BarState(openTs: Long, openId: Long, open: Double,
       high: Double, low: Double, closeTs: Long, closeId: Long,
       close: Double, n: Long, sumQ: Long)

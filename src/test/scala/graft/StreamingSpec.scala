@@ -241,6 +241,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming distinct sketch state equals the batch KMV signature") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val k = 8
+    val mem = MemoryStream[EventStream.Rec]
+    val q = EventStream.distinctSketch(mem.toDF(), k)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sketch_out").start()
+    try {
+      // 30 users across two types, split over three batches with
+      // CROSS-BATCH DUPLICATES (users 0-4 re-sent twice) — idempotence
+      // means replays cannot perturb the signature
+      def rec(u: Long, t: String) = EventStream.Rec(u, t, u * 10, u, 1.0)
+      val b1 = (0L to 9L).map(rec(_, "click")) ++ (0L to 4L).map(rec(_, "view"))
+      val b2 = (10L to 19L).map(rec(_, "click")) ++ (0L to 4L).map(rec(_, "click"))
+      val b3 = (20L to 29L).map(rec(_, "click")) ++ (0L to 4L).map(rec(_, "click"))
+      Seq(b1, b2, b3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val emitted = spark.table("sketch_out").collect().zipWithIndex
+      val last = emitted.groupBy(_._1.getString(0))
+        .map { case (t, vs) => t -> vs.maxBy(_._2)._1 }
+      // batch reference over the SAME union of rows
+      val all = (b1 ++ b2 ++ b3).toDF()
+      val ref = all
+        .select(org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("user_id")).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.KmvSketch.signature(k)(
+          org.apache.spark.sql.functions.col("h")).as("sig"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(last.keySet == ref.keySet)
+      for ((t, row) <- last) {
+        assert(row.getSeq[Long](3) == ref(t),
+          s"stream signature for $t diverged from batch")
+      }
+      // 'view' saw only 5 distinct users < k: the estimate is EXACT
+      assert(last("view").getBoolean(1) && last("view").getDouble(2) == 5.0)
+    } finally q.stop()
+  }
+
   test("foreachBatch warehouse sink converges to the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
