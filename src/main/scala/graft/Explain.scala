@@ -389,7 +389,23 @@ object Explain {
         |orders re-join lineitem for the outer re-aggregation. Both
         |lineitem scans prune to the 2-3 referenced columns; the
         |customer side broadcasts. The final TakeOrderedAndProject does
-        |per-partition top-100, never a global sort.""".stripMargin)
+        |per-partition top-100, never a global sort.""".stripMargin,
+    "h27_sql_supplier_part_cnt" ->
+      """TPC-H Q16 shape. The NOT IN subquery plans as a null-aware anti
+        |join — broadcast-sized here (the excluded-supplier list is tiny)
+        |— and the COUNT(DISTINCT l_suppkey) expands to the two-level
+        |hash aggregate (distinct keys first, counts second). Part-side
+        |predicates (brand/type/size) push to the part scan; the join on
+        |p_partkey broadcasts the filtered part slice onto the lineitem
+        |scan.""".stripMargin,
+    "h28_sql_disjunctive_revenue" ->
+      """TPC-H Q19 shape — the disjunctive-predicate litmus: the planner
+        |must extract the common l_partkey = p_partkey equi-key from the
+        |three OR'd conjunct groups so the join stays a broadcast HASH
+        |join with the OR residual as a post-join condition, not a
+        |nested-loop over the cross product. Both scans also receive the
+        |derived single-column disjunction pushdowns (brand IN (...),
+        |size ≤ 15, quantity ranges).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

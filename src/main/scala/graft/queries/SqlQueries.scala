@@ -332,6 +332,105 @@ object SqlQueries {
       Tables.orders(s, dir).createOrReplaceTempView("orders")
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
       s.sql(SqlText.h21)
+    },
+
+    // ---- TPC-H Q6 shape: scan-only multi-range forecast ----
+    // The pushdown litmus test: no join at all — revenue from three
+    // simultaneous range predicates (date window, discount band,
+    // quantity cap) that must ALL reach the parquet scan as
+    // PushedFilters, leaving a single partial→final agg over the
+    // surviving rows. Arithmetic at scale 1e4 (2dp price × 2dp
+    // discount) so the sum is integral before the BIGINT cast —
+    // DuckDB rounds decimal→int casts while Spark truncates, so a
+    // fractional sum would diverge. Shared text.
+    QueryDef("h22_sql_range_revenue", SqlText.h22) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(SqlText.h22)
+    },
+
+    // ---- TPC-H Q9 shape: multi-dim profit by nation × year ----
+    // The widest join tree of the SQL surface: lineitem ⋈ part
+    // (LIKE-filtered) ⋈ supplier ⋈ nation with a computed measure
+    // spanning two tables (price net of discount minus a synthetic
+    // 10%-of-retail cost — the testdata has no partsupp, so the cost
+    // side rides part.p_retailprice; the SHAPE — expression agg over
+    // a 4-way join grouped by a dim attribute × EXTRACT(YEAR) — is
+    // Q9's). Dims broadcast; one shuffle on the (nation, year) agg.
+    // Scale-1e4 integral arithmetic throughout. Shared text.
+    QueryDef("h23_sql_profit_by_nation", SqlText.h23) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("part")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      s.sql(SqlText.h23)
+    },
+
+    // ---- TPC-H Q10 shape: returned-item top customers ----
+    // Quarter-scoped customer ⋈ orders ⋈ lineitem('R') ⋈ nation with
+    // a revenue ranking and LIMIT 20 — the classic "who returned the
+    // most" report. GROUP BY carries the customer attributes through
+    // (no re-join after the agg); the top-k rides the TopKRewrite
+    // sort+limit path. Shared text.
+    QueryDef("h24_sql_returned_customers", SqlText.h24) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      s.sql(SqlText.h24)
+    },
+
+    // ---- TPC-H Q12 shape: conditional agg over a join-derived bucket ----
+    // orders ⋈ lineitem where the grouping key is the lineitem side
+    // (returnflag standing in for shipmode — the testdata has no
+    // l_shipmode) and the measures are CASE-dispatched counts of the
+    // ORDER side's priority class, bucketed by a shipping-lateness
+    // predicate computed ACROSS the join (l_shipdate vs o_orderdate +
+    // 60 days). Q12's hallmark: the CASE arms partition the joined
+    // rows, not the scan. Shared text.
+    QueryDef("h25_sql_late_ship_priority", SqlText.h25) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(SqlText.h25)
+    },
+
+    // ---- TPC-H Q14 shape: CASE-filtered share of a joined measure ----
+    // One month of lineitem ⋈ part where the numerator keeps only
+    // PROMO parts — numerator and denominator emitted as separate
+    // exact scale-1e4 BIGINTs instead of Q14's 100*x/y division
+    // (integer-div syntax differs across engines; the exact pair is
+    // strictly stronger, q45's basis-point pattern). Shared text.
+    QueryDef("h26_sql_promo_share", SqlText.h26) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("part")
+      s.sql(SqlText.h26)
+    },
+
+    // ---- TPC-H Q16 shape: NOT IN exclusion + grouped COUNT(DISTINCT) ----
+    // Supplier variety per (brand, type, size) over the lineitem
+    // part-supplier relation (testdata has no partsupp), excluding a
+    // brand, a type, and — the Q16 hallmark — suppliers from a NOT IN
+    // subquery (negative-balance stand-in for the comment filter).
+    // NOT IN over a non-nullable key plans as a null-aware anti join
+    // that degenerates to a plain broadcast anti; the distinct count
+    // is exact (two-level hash agg). Shared text.
+    QueryDef("h27_sql_supplier_part_cnt", SqlText.h27) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("part")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+      s.sql(SqlText.h27)
+    },
+
+    // ---- TPC-H Q19 shape: disjunctive multi-column join predicates ----
+    // Three OR'd conjunct groups each tying part attributes (brand,
+    // size band) to lineitem attributes (quantity band). The planner
+    // trap Q19 exists to test: the l_partkey = p_partkey equi-key
+    // must be extracted from the disjunction so the join stays HASH
+    // (the OR residual evaluated post-join) instead of falling back
+    // to nested-loop. Revenue at exact scale 1e4. Shared text.
+    QueryDef("h28_sql_disjunctive_revenue", SqlText.h28) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("part")
+      s.sql(SqlText.h28)
     })
 
   /** Shared verbatim between the Spark run and the DuckDB oracle. */
@@ -490,5 +589,107 @@ object SqlQueries {
         |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin
+
+    val h22: String =
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(l_discount AS DECIMAL(4,2)) * 10000) AS BIGINT)
+        |    AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin
+
+    val h23: String =
+      """SELECT n.n_name AS nation,
+        |  CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(1 - l.l_discount AS DECIMAL(4,2)) * 10000
+        |           - CAST(l.l_quantity AS DECIMAL(12,0))
+        |             * CAST(p.p_retailprice AS DECIMAL(12,1)) * 1000) AS BIGINT)
+        |    AS profit_e4
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY n.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+        |ORDER BY nation, o_year DESC""".stripMargin
+
+    val h24: String =
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l.l_discount AS DECIMAL(4,2)) * 10000) AS BIGINT)
+        |    AS revenue_e4,
+        |  CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+        |ORDER BY revenue_e4 DESC, c_custkey
+        |LIMIT 20""".stripMargin
+
+    val h25: String =
+      """SELECT l.l_returnflag AS ship_class,
+        |  CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+        |       THEN 'late' ELSE 'ontime' END AS ship_bucket,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders o
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_returnflag IN ('R', 'A')
+        |  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l.l_returnflag,
+        |  CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+        |       THEN 'late' ELSE 'ontime' END
+        |ORDER BY ship_class, ship_bucket""".stripMargin
+
+    val h26: String =
+      """SELECT
+        |  CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        |                THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |                     * CAST(1 - l.l_discount AS DECIMAL(4,2)) * 10000
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS BIGINT)
+        |    AS promo_revenue_e4,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l.l_discount AS DECIMAL(4,2)) * 10000) AS BIGINT)
+        |    AS total_revenue_e4
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
+
+    val h27: String =
+      """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+        |  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#45'
+        |  AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l.l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+    val h28: String =
+      """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(1 - l.l_discount AS DECIMAL(4,2)) * 10000)
+        |         AS BIGINT) AS revenue_e4
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
   }
 }
