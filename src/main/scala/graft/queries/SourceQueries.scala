@@ -157,5 +157,63 @@ object SourceQueries {
           Seq("user_id"))
         .withColumnRenamed("_change_type", "change_type")
         .orderBy("user_id", "change_type")
+    },
+
+    // ---- c8: incremental view maintenance from the change feed ----
+    // The capstone of the versioned-table surface: a bucket-level
+    // rollup of user_summary maintained INCREMENTALLY — aggregate v1,
+    // apply the v1→latest change feed through the signed-delta algebra
+    // (VersionedTable.incrementalAgg), never re-reading the base — and
+    // the result rows ARE the maintained values, flagged in-query
+    // against a direct re-aggregation of the latest snapshot. The
+    // oracle recomputes the rollup independently from raw events, so a
+    // broken feed, broken delta algebra, or broken merge each break
+    // the hash twice over (values and flags). At 100 TB the direct
+    // path reads the world; the maintained path shuffles only the
+    // delta.
+    QueryDef("c8_incremental_agg",
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), v2 AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(cents) AS BIGINT) AS total_cents
+        |  FROM ev GROUP BY user_id
+        |)
+        |SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n_events) AS BIGINT) AS sum_events,
+        |  CAST(SUM(total_cents) AS BIGINT) AS sum_cents,
+        |  TRUE AS match_direct
+        |FROM v2
+        |GROUP BY user_id % 16
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import graft.sources.VersionedTable
+      Warehouse.userSummaryVersioned(s, dir) // build v1/v2/v3
+      val path = Warehouse.userSummaryVersionedPath(dir)
+      val latestV = VersionedTable.latestVersion(s, path)
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("bucket", pmod(col("user_id"), lit(16L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_users"),
+          sum("n_events").as("sum_events"),
+          sum("total_cents").as("sum_cents"))
+      val feed = VersionedTable.changeFeed(s, path, 1L, latestV,
+        Seq("user_id"))
+        .withColumn("bucket", pmod(col("user_id"), lit(16L)))
+      val maintained = VersionedTable.incrementalAgg(
+        rollup(VersionedTable.readVersion(s, path, 1L)), feed,
+        Seq("bucket"), "n_users",
+        Seq("n_events" -> "sum_events", "total_cents" -> "sum_cents"))
+      val direct = rollup(VersionedTable.readVersion(s, path, latestV))
+        .select(col("bucket"), col("n_users").as("d_nu"),
+          col("sum_events").as("d_se"), col("sum_cents").as("d_sc"))
+      maintained.join(direct, Seq("bucket"), "full_outer")
+        .select(col("bucket"), col("n_users"), col("sum_events"),
+          col("sum_cents"),
+          (col("n_users") <=> col("d_nu") &&
+            col("sum_events") <=> col("d_se") &&
+            col("sum_cents") <=> col("d_sc")).as("match_direct"))
+        .orderBy("bucket")
     })
 }

@@ -183,4 +183,53 @@ object VersionedTable {
       .drop("_change_type")
     snapshot.join(removedKeys, keyCols, "left_anti").unionByName(added)
   }
+
+  /** Incremental view maintenance for SUM/COUNT-class aggregates: given
+    * the OLD aggregate of a base table and the base's change feed,
+    * produce the NEW aggregate without touching the base again. The
+    * 100 TB contract: the only full-size work in the whole operation is
+    * the delta-sized `feed.groupBy` shuffle — the snapshot aggregate is
+    * group-count-sized and the merge join is group-keyed.
+    *
+    * Algebra (valid for any abelian-group measure — SUM and COUNT here):
+    * each feed row carries sign +1 (`insert` / `update_postimage`) or
+    * −1 (`delete` / `update_preimage`); an update whose group changed
+    * moves its pre-image out of the old group and its post-image into
+    * the new one through the same signed sum. MIN/MAX are NOT
+    * maintainable this way (deletion of the current extreme needs the
+    * base) — callers with extremes re-aggregate or keep a heap.
+    *
+    * `oldAgg` columns: `groupCols ++ countCol ++ measures.map(_._2)`
+    * (all BIGINT). `feed` columns: `groupCols`, each `measures._1`
+    * base-measure column, and `_change_type`. Groups whose maintained
+    * row count reaches zero are dropped (the group disappeared from the
+    * base). An unrecognized `_change_type` raises instead of silently
+    * corrupting the aggregate.
+    */
+  def incrementalAgg(oldAgg: DataFrame, feed: DataFrame,
+      groupCols: Seq[String], countCol: String,
+      measures: Seq[(String, String)]): DataFrame = {
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("incrementalAgg: unknown _change_type "),
+        col("_change_type"))).cast("long"))
+    val signed = feed.withColumn("_sign", sign)
+    val deltaAggs =
+      sum(col("_sign")).as(s"_d_$countCol") +:
+        measures.map { case (feedCol, aggCol) =>
+          sum(col("_sign") * col(feedCol)).as(s"_d_$aggCol")
+        }
+    val deltas = signed.groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val aggCols = countCol +: measures.map(_._2)
+    val merged = oldAgg
+      .select((groupCols ++ aggCols).map(col): _*)
+      .join(deltas, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ aggCols.map { c =>
+        (coalesce(col(c), lit(0L)) + coalesce(col(s"_d_$c"), lit(0L))).as(c)
+      }: _*)
+    merged.where(col(countCol) > 0)
+  }
 }

@@ -144,4 +144,67 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.changeFeed(spark, p, 1L, 2L, Seq("k"))
     }
   }
+
+  // group key = k % 2, measure = v; the maintained rollup must equal a
+  // direct re-aggregation of the new snapshot for every feed shape
+  private def rollup(d: org.apache.spark.sql.DataFrame) = d
+    .withColumn("g", pmod(col("k"), lit(2L)))
+    .groupBy("g")
+    .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+
+  private def maintainedEqualsDirect(p: String): Unit = {
+    val feed = VersionedTable
+      .changeFeed(spark, p, 1L, 2L, Seq("k"))
+      .withColumn("g", pmod(col("k"), lit(2L)))
+    val maintained = VersionedTable.incrementalAgg(
+      rollup(VersionedTable.readVersion(spark, p, 1L)), feed,
+      Seq("g"), "n", Seq("v" -> "sv"))
+    val direct = rollup(VersionedTable.readVersion(spark, p, 2L))
+    assert(maintained.exceptAll(direct).isEmpty
+      && direct.exceptAll(maintained).isEmpty)
+  }
+
+  test("incrementalAgg maintains the rollup through insert/update/delete") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L, 2L -> 20L, 3L -> 30L), p, 1L)
+    // 2 updated, 3 deleted, 4+5 inserted, 1 unchanged
+    VersionedTable.commit(df(1L -> 10L, 2L -> 25L, 4L -> 40L, 5L -> 50L),
+      p, 2L)
+    maintainedEqualsDirect(p)
+  }
+
+  test("incrementalAgg drops a group whose last keys are deleted") {
+    val p = freshPath()
+    // odd group = {1, 3}; v2 deletes both, so group 1 must VANISH from
+    // the maintained rollup (not linger as a zero row)
+    VersionedTable.commit(df(1L -> 10L, 2L -> 20L, 3L -> 30L), p, 1L)
+    VersionedTable.commit(df(2L -> 20L, 6L -> 60L), p, 2L)
+    maintainedEqualsDirect(p)
+    val feed = VersionedTable.changeFeed(spark, p, 1L, 2L, Seq("k"))
+      .withColumn("g", pmod(col("k"), lit(2L)))
+    val m = VersionedTable.incrementalAgg(
+      rollup(VersionedTable.readVersion(spark, p, 1L)), feed,
+      Seq("g"), "n", Seq("v" -> "sv"))
+    assert(m.where(col("g") === 1L).isEmpty)
+  }
+
+  test("incrementalAgg with an empty feed is the identity") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L, 2L -> 20L), p, 1L)
+    VersionedTable.commit(df(1L -> 10L, 2L -> 20L), p, 2L)
+    maintainedEqualsDirect(p)
+  }
+
+  test("incrementalAgg raises on an unknown change type") {
+    import spark.implicits._
+    val old = Seq((0L, 1L, 10L)).toDF("g", "n", "sv")
+    val feed = Seq((0L, 7L, "upsert")).toDF("g", "v", "_change_type")
+    val e = intercept[Exception] {
+      VersionedTable.incrementalAgg(old, feed, Seq("g"), "n",
+        Seq("v" -> "sv")).collect()
+    }
+    assert(e.getMessage.contains("unknown _change_type")
+      || e.getCause != null
+      && e.getCause.getMessage.contains("unknown _change_type"))
+  }
 }
