@@ -518,4 +518,54 @@ object EventStream {
     require(vs.nonEmpty, s"no committed version under $path")
     spark.read.parquet(s"$path/v${vs.max}")
   }
+
+  case class CdcIn(bucket: Long, d_n: Long, d_events: Long, d_cents: Long)
+  case class RollupOut(bucket: Long, n_users: Long, sum_events: Long,
+      sum_cents: Long, tombstone: Boolean)
+
+  /** Streaming twin of [[graft.sources.VersionedTable.incrementalAgg]]:
+    * a CDC feed of user_summary rows (columns user_id, n_events,
+    * total_cents, _change_type) maintains the bucket rollup as keyed
+    * state, emitting the updated row for every bucket a micro-batch
+    * touches. The signed-delta algebra is identical to the batch form
+    * (+1 insert/post, −1 delete/pre), and because signed sums are
+    * commutative + associative the state after any prefix of the feed
+    * is independent of how the rows were split into micro-batches —
+    * the c8 parity contract. Bootstrap = replay the initial snapshot
+    * as `insert` rows (the standard CDC consumer pattern); a bucket
+    * whose maintained count reaches zero clears its state and emits a
+    * tombstone so a downstream sink can delete the row. State is
+    * O(buckets) × 3 longs, unconditionally.
+    */
+  def cdcRollup(feed: DataFrame, buckets: Long = 16L): Dataset[RollupOut] = {
+    import feed.sparkSession.implicits._
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("cdcRollup: unknown _change_type "),
+        col("_change_type"))).cast("long"))
+    feed
+      .select(pmod(col("user_id"), lit(buckets)).as("bucket"),
+        sign.as("d_n"),
+        (sign * col("n_events")).as("d_events"),
+        (sign * col("total_cents")).as("d_cents"))
+      .as[CdcIn]
+      .groupByKey(_.bucket)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[CdcIn],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (n, se, sc) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.foreach { r =>
+            n += r.d_n; se += r.d_events; sc += r.d_cents
+          }
+          if (n == 0L) {
+            state.remove()
+            RollupOut(bucket, 0L, 0L, 0L, tombstone = true)
+          } else {
+            state.update((n, se, sc))
+            RollupOut(bucket, n, se, sc, tombstone = false)
+          }
+      }
+  }
 }

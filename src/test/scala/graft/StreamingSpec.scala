@@ -762,4 +762,69 @@ class StreamingSpec extends AnyFunSuite {
         s"hand-computed decay totals: $got")
     } finally q.stop()
   }
+
+  test("cdcRollup: batch-split-invariant IVM state matches the batch " +
+      "algebra, with tombstones on group disappearance") {
+    implicit val sqlCtx = spark.sqlContext
+    // CDC rows: (user_id, n_events, total_cents, _change_type).
+    // Bootstrap-as-inserts for v1 = users 1..6, then a change feed:
+    // user 2 updated (pre/post), users 3 and 5 deleted — bucket
+    // (user_id % 4) 3 = {3} empty afterward -> tombstone; bucket
+    // 1 = {1, 5} survives via user 1.
+    val boot = Seq(
+      (1L, 2L, 100L, "insert"), (2L, 3L, 200L, "insert"),
+      (3L, 1L, 50L, "insert"), (4L, 4L, 400L, "insert"),
+      (5L, 2L, 150L, "insert"), (6L, 1L, 60L, "insert"))
+    val changes = Seq(
+      (2L, 3L, 200L, "update_preimage"), (2L, 5L, 275L, "update_postimage"),
+      (3L, 1L, 50L, "delete"), (5L, 2L, 150L, "delete"))
+
+    def runSplit(splits: Seq[Seq[(Long, Long, Long, String)]],
+        name: String): Map[Long, (Long, Long, Long, Boolean)] = {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val q = EventStream.cdcRollup(
+        mem.toDF().toDF("user_id", "n_events", "total_cents",
+          "_change_type"), buckets = 4L)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        splits.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect().zipWithIndex
+          .groupBy(_._1.getLong(0))
+          .map { case (b, vs) =>
+            val r = vs.maxBy(_._2)._1
+            b -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getBoolean(4)))
+          }
+      } finally q.stop()
+    }
+
+    // three very different batchings of the same row sequence
+    val all = boot ++ changes
+    val a = runSplit(Seq(all), "cdc_one")
+    val b = runSplit(Seq(boot, changes), "cdc_two")
+    val c = runSplit(all.grouped(3).toSeq, "cdc_three")
+    assert(a == b && b == c, s"batch-split variance: $a / $b / $c")
+
+    // reference: the batch signed-delta algebra over the same rows
+    val feedDf = all.toDF("user_id", "n_events", "total_cents",
+      "_change_type")
+      .withColumn("bucket",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.lit(4L)))
+    val empty = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("bucket", "n_users", "sum_events", "sum_cents")
+    val ref = graft.sources.VersionedTable.incrementalAgg(
+      empty, feedDf, Seq("bucket"), "n_users",
+      Seq("n_events" -> "sum_events", "total_cents" -> "sum_cents"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val live = a.filter(!_._2._4).map { case (k, v) => k -> ((v._1, v._2, v._3)) }
+    assert(live == ref, s"stream $live vs batch algebra $ref")
+    // bucket 3 lost its only user: tombstoned in the stream, absent
+    // from the batch result
+    assert(a(3L) == ((0L, 0L, 0L, true)) && !ref.contains(3L))
+  }
 }
