@@ -215,5 +215,32 @@ object SourceQueries {
             col("sum_events") <=> col("d_se") &&
             col("sum_cents") <=> col("d_sc")).as("match_direct"))
         .orderBy("bucket")
+    },
+
+    // ---- c9: manifest data skipping (file-level min/max prune) ----
+    // The range-clustered user_summary snapshot read through its
+    // per-file stats manifest: only files whose [min, max] user band
+    // overlaps [3, 7] are handed to the scan (file-level skipping, the
+    // Delta/Iceberg metadata path — decided BEFORE any task is
+    // scheduled, unlike parquet row-group pruning which pays a footer
+    // read per file). The oracle recomputes the band from raw events,
+    // so a manifest that drops a file it shouldn't — or misses rows at
+    // the inclusive band edges — breaks the hash. The layout-vs-
+    // correctness split (prune only SKIPS when clustered, is correct
+    // always) is spec-proven in VersionedTableSpec.
+    QueryDef("c9_stats_prune",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 7
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import graft.sources.VersionedTable
+      Warehouse.userSummaryClustered(s, dir) // commit v1 + stats
+      VersionedTable.readVersionPruned(s,
+        Warehouse.userSummaryClusteredPath(dir), 1L, "user_id", 3L, 7L)
+        .select(col("user_id"), col("n_events"), col("total_cents"))
+        .orderBy("user_id")
     })
 }

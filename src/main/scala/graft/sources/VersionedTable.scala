@@ -118,6 +118,74 @@ object VersionedTable {
     v + 1
   }
 
+  /** Publish per-file min/max/count statistics for `statsCols` (long-
+    * typed columns) of committed version `version`, as a tiny parquet
+    * manifest at `path/_stats_v<version>` — the Delta/Iceberg
+    * data-skipping metadata. One columnar scan computes them (only the
+    * stat columns are read); the manifest is file-count-sized. At
+    * 100 TB the point is that [[readVersionPruned]] drops files BEFORE
+    * the scan is scheduled — parquet row-group pruning still pays a
+    * task + footer read per file, manifest pruning pays neither.
+    */
+  def writeStats(spark: SparkSession, path: String, version: Long,
+      statsCols: Seq[String]): Unit = {
+    require(committedVersions(spark, path).contains(version),
+      s"writeStats: version $version is not committed under $path")
+    val snap = spark.read.parquet(s"$path/v$version")
+      .select(col("_metadata.file_path").as("file") +:
+        statsCols.map(col): _*)
+    val perCol = statsCols.map { c =>
+      snap.groupBy("file").agg(
+        count(lit(1)).as("n_rows"),
+        min(col(c)).cast("long").as("min_v"),
+        max(col(c)).cast("long").as("max_v"))
+        .select(col("file"), lit(c).as("column"), col("n_rows"),
+          col("min_v"), col("max_v"))
+    }
+    perCol.reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_stats_v$version")
+  }
+
+  /** The stats manifest written by [[writeStats]]. */
+  def readStats(spark: SparkSession, path: String, version: Long): DataFrame =
+    spark.read.parquet(s"$path/_stats_v$version")
+
+  /** The files of `version` whose `[min, max]` range on `colName`
+    * overlaps `[lo, hi]`, plus the version's total file count.
+    * Driver-side and manifest-sized — the file list is exactly what
+    * the scheduler would enumerate anyway.
+    */
+  def prunedFiles(spark: SparkSession, path: String, version: Long,
+      colName: String, lo: Long, hi: Long): (Seq[String], Long) = {
+    val stats = readStats(spark, path, version)
+      .where(col("column") === colName)
+    val total = stats.count()
+    require(total > 0,
+      s"prunedFiles: no stats for column $colName at v$version of $path")
+    val kept = stats.where(col("max_v") >= lo && col("min_v") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+    (kept, total)
+  }
+
+  /** Time travel + data skipping: read version `version` keeping only
+    * the files whose stats range overlaps `[lo, hi]` on `colName`,
+    * with the residual row filter applied on top (file stats are a
+    * superset bound, not an exact index). Requires [[writeStats]] to
+    * have published stats for the column — failing loudly beats
+    * silently scanning everything. Correct for ANY physical layout;
+    * it only SKIPS when the layout clusters `colName` (e.g. the
+    * version was committed `repartitionByRange`-partitioned on it).
+    */
+  def readVersionPruned(spark: SparkSession, path: String, version: Long,
+      colName: String, lo: Long, hi: Long): DataFrame = {
+    val (files, _) = prunedFiles(spark, path, version, colName, lo, hi)
+    val full = readVersion(spark, path, version)
+    if (files.isEmpty) full.where(lit(false))
+    else spark.read.schema(full.schema).parquet(files: _*)
+      .where(col(colName) >= lo && col(colName) <= hi)
+  }
+
   /** Row-level change feed between two committed versions (Delta's
     * CHANGE DATA FEED read): one row per changed key with `_change_type`
     * in {insert, delete, update_preimage, update_postimage} — pre/post

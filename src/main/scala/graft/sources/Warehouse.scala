@@ -213,6 +213,34 @@ object Warehouse {
       VersionedTable.latest(s, path)
     }
 
+  /** A range-CLUSTERED committed snapshot of the user summary for the
+    * data-skipping surface: one version, `repartitionByRange(8)` on
+    * user_id so each file covers a disjoint user band, with a
+    * [[VersionedTable.writeStats]] manifest on user_id. The layout is
+    * the thing under test — c9 reads it through the manifest prune and
+    * must still be value-exact against the raw events.
+    */
+  def userSummaryClusteredPath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/user_summary_clustered$safe"
+  }
+
+  def userSummaryClustered(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"user_summary_clustered:$dir") {
+      val path = userSummaryClusteredPath(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val summary = Tables.events(s, dir)
+        .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+        .repartitionByRange(8, col("user_id"))
+      VersionedTable.commit(summary, path, 1L)
+      VersionedTable.writeStats(s, path, 1L, Seq("user_id"))
+      VersionedTable.readVersion(s, path, 1L)
+    }
+
   /** Deterministic content-hash shard id in [0, nShards): first hex
     * char of md5(doc_id) → value, mod shards. Engine-portable (the
     * DuckDB oracle replays the same arithmetic from the raw table) and

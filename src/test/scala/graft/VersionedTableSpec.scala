@@ -195,6 +195,58 @@ class VersionedTableSpec extends AnyFunSuite {
     maintainedEqualsDirect(p)
   }
 
+  test("stats prune skips files on a clustered layout and stays exact") {
+    val p = freshPath()
+    val data = df((1L to 400L).map(i => i -> i * 3): _*)
+      .repartitionByRange(8, col("k"))
+    VersionedTable.commit(data, p, 1L)
+    VersionedTable.writeStats(spark, p, 1L, Seq("k"))
+    val (kept, total) = VersionedTable.prunedFiles(spark, p, 1L,
+      "k", 101L, 150L)
+    assert(total == 8L && kept.nonEmpty && kept.size < 8,
+      s"expected a real skip on the clustered layout: $kept of $total")
+    val pruned = VersionedTable.readVersionPruned(spark, p, 1L,
+      "k", 101L, 150L)
+    val full = VersionedTable.readVersion(spark, p, 1L)
+      .where(col("k") >= 101L && col("k") <= 150L)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // inclusive edges: the boundary keys themselves survive the prune
+    assert(pruned.where(col("k").isin(101L, 150L)).count() == 2)
+  }
+
+  test("stats prune is correct (if skip-free) on an UNclustered layout") {
+    val p = freshPath()
+    // hash-partitioned: every file spans most of the key domain, so
+    // pruning may keep everything — but must never lose a row
+    val data = df((1L to 400L).map(i => i -> i * 3): _*).repartition(8)
+    VersionedTable.commit(data, p, 1L)
+    VersionedTable.writeStats(spark, p, 1L, Seq("k"))
+    val pruned = VersionedTable.readVersionPruned(spark, p, 1L,
+      "k", 101L, 150L)
+    assert(pruned.count() == 50L)
+  }
+
+  test("stats prune outside the key domain reads zero files") {
+    val p = freshPath()
+    VersionedTable.commit(
+      df((1L to 100L).map(i => i -> i): _*).repartitionByRange(4, col("k")),
+      p, 1L)
+    VersionedTable.writeStats(spark, p, 1L, Seq("k"))
+    val (kept, _) = VersionedTable.prunedFiles(spark, p, 1L,
+      "k", 1000L, 2000L)
+    assert(kept.isEmpty)
+    assert(VersionedTable.readVersionPruned(spark, p, 1L,
+      "k", 1000L, 2000L).isEmpty)
+  }
+
+  test("pruned read without a stats manifest fails loudly") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 1L), p, 1L)
+    intercept[Exception] {
+      VersionedTable.readVersionPruned(spark, p, 1L, "k", 0L, 10L).collect()
+    }
+  }
+
   test("incrementalAgg raises on an unknown change type") {
     import spark.implicits._
     val old = Seq((0L, 1L, 10L)).toDF("g", "n", "sv")
