@@ -242,5 +242,33 @@ object SourceQueries {
         Warehouse.userSummaryClusteredPath(dir), 1L, "user_id", 3L, 7L)
         .select(col("user_id"), col("n_events"), col("total_cents"))
         .orderBy("user_id")
+    },
+
+    // ---- c10: 2-d box query over a z-ordered layout, both manifests ----
+    // The composition that makes z-ordering pay at the FILE level:
+    // events committed Morton-clustered on (user_id, cents) — each file
+    // a compact rectangle in both dimensions — read through
+    // readVersionPrunedMulti, which intersects the per-column manifest
+    // prunes before scheduling the scan. A single-key clustering would
+    // satisfy one band's manifest with tight ranges and the other with
+    // full-domain files (no second-dimension skip); the Morton layout
+    // skips on both (file-count assertions in VersionedTableSpec). The
+    // oracle replays the box from raw events.
+    QueryDef("c10_zorder_prune",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM (SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+        |      FROM events) t
+        |WHERE user_id BETWEEN 3 AND 7 AND cents BETWEEN 2000 AND 4000
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import graft.sources.VersionedTable
+      Warehouse.eventsZClustered(s, dir) // commit v1 + 2-col stats
+      VersionedTable.readVersionPrunedMulti(s,
+        Warehouse.eventsZClusteredPath(dir), 1L,
+        Seq(("user_id", 3L, 7L), ("cents", 2000L, 4000L)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+        .orderBy("user_id")
     })
 }

@@ -178,12 +178,30 @@ object VersionedTable {
     * version was committed `repartitionByRange`-partitioned on it).
     */
   def readVersionPruned(spark: SparkSession, path: String, version: Long,
-      colName: String, lo: Long, hi: Long): DataFrame = {
-    val (files, _) = prunedFiles(spark, path, version, colName, lo, hi)
+      colName: String, lo: Long, hi: Long): DataFrame =
+    readVersionPrunedMulti(spark, path, version, Seq((colName, lo, hi)))
+
+  /** Multi-dimensional data skipping: keep only files overlapping
+    * EVERY band (file sets intersect — a file must be possible in all
+    * dimensions to survive). This is where a z-ordered layout pays:
+    * range-clustering on one key gives tight file stats on that key
+    * only, while Morton interleaving (`operators/ZOrder`) makes each
+    * file a compact rectangle in BOTH dimensions, so a 2-d box prunes
+    * on both manifests at once.
+    */
+  def readVersionPrunedMulti(spark: SparkSession, path: String,
+      version: Long, bands: Seq[(String, Long, Long)]): DataFrame = {
+    require(bands.nonEmpty, "readVersionPrunedMulti: no bands given")
+    val keptPerBand = bands.map { case (c, lo, hi) =>
+      prunedFiles(spark, path, version, c, lo, hi)._1.toSet
+    }
+    val files = keptPerBand.reduce(_ intersect _).toSeq.sorted
+    val residual = bands
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
     val full = readVersion(spark, path, version)
     if (files.isEmpty) full.where(lit(false))
-    else spark.read.schema(full.schema).parquet(files: _*)
-      .where(col(colName) >= lo && col(colName) <= hi)
+    else spark.read.schema(full.schema).parquet(files: _*).where(residual)
   }
 
   /** Row-level change feed between two committed versions (Delta's

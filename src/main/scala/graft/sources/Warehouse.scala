@@ -241,6 +241,38 @@ object Warehouse {
       VersionedTable.readVersion(s, path, 1L)
     }
 
+  /** Events z-clustered on (user_id, cents) as a committed version
+    * with stats manifests on BOTH columns — the 2-d data-skipping
+    * fixture: Morton interleaving makes each file a compact rectangle
+    * in both dimensions, so c10's box predicate prunes on both
+    * manifests at once (a single-key clustering would give tight
+    * stats on one dimension only).
+    */
+  def eventsZClusteredPath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/events_zclustered$safe"
+  }
+
+  def eventsZClustered(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"events_zclustered:$dir") {
+      val path = eventsZClusteredPath(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val clustered = ev
+        .withColumn("__z",
+          graft.operators.ZOrder.zkey16(col("user_id"), col("cents")))
+        .repartitionByRange(16, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+      VersionedTable.commit(clustered, path, 1L)
+      VersionedTable.writeStats(s, path, 1L, Seq("user_id", "cents"))
+      VersionedTable.readVersion(s, path, 1L)
+    }
+
   /** Deterministic content-hash shard id in [0, nShards): first hex
     * char of md5(doc_id) → value, mod shards. Engine-portable (the
     * DuckDB oracle replays the same arithmetic from the raw table) and

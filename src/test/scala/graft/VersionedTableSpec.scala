@@ -239,6 +239,51 @@ class VersionedTableSpec extends AnyFunSuite {
       "k", 1000L, 2000L).isEmpty)
   }
 
+  test("2-d box over a z-ordered layout prunes on BOTH manifests; " +
+      "single-key clustering cannot skip the second dimension") {
+    import spark.implicits._
+    // 64×64 grid; the 8×8 box is 1/64 of the domain
+    val grid = (0L until 4096L).map(i => (i % 64L, i / 64L))
+      .toDF("x", "y")
+    val bands = Seq(("x", 24L, 31L), ("y", 24L, 31L))
+
+    def committed(layout: org.apache.spark.sql.DataFrame): String = {
+      val p = freshPath()
+      VersionedTable.commit(layout, p, 1L)
+      VersionedTable.writeStats(spark, p, 1L, Seq("x", "y"))
+      p
+    }
+    val zp = committed(grid
+      .withColumn("__z", graft.operators.ZOrder.zkey16(col("x"), col("y")))
+      .repartitionByRange(16, col("__z"))
+      .sortWithinPartitions("__z").drop("__z"))
+    val xp = committed(grid.repartitionByRange(16, col("x"))
+      .sortWithinPartitions("x"))
+
+    def keptCount(p: String): Int = {
+      val perBand = bands.map { case (c, lo, hi) =>
+        VersionedTable.prunedFiles(spark, p, 1L, c, lo, hi)._1.toSet
+      }
+      perBand.reduce(_ intersect _).size
+    }
+    // x-clustered: the x band keeps few files, but EVERY kept file
+    // spans the full y domain, so the y manifest removes nothing more.
+    // z-clustered: each file is a compact rectangle; the intersection
+    // keeps only files near the box.
+    val zKept = keptCount(zp)
+    val xKept = keptCount(xp)
+    assert(zKept < 16 && zKept <= xKept,
+      s"z-order kept $zKept files, x-clustering kept $xKept")
+    // correctness: the pruned read equals the brute filter on both
+    for (p <- Seq(zp, xp)) {
+      val pruned = VersionedTable.readVersionPrunedMulti(spark, p, 1L, bands)
+      val full = VersionedTable.readVersion(spark, p, 1L)
+        .where(col("x").between(24L, 31L) && col("y").between(24L, 31L))
+      assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+      assert(pruned.count() == 64L)
+    }
+  }
+
   test("pruned read without a stats manifest fails loudly") {
     val p = freshPath()
     VersionedTable.commit(df(1L -> 1L), p, 1L)
