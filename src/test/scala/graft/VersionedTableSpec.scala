@@ -292,6 +292,73 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("IN-list prune schedules only files that can hold the keys") {
+    val p = freshPath()
+    VersionedTable.commit(
+      df((1L to 400L).map(i => i -> i): _*).repartitionByRange(8, col("k")),
+      p, 1L)
+    VersionedTable.writeStats(spark, p, 1L, Seq("k"))
+    // three scattered point keys -> at most three files survive
+    val got = VersionedTable.readVersionPrunedIn(spark, p, 1L,
+      "k", Seq(7L, 203L, 399L))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7L, 203L, 399L))
+    val stats = VersionedTable.readStats(spark, p, 1L)
+    val survivors = stats.where(
+      (col("min_v") <= 7L && col("max_v") >= 7L) ||
+        (col("min_v") <= 203L && col("max_v") >= 203L) ||
+        (col("min_v") <= 399L && col("max_v") >= 399L)).count()
+    assert(survivors <= 3L && survivors < stats.count())
+  }
+
+  test("vacuum keeps the newest versions; survivors stay readable") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L), p, 1L)
+    VersionedTable.commit(df(1L -> 11L), p, 2L)
+    VersionedTable.writeStats(spark, p, 2L, Seq("k"))
+    VersionedTable.commit(df(1L -> 12L), p, 3L)
+    val dropped = VersionedTable.vacuum(spark, p, keep = 2)
+    assert(dropped == Seq(1L))
+    assert(VersionedTable.committedVersions(spark, p).sorted == Seq(2L, 3L))
+    // survivor time travel intact, including its stats manifest
+    assert(VersionedTable.readVersion(spark, p, 2L).head().getLong(1) == 11L)
+    assert(VersionedTable.readStats(spark, p, 2L).count() == 1L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, p, 1L)
+    }
+    // keep >= versions present: a no-op, never deletes the latest
+    assert(VersionedTable.vacuum(spark, p, keep = 5).isEmpty)
+  }
+
+  test("compactToSize bin-packs by bytes and carries the stats manifest") {
+    val p = freshPath()
+    val data = df((1L to 4000L).map(i => i -> i * 7): _*)
+      .repartitionByRange(16, col("k"))
+    VersionedTable.commit(data, p, 1L)
+    VersionedTable.writeStats(spark, p, 1L, Seq("k"))
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.listStatus(new Path(s"$p/v1")).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    // target = half the table -> expect 2 files
+    val v2 = VersionedTable.compactToSize(spark, p, bytes / 2 + 1)
+    assert(v2 == 2L)
+    val files2 = fs.listStatus(new Path(s"$p/v2")).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    assert(files2.size == 2, s"expected 2 bin-packed files, got ${files2.size}")
+    val v1d = VersionedTable.readVersion(spark, p, 1L)
+    val v2d = VersionedTable.readVersion(spark, p, 2L)
+    assert(v2d.exceptAll(v1d).isEmpty && v1d.exceptAll(v2d).isEmpty)
+    // stats recomputed for the new layout: rows cover v2's files
+    val s2 = VersionedTable.readStats(spark, p, 2L)
+    assert(s2.count() == 2L &&
+      s2.agg(min("min_v"), max("max_v")).head() ==
+        org.apache.spark.sql.Row(1L, 4000L))
+    // the pruned read keeps working across the compaction boundary
+    assert(VersionedTable.readVersionPruned(spark, p, 2L, "k", 1L, 10L)
+      .count() == 10L)
+  }
+
   test("incrementalAgg raises on an unknown change type") {
     import spark.implicits._
     val old = Seq((0L, 1L, 10L)).toDF("g", "n", "sv")
