@@ -89,4 +89,34 @@ object Images {
        |FROM imgs, xs, ys WHERE xs.i < w AND ys.j < h
        |GROUP BY img_id, w, h ORDER BY doc_id""".stripMargin
   }
+
+  /** The m5 oracle: the 2×2 integer average-pool replayed analytically
+    * — per-cell `SUM // COUNT` over the generated pixel grid (border
+    * cells clip, so odd dimensions pool to ceil(d/2)), then the pooled
+    * image's dimensions and pixel sum. The engine side must produce
+    * identical numbers after decode → pool → PNG re-encode → decode of
+    * real bytes; one mis-pooled or mis-encoded pixel breaks the hash.
+    */
+  def pooledOracleSql: String = {
+    val values = specs
+      .map(t => s"(${t._1}, ${t._2}, ${t._3}, ${t._4})").mkString(", ")
+    val maxW = specs.map(_._2).max
+    val maxH = specs.map(_._3).max
+    s"""WITH imgs(img_id, w, h, seed) AS (VALUES $values),
+       |xs AS (SELECT i FROM range(0, $maxW) t(i)),
+       |ys AS (SELECT j FROM range(0, $maxH) t(j)),
+       |px AS (
+       |  SELECT img_id, w, h, xs.i // 2 AS ci, ys.j // 2 AS cj,
+       |    (xs.i * 31 + ys.j * 17 + seed) % 256 AS v
+       |  FROM imgs, xs, ys WHERE xs.i < w AND ys.j < h
+       |), cells AS (
+       |  SELECT img_id, w, h, ci, cj, SUM(v) // COUNT(*) AS pv
+       |  FROM px GROUP BY img_id, w, h, ci, cj
+       |)
+       |SELECT img_id AS doc_id,
+       |  CAST((w + 1) // 2 AS BIGINT) AS width,
+       |  CAST((h + 1) // 2 AS BIGINT) AS height,
+       |  CAST(SUM(pv) AS BIGINT) AS pix_sum
+       |FROM cells GROUP BY img_id, w, h ORDER BY doc_id""".stripMargin
+  }
 }

@@ -182,6 +182,89 @@ object Multimodal {
       .toDF()
   }
 
+  /** Payload-to-payload media transform (resize / re-encode class):
+    * the second half of a real multimodal pipeline, where decode is
+    * only the entry point and the product is new MEDIA, not features.
+    * Same batch discipline as [[Decoder]]: [[open]] once per
+    * partition, one payload in, one payload out.
+    */
+  trait PayloadTransformer extends Serializable {
+    def open(): Unit = ()
+    def transform(payload: Array[Byte]): Array[Byte]
+  }
+
+  /** REAL image transform: 2×2 average-pool downsample (the classic
+    * thumbnail/feature-pyramid step) through `javax.imageio` — decode
+    * the payload, pool channel 0 with INTEGER cell averages (border
+    * cells clip to the image, so odd dimensions pool to ceil(d/2)),
+    * re-encode as 8-bit gray PNG. Integer division keeps every pooled
+    * pixel analytically recomputable — the m5 oracle replays the pool
+    * arithmetic from the generation params and the engine must agree
+    * after a decode → pool → encode → decode round trip of genuine
+    * PNG bytes.
+    */
+  object AvgPool2Transformer extends PayloadTransformer {
+    override def transform(payload: Array[Byte]): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        "AvgPool2Transformer: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val pw = (w + 1) / 2
+      val ph = (h + 1) / 2
+      val in = img.getRaster
+      val out = new java.awt.image.BufferedImage(pw, ph,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = out.getRaster
+      var cj = 0
+      while (cj < ph) {
+        var ci = 0
+        while (ci < pw) {
+          var sum = 0L
+          var n = 0L
+          var y = cj * 2
+          while (y < math.min(cj * 2 + 2, h)) {
+            var x = ci * 2
+            while (x < math.min(ci * 2 + 2, w)) {
+              sum += in.getSample(x, y, 0)
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          raster.setSample(ci, cj, 0, (sum / n).toInt)
+          ci += 1
+        }
+        cj += 1
+      }
+      val bytes = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(out, "png", bytes),
+        "no PNG writer available")
+      bytes.toByteArray
+    }
+  }
+
+  /** Per-partition batch payload transform: (doc_id, payload) →
+    * (doc_id, payload) with the media rewritten on executors — the
+    * typed-Dataset twin of [[decodeFeatures]] for transforms. Zero
+    * shuffle; compose with decodeFeatures to verify the output media.
+    */
+  def transformPayloads(docsWithPayload: DataFrame,
+      transformer: PayloadTransformer,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docsWithPayload.sparkSession
+    import spark.implicits._
+    docsWithPayload
+      .select(col(idCol).cast("long").as("doc_id"), col("payload"))
+      .as[PayloadIn]
+      .mapPartitions { batch =>
+        transformer.open()
+        batch.map(p => PayloadIn(p.doc_id, transformer.transform(p.payload)))
+      }
+      .toDF()
+  }
+
   /** Frame-sampling manifest: expand each "video" payload into one row
     * per SAMPLED frame (every `stride`-th of its `frameBytes`-sized
     * fake frames, matching ByteHistogramDecoder's frame arithmetic),

@@ -595,6 +595,29 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- m5: REAL image transform through the media pipeline ----
+    // The transform half of multimodal processing: genuine PNG bytes
+    // are decoded, 2×2 integer-average-pooled, re-ENCODED as PNG on
+    // executors, then independently re-decoded for verification — four
+    // real codec passes, zero shuffles, payloads never on the driver.
+    // The oracle replays the pool arithmetic analytically from the
+    // generation params (per-cell SUM // COUNT with border clipping),
+    // so a defect anywhere in decode → pool → encode → decode breaks
+    // the hash.
+    QueryDef("m5_png_avgpool", graft.fixtures.Images.pooledOracleSql) {
+      (s, dir) =>
+        val pooled = graft.operators.Multimodal.transformPayloads(
+          graft.fixtures.Images.pngPayloads(s),
+          graft.operators.Multimodal.AvgPool2Transformer)
+        graft.operators.Multimodal.decodeFeatures(pooled,
+            decoder = graft.operators.Multimodal.ImageIoDecoder)
+          .select(col("doc_id"),
+            element_at(col("features"), 1).cast("long").as("width"),
+            element_at(col("features"), 2).cast("long").as("height"),
+            element_at(col("features"), 3).cast("long").as("pix_sum"))
+          .orderBy("doc_id")
+    },
+
     // ---- blocked edit-distance (Levenshtein) near-dup pairs ----
     // The character-level complement to token Jaccard (d6) and
     // hash sketches (d7/d8): catches small in-place edits that shift

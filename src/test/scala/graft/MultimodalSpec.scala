@@ -101,6 +101,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AvgPool2Transformer: pooled raster is cell-exact with border " +
+      "clipping (odd dims, 1x1) and re-encodes losslessly") {
+    for ((w, h, seed) <- Seq((5, 3, 9), (1, 1, 0), (4, 4, 100), (33, 7, 255))) {
+      val pooledPng = Multimodal.AvgPool2Transformer.transform(
+        graft.fixtures.Images.encodePng(w, h, seed))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(pooledPng))
+      assert(img.getWidth == (w + 1) / 2 && img.getHeight == (h + 1) / 2,
+        s"pooled dims for ${w}x$h")
+      val raster = img.getRaster
+      for (cj <- 0 until (h + 1) / 2; ci <- 0 until (w + 1) / 2) {
+        var sum = 0L
+        var n = 0L
+        for (y <- cj * 2 until math.min(cj * 2 + 2, h);
+            x <- ci * 2 until math.min(ci * 2 + 2, w)) {
+          sum += graft.fixtures.Images.pixel(x, y, seed); n += 1
+        }
+        assert(raster.getSample(ci, cj, 0) == (sum / n).toInt,
+          s"cell ($ci, $cj) of ${w}x$h seed=$seed")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.AvgPool2Transformer.transform("not a png".getBytes)
+    }
+  }
+
   test("'imageio' registry name selects the real codec via session config") {
     assert(Multimodal.decoderForName("imageio") eq Multimodal.ImageIoDecoder)
     val key = "spark.graft.multimodal.decoder"
