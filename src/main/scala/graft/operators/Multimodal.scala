@@ -98,8 +98,56 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder: `javax.sound.sampled` (the JDK-stdlib
+    * RIFF/WAVE codec — pure JVM, no native deps). Parses the container
+    * header for the sample rate, streams the PCM frames, and packs
+    * exact audio facts into [[Decoded]]: features = [sample_rate,
+    * n_samples, sum_sq, zero_crossings, peak_abs] — all integers (the
+    * fixture's 16-bit samples keep sum_sq far below 2^53, so the
+    * double-typed feature array is lossless). frameCount = n_samples,
+    * meanByte = sum_sq / n (mean energy). The m6 oracle recomputes the
+    * same integers analytically from the generation parameters, so
+    * this decode of genuine WAV binaries is hash-checked end to end.
+    *
+    * Only 16-bit signed LE mono PCM is accepted — the decoder
+    * validates the container's declared format rather than silently
+    * misreading the frame bytes of an unexpected layout.
+    */
+  object WavPcmDecoder extends Decoder {
+    override def decode(payload: Array[Byte]): Decoded = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian && fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"WavPcmDecoder: expected 16-bit signed LE mono PCM, got $fmt")
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        var sumSq = 0L
+        var zc = 0L
+        var peak = 0L
+        var prev = 0
+        var i = 0
+        while (i < n) {
+          val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toInt
+          sumSq += s.toLong * s
+          if (math.abs(s) > peak) peak = math.abs(s).toLong
+          if (i > 0 && prev.toLong * s < 0) zc += 1
+          prev = s
+          i += 1
+        }
+        Decoded(n.toLong, if (n == 0) 0.0 else sumSq.toDouble / n,
+          Array(fmt.getSampleRate.toDouble, n.toDouble, sumSq.toDouble,
+            zc.toDouble, peak.toDouble))
+      } finally ais.close()
+    }
+  }
+
   /** Name → decoder selection. `byte-histogram` is the sandbox stub,
-    * `imageio` the real JDK image codec; ANY other name is treated as
+    * `imageio` the real JDK image codec, `wav-pcm` the real JDK audio
+    * codec; ANY other name is treated as
     * a fully-qualified [[Decoder]] class (or Scala object) and loaded
     * reflectively — the real swap point: a production build sets
     * `spark.graft.multimodal.decoder=com.example.JpegDecoder` with its
@@ -108,6 +156,7 @@ object Multimodal {
   def decoderForName(name: String): Decoder = name match {
     case "byte-histogram" => ByteHistogramDecoder
     case "imageio" => ImageIoDecoder
+    case "wav-pcm" => WavPcmDecoder
     case className =>
       val inst =
         try {
@@ -178,6 +227,88 @@ object Multimodal {
           FeatureOut(p.doc_id, p.payload.length.toLong, d.frameCount,
             d.meanByte, d.features)
         }
+      }
+      .toDF()
+  }
+
+  /** 1:N decode seam — one payload, MANY typed rows: the frame/window
+    * extraction shape every speech/video featurization pipeline has
+    * (decode once, emit a row per analysis window). Distinct from
+    * [[Decoder]] (1:1 summary features) and from m3's manifest
+    * sampling (row-local arithmetic on synthetic frames): here the
+    * expansion happens INSIDE the decoder against real decoded media.
+    */
+  trait WindowDecoder extends Serializable {
+    def open(): Unit = ()
+    def decodeWindows(docId: Long, payload: Array[Byte]): Iterator[AudioWindow]
+  }
+
+  /** Window row contract: exact integers only (sample counts, integer
+    * energy, peak) — hash-comparable across engines with no float in
+    * sight.
+    */
+  case class AudioWindow(doc_id: Long, window_idx: Long, w_samples: Long,
+      w_sum_sq: Long, w_peak_abs: Long)
+
+  /** REAL windowed audio features: decode the WAV container once
+    * (javax.sound.sampled), then slice the PCM stream into fixed
+    * `win`-sample analysis windows (the tail partial window is kept —
+    * dropping it silently loses up to win−1 samples of audio). Per
+    * window: sample count, sum-of-squares energy, peak amplitude.
+    */
+  class WavWindowDecoder(win: Int) extends WindowDecoder {
+    require(win > 0, s"window size must be positive, got $win")
+    override def decodeWindows(docId: Long,
+        payload: Array[Byte]): Iterator[AudioWindow] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian && fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"WavWindowDecoder: expected 16-bit signed LE mono PCM, got $fmt")
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val out = Vector.newBuilder[AudioWindow]
+        var w = 0
+        while (w * win < n) {
+          val end = math.min((w + 1) * win, n)
+          var sumSq = 0L
+          var peak = 0L
+          var i = w * win
+          while (i < end) {
+            val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toInt
+            sumSq += s.toLong * s
+            if (math.abs(s) > peak) peak = math.abs(s).toLong
+            i += 1
+          }
+          out += AudioWindow(docId, w.toLong, (end - w * win).toLong,
+            sumSq, peak)
+          w += 1
+        }
+        out.result().iterator
+      } finally ais.close()
+    }
+  }
+
+  /** Per-partition batch 1:N decode: binary payloads → window rows via
+    * a typed flatMap (encoder-backed, Tungsten path). Zero shuffle —
+    * at 100 TB window expansion must be a flatMap inside the scan
+    * stage, never an exchange; output partitioning is inherited, and
+    * per-payload decode state never leaves the executor.
+    */
+  def decodeAudioWindows(docsWithPayload: DataFrame,
+      decoder: WindowDecoder,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docsWithPayload.sparkSession
+    import spark.implicits._
+    docsWithPayload
+      .select(col(idCol).cast("long").as("doc_id"), col("payload"))
+      .as[PayloadIn]
+      .mapPartitions { batch =>
+        decoder.open()
+        batch.flatMap(p => decoder.decodeWindows(p.doc_id, p.payload))
       }
       .toDF()
   }

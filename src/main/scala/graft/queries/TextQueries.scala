@@ -618,6 +618,46 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
+    // ---- m6: REAL audio codec through the decode seam ----
+    // Completes the media triple: image (m4/m5, javax.imageio), AUDIO
+    // (here, javax.sound.sampled — the JDK RIFF/WAVE codec), video
+    // (m3's manifest sampling). Payloads are genuine WAV containers
+    // (16-bit LE mono PCM encoded on executors from a deterministic
+    // sample formula), the decoder is the JDK audio codec behind the
+    // SAME Multimodal.decodeFeatures seam, and the oracle knows
+    // nothing of RIFF — it recomputes duration / energy / zero
+    // crossings / peak analytically from the generation params. The
+    // sample rate is read from the container header, so a header
+    // mis-parse or a single mis-decoded PCM frame breaks the hash.
+    QueryDef("m6_wav_decode", graft.fixtures.Audio.oracleSql) { (s, dir) =>
+      graft.operators.Multimodal.decodeFeatures(
+          graft.fixtures.Audio.wavPayloads(s),
+          decoder = graft.operators.Multimodal.WavPcmDecoder)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("n_samples"),
+          element_at(col("features"), 3).cast("long").as("sum_sq"),
+          element_at(col("features"), 4).cast("long").as("zero_crossings"),
+          element_at(col("features"), 5).cast("long").as("peak_abs"))
+        .orderBy("doc_id")
+    },
+
+    // ---- m7: windowed audio features (1:N decode seam) ----
+    // The frame/window-extraction shape every speech pipeline has:
+    // decode the WAV container ONCE, emit one row per fixed-size
+    // analysis window (tail partial kept) with exact integer features.
+    // The expansion is a typed flatMap inside the scan stage — zero
+    // shuffles; at 100 TB window explosion must never be an exchange.
+    // Oracle replays the windows analytically (i // 256 bucketing of
+    // the closed-form sample function).
+    QueryDef("m7_wav_windows", graft.fixtures.Audio.windowOracleSql(256)) {
+      (s, dir) =>
+        graft.operators.Multimodal.decodeAudioWindows(
+            graft.fixtures.Audio.wavPayloads(s),
+            new graft.operators.Multimodal.WavWindowDecoder(256))
+          .orderBy("doc_id", "window_idx")
+    },
+
     // ---- blocked edit-distance (Levenshtein) near-dup pairs ----
     // The character-level complement to token Jaccard (d6) and
     // hash sketches (d7/d8): catches small in-place edits that shift

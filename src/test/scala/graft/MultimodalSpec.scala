@@ -127,6 +127,103 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WavPcmDecoder: REAL WAV round trip is sample-exact (incl. 1-sample edge)") {
+    // encode → decode locally, no Spark: the audio codec itself is
+    // exact, and the sample RATE comes back from the container header
+    for ((_, n, rate, seed) <- graft.fixtures.Audio.specs) {
+      val d = Multimodal.WavPcmDecoder.decode(
+        graft.fixtures.Audio.encodeWav(n, rate, seed))
+      assert(d.features(0) == rate.toDouble, s"rate for n=$n rate=$rate")
+      assert(d.features(1).toLong == n.toLong, s"n_samples for n=$n")
+      var sumSq = 0L
+      var zc = 0L
+      var peak = 0L
+      var prev = 0
+      for (i <- 0 until n) {
+        val s = graft.fixtures.Audio.sample(i, seed)
+        sumSq += s.toLong * s
+        if (math.abs(s) > peak) peak = math.abs(s).toLong
+        if (i > 0 && prev * s < 0) zc += 1
+        prev = s
+      }
+      assert(d.features(2).toLong == sumSq, s"sum_sq for n=$n seed=$seed")
+      assert(d.features(3).toLong == zc, s"zero_crossings for n=$n seed=$seed")
+      assert(d.features(4).toLong == peak, s"peak_abs for n=$n seed=$seed")
+      assert(d.frameCount == n.toLong)
+    }
+    // a non-audio payload fails loudly (container parse, not garbage)
+    intercept[javax.sound.sampled.UnsupportedAudioFileException] {
+      Multimodal.WavPcmDecoder.decode("not a wav".getBytes)
+    }
+  }
+
+  test("'wav-pcm' registry name selects the real audio codec end-to-end") {
+    assert(Multimodal.decoderForName("wav-pcm") eq Multimodal.WavPcmDecoder)
+    val key = "spark.graft.multimodal.decoder"
+    spark.conf.set(key, "wav-pcm")
+    try {
+      val out = Multimodal.decodeFeatures(
+          graft.fixtures.Audio.wavPayloads(spark))
+        .where($"doc_id" === 3L).collect().head
+      assert(out.getAs[scala.collection.Seq[Double]]("features")
+        .take(2).toSeq == Seq(44100.0, 2205.0))
+    } finally spark.conf.unset(key)
+  }
+
+  test("WavWindowDecoder: window slicing is sample-exact incl. tail partial") {
+    // n=513 with win=256 → windows of 256, 256, 1 — the tail partial
+    // must be kept, not dropped
+    val win = 256
+    for ((id, n, rate, seed) <- Seq((9L, 513, 11025, 200), (5L, 1, 8000, 0))) {
+      val rows = new Multimodal.WavWindowDecoder(win)
+        .decodeWindows(id, graft.fixtures.Audio.encodeWav(n, rate, seed))
+        .toVector
+      assert(rows.size == (n + win - 1) / win)
+      assert(rows.map(_.w_samples).sum == n.toLong)
+      for (r <- rows) {
+        var sumSq = 0L
+        var peak = 0L
+        val start = r.window_idx.toInt * win
+        for (i <- start until (start + r.w_samples.toInt)) {
+          val s = graft.fixtures.Audio.sample(i, seed)
+          sumSq += s.toLong * s
+          if (math.abs(s) > peak) peak = math.abs(s).toLong
+        }
+        assert(r.w_sum_sq == sumSq && r.w_peak_abs == peak,
+          s"window ${r.window_idx} of clip $id")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      new Multimodal.WavWindowDecoder(0)
+    }
+  }
+
+  test("media decode runs as a STREAMING stage (stateless mapPartitions)") {
+    // the decode seams are plan-agnostic: the same typed mapPartitions
+    // rides a streaming plan unchanged — media featurization on
+    // arrival, no batch/stream code fork
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Int, Int, Int)]
+    val payloads = in.toDF()
+      .selectExpr("_1 AS doc_id", "_2 AS n", "_3 AS rate", "_4 AS seed")
+      .as[(Long, Int, Int, Int)]
+      .map(r => graft.fixtures.Audio.PayloadRow(r._1,
+        graft.fixtures.Audio.encodeWav(r._2, r._3, r._4)))
+      .toDF()
+    val feats = Multimodal.decodeFeatures(payloads,
+      decoder = Multimodal.WavPcmDecoder)
+    in.addData((3L, 2205, 44100, 11), (5L, 1, 8000, 0))
+    val q = feats.writeStream.format("memory").queryName("m_stream_decode")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("m_stream_decode")
+      .select("doc_id", "frame_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 2205L, 5L -> 1L))
+  }
+
   test("'imageio' registry name selects the real codec via session config") {
     assert(Multimodal.decoderForName("imageio") eq Multimodal.ImageIoDecoder)
     val key = "spark.graft.multimodal.decoder"
