@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.sources.Warehouse
+import graft.sources.{Tables, Warehouse}
 
 /** Text source formats (SURVEY S6): CSV and JSON-lines exports written
   * by the engine and read back through explicit-schema readers, then
@@ -270,5 +270,30 @@ object SourceQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
         .orderBy("user_id")
+    },
+
+    // ---- c11: gzip-compressed payload ingestion (REAL codec) ----
+    // The shape a 100 TB crawl corpus arrives in: gzip members (WARC,
+    // text dumps), decompressed per payload on executors through the
+    // JDK's java.util.zip — a genuine compression codec, run against
+    // the sf-SCALED documents corpus (not a fixture: the work grows
+    // with the data). Per-doc byte length and md5 fingerprint of the
+    // round-tripped bytes must match the oracle's view of the PLAIN
+    // text — one corrupted byte anywhere in deflate/inflate breaks
+    // the hash. Compress and decompress are separate mapPartitions
+    // stages with zero shuffle between them; gzip's non-splittability
+    // (parallelism = member count, never intra-file) is documented at
+    // the seam (sources/CompressedIngest.scala).
+    QueryDef("c11_gzip_ingest",
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.sources.CompressedIngest
+      CompressedIngest.gunzipPayloads(
+          CompressedIngest.gzipPayloads(Tables.documents(s, dir)))
+        .select(col("doc_id"),
+          length(col("payload")).cast("bigint").as("n_bytes"),
+          md5(col("payload")).as("fp"))
+        .orderBy("doc_id")
     })
 }

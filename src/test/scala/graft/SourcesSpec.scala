@@ -71,6 +71,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(orphans == 0)
   }
 
+  test("gzip codec: byte-exact round trip (empty, unicode), shrinks " +
+      "repetitive input, rejects non-gzip loudly") {
+    import graft.sources.CompressedIngest._
+    for (s <- Seq("", "a", "héllo wörld — ünïcode", "x" * 5000,
+        (0 until 1000).map(i => ('a' + i % 26).toChar).mkString)) {
+      val raw = s.getBytes("UTF-8")
+      assert(gunzip(gzip(raw)).toSeq == raw.toSeq, s"round trip for len=${raw.length}")
+    }
+    // deflate genuinely compresses redundancy (it is a real codec,
+    // not a pass-through wrapper)
+    assert(gzip(("ab" * 4000).getBytes("UTF-8")).length < 200)
+    intercept[java.util.zip.ZipException] {
+      gunzip("definitely not gzip bytes".getBytes("UTF-8"))
+    }
+  }
+
+  test("gzip payload ingestion: executor-side compress/decompress " +
+      "preserves every document byte") {
+    import graft.sources.CompressedIngest
+    val docs = Tables.documents(spark, dir).limit(200)
+    val back = CompressedIngest.gunzipPayloads(
+        CompressedIngest.gzipPayloads(docs))
+      .select(col("doc_id"), col("payload").cast("string").as("text2"))
+    val diff = docs.select(col("doc_id"), col("text"))
+      .join(back, "doc_id")
+      .where(col("text") =!= col("text2"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("approx_count_distinct tracks exact within documented error (A2 scale option)") {
     val ev = Tables.events(spark, dir)
     val exact = ev.select(countDistinct(col("user_id"))).collect().head.getLong(0)
