@@ -188,5 +188,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       QuantizedDotLong.builder))
     e.injectFunction((FunctionIdentifier("signbits"), SignBits.info,
       SignBits.builder))
+    e.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      BloomMightContain.info, BloomMightContain.builder))
   }
 }

@@ -499,5 +499,51 @@ object CoreQueries {
         .select(col("o_year"), col("nation_vol4"), col("total_vol4"),
           expr("(10000 * nation_vol4) div total_vol4").as("share_bp"))
         .orderBy("o_year")
+    },
+
+    // ---- q47: bloom-filter pre-shuffle semi-join prune ----
+    // The runtime row-level filter a 100 TB shuffle join needs when
+    // the dim key-set is too big to broadcast as ROWS but fits as
+    // BITS: build a bloom over the filtered supplier keys (one-pass
+    // mergeable aggregate, functions/Bloom.scala), collect the blob
+    // (control-plane: 16 KiB here; a few MiB even for 10⁷ keys),
+    // probe it SCAN-SIDE with the native codegen expression so the
+    // exchange only carries probable matches, then run the EXACT
+    // semi join (deliberately SHUFFLE_HASH — modeling the at-scale
+    // plan where the dim outgrows a broadcast; on a broadcast-able
+    // dim the prune is redundant, not wrong). False positives die in
+    // the real join; false negatives are impossible — the bloom
+    // changes shuffle BYTES, never results, which is why the oracle
+    // is a plain IN-subquery.
+    QueryDef("q47_bloom_semi",
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(month(l_shipdate) AS BIGINT) AS l_month,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_suppkey IN (
+        |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_4')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.functions.BloomMightContain.register(s)
+      val suppKeys = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .where(col("n_name") === "NATION_4").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").cast("long").as("sk"))
+      val blob = suppKeys
+        .agg(graft.functions.Bloom.bloomAgg(col("sk"), 1 << 17, 7).as("b"))
+        .head.getAs[Array[Byte]](0)
+      Tables.lineitem(s, dir)
+        .where(call_function("bloom_might_contain",
+          lit(blob), col("l_suppkey").cast("long")))
+        .join(suppKeys.hint("shuffle_hash"),
+          col("l_suppkey").cast("long") === col("sk"), "left_semi")
+        .groupBy(year(col("l_shipdate")).cast("long").as("l_year"),
+          month(col("l_shipdate")).cast("long").as("l_month"))
+        .agg(sum(col("l_extendedprice").cast(dec12_2) *
+            (lit(1) - col("l_discount")).cast(dec4_2)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_year", "l_month")
     })
 }
