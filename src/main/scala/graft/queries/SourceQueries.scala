@@ -295,5 +295,31 @@ object SourceQueries {
           length(col("payload")).cast("bigint").as("n_bytes"),
           md5(col("payload")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // ---- c12: bloom-manifest point lookup on an UNCLUSTERED layout ----
+    // The 100 TB key-fetch shape min/max stats cannot serve: "pull
+    // these doc ids from a table hash-distributed on the id" — every
+    // file spans ~the full id domain, so range stats keep all of them,
+    // while the per-file bloom manifest (functions/Bloom.scala sketches,
+    // built per file in ONE groupBy(_metadata.file_path) scan) admits
+    // only the files that can actually hold the probed keys. File
+    // pruning happens BEFORE task scheduling (driver-side manifest
+    // probes); the residual IN filter on the surviving files stays
+    // exact, so bloom false positives cost bytes, never correctness.
+    // VersionedTableSpec quantifies the contrast (min/max keeps 8/8,
+    // bloom keeps ≤ probed-id count); the oracle replays the lookup
+    // from the raw table.
+    QueryDef("c12_bloom_point_lookup",
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE doc_id IN (7, 123, 321)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.sources.VersionedTable
+      Warehouse.documentsHashed(s, dir) // commit v1 + stats + blooms
+      VersionedTable.readVersionPrunedBloom(s,
+        Warehouse.documentsHashedPath(dir), 1L, "doc_id",
+        Seq(7L, 123L, 321L))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     })
 }

@@ -139,8 +139,9 @@ object VersionedTable {
     v + 1
   }
 
-  /** Recompute `fromV`'s stats manifest (if any) for `toV`'s files, so
-    * compaction never silently strips the data-skipping metadata.
+  /** Recompute `fromV`'s stats AND bloom manifests (if any) for `toV`'s
+    * files, so no compaction path silently strips the data-skipping
+    * metadata.
     */
   private def carryStats(spark: SparkSession, path: String,
       fromV: Long, toV: Long): Unit = {
@@ -149,6 +150,15 @@ object VersionedTable {
       val cols = readStats(spark, path, fromV)
         .select("column").distinct().collect().map(_.getString(0)).toSeq
       writeStats(spark, path, toV, cols.sorted)
+    }
+    if (fs.exists(new Path(s"$path/_bloom_v$fromV"))) {
+      val spec = readBloom(spark, path, fromV)
+        .select("column", "num_bits", "k").distinct().collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+      spec.groupBy { case (_, bits, kk) => (bits, kk) }.foreach {
+        case ((bits, kk), group) =>
+          writeBloom(spark, path, toV, group.map(_._1), bits, kk)
+      }
     }
   }
 
@@ -166,6 +176,7 @@ object VersionedTable {
     drop.foreach { v =>
       fs.delete(new Path(s"$path/v$v"), true)
       fs.delete(new Path(s"$path/_stats_v$v"), true)
+      fs.delete(new Path(s"$path/_bloom_v$v"), true)
     }
     drop
   }
@@ -251,6 +262,90 @@ object VersionedTable {
       .reduce(_ || _)
     val files = stats.where(probes)
       .select("file").collect().map(_.getString(0)).toSeq.sorted
+    val full = readVersion(spark, path, version)
+    if (files.isEmpty) full.where(lit(false))
+    else spark.read.schema(full.schema).parquet(files: _*)
+      .where(col(colName).isin(values: _*))
+  }
+
+  /** Publish per-file BLOOM sketches for `bloomCols` (long-typed
+    * columns) of committed version `version` at `path/_bloom_v<k>` —
+    * the LAYOUT-INDEPENDENT point-lookup complement to [[writeStats]]'
+    * min/max bands. Range stats only skip when the physical layout
+    * clusters the column (on a hash-distributed layout every file
+    * spans the full domain and min/max keeps everything); a bloom
+    * answers "can key K possibly be in this file" on ANY layout at
+    * `numBits` bits per file per column. Built in ONE columnar scan:
+    * `groupBy(_metadata.file_path)` with the mergeable bloom aggregate
+    * (`functions/Bloom.scala`) — per-FILE filters, never a global one,
+    * so the manifest stays file-count-sized (Delta's bloom-index /
+    * parquet-bloom shape, lifted to the manifest so pruning happens
+    * BEFORE task scheduling — row-group blooms still pay a task +
+    * footer read per file).
+    *
+    * NULL keys are not admitted to the sketch; an IN probe can never
+    * match NULL, so a file holding only NULLs in the column prunes
+    * correctly (it is simply absent from that column's manifest rows).
+    */
+  def writeBloom(spark: SparkSession, path: String, version: Long,
+      bloomCols: Seq[String], numBits: Int = 1 << 17, k: Int = 7): Unit = {
+    require(committedVersions(spark, path).contains(version),
+      s"writeBloom: version $version is not committed under $path")
+    require(bloomCols.nonEmpty, "writeBloom: no columns given")
+    val snap = spark.read.parquet(s"$path/v$version")
+      .select(col("_metadata.file_path").as("file") +:
+        bloomCols.map(col): _*)
+    val perCol = bloomCols.map { c =>
+      snap.where(col(c).isNotNull)
+        .groupBy("file")
+        .agg(graft.functions.Bloom
+          .bloomAgg(col(c).cast("long"), numBits, k).as("blob"))
+        .select(col("file"), lit(c).as("column"),
+          lit(numBits).as("num_bits"), lit(k).as("k"), col("blob"))
+    }
+    perCol.reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_bloom_v$version")
+  }
+
+  /** The bloom manifest written by [[writeBloom]]. */
+  def readBloom(spark: SparkSession, path: String, version: Long): DataFrame =
+    spark.read.parquet(s"$path/_bloom_v$version")
+
+  /** The files of `version` that might contain ANY of `values` on
+    * `colName` per the bloom manifest, plus the version's total file
+    * count. Driver-side: files × values × k probe bits over
+    * manifest-sized blobs — control-plane work, like the scheduler's
+    * own file enumeration. False positives over-keep (the residual
+    * filter stays exact); false negatives are impossible, so a pruned
+    * file provably holds none of the keys.
+    */
+  def prunedFilesBloom(spark: SparkSession, path: String, version: Long,
+      colName: String, values: Seq[Long]): (Seq[String], Long) = {
+    require(values.nonEmpty, "prunedFilesBloom: empty value list")
+    val rows = readBloom(spark, path, version)
+      .where(col("column") === colName)
+      .select("file", "blob").collect()
+    require(rows.nonEmpty,
+      s"prunedFilesBloom: no bloom manifest for column $colName at " +
+        s"v$version of $path")
+    val kept = rows.filter { r =>
+      val (bits, k) = graft.functions.Bloom.decode(r.getAs[Array[Byte]](1))
+      values.exists(graft.functions.Bloom.mightContain(bits, k, _))
+    }.map(_.getString(0)).toSeq.sorted
+    (kept, rows.length.toLong)
+  }
+
+  /** IN-list point lookup through the bloom manifest: schedule only
+    * the files whose sketch admits at least one probe key, then apply
+    * the exact residual IN filter. The 100 TB shape this serves:
+    * "fetch these 50 document ids from a 10k-file table" on a layout
+    * that is NOT clustered by id — min/max keeps every file there,
+    * the bloom keeps ~the files that truly hold the keys (+FPR).
+    */
+  def readVersionPrunedBloom(spark: SparkSession, path: String,
+      version: Long, colName: String, values: Seq[Long]): DataFrame = {
+    val (files, _) = prunedFilesBloom(spark, path, version, colName, values)
     val full = readVersion(spark, path, version)
     if (files.isEmpty) full.where(lit(false))
     else spark.read.schema(full.schema).parquet(files: _*)

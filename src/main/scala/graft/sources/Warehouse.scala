@@ -299,4 +299,31 @@ object Warehouse {
         .write.partitionBy("shard").mode("overwrite").parquet(path)
       s.read.parquet(path)
     }
+
+  /** Document metadata committed HASH-distributed on doc_id (8 files,
+    * deliberately unclustered) with BOTH manifests published: min/max
+    * stats, which cannot skip on this layout (every file spans ~the
+    * full id domain), and per-file blooms, which can — the fixture
+    * contrasting the two data-skipping paths (VersionedTableSpec
+    * asserts the file counts; c12 reads through the bloom path).
+    */
+  def documentsHashedPath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/documents_hashed$safe"
+  }
+
+  def documentsHashed(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_hashed:$dir") {
+      val path = documentsHashedPath(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(8, col("doc_id"))
+      VersionedTable.commit(docs, path, 1L)
+      VersionedTable.writeStats(s, path, 1L, Seq("doc_id"))
+      VersionedTable.writeBloom(s, path, 1L, Seq("doc_id"))
+      VersionedTable.readVersion(s, path, 1L)
+    }
 }

@@ -371,4 +371,83 @@ class VersionedTableSpec extends AnyFunSuite {
       || e.getCause != null
       && e.getCause.getMessage.contains("unknown _change_type"))
   }
+
+  // ---- per-file bloom manifests: layout-independent point skipping ----
+
+  test("bloom prune skips on a HASH layout where min/max keeps every file") {
+    val p = freshPath()
+    // hash-distributed on k: every file spans ~the full [1, 400] domain
+    VersionedTable.commit(
+      df((1L to 400L).map(i => i -> i): _*).repartition(8, col("k")),
+      p, 1L)
+    VersionedTable.writeStats(spark, p, 1L, Seq("k"))
+    VersionedTable.writeBloom(spark, p, 1L, Seq("k"))
+    val probes = Seq(7L, 203L, 399L)
+    // the range manifest is useless here: every file's [min, max]
+    // admits every probe
+    val stats = VersionedTable.readStats(spark, p, 1L)
+    val rangeSurvivors = stats.where(
+      probes.map(v => col("min_v") <= v && col("max_v") >= v)
+        .reduce(_ || _)).count()
+    assert(rangeSurvivors == stats.count(),
+      "fixture broke: hash layout should defeat min/max pruning")
+    // the bloom manifest keeps at most one file per probed key
+    val (kept, total) = VersionedTable.prunedFilesBloom(
+      spark, p, 1L, "k", probes)
+    assert(total == 8L)
+    assert(kept.size <= probes.size && kept.nonEmpty,
+      s"bloom kept ${kept.size} of $total files")
+    // and the pruned read is exact
+    val got = VersionedTable.readVersionPrunedBloom(spark, p, 1L, "k", probes)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got == probes)
+  }
+
+  test("bloom prune for absent keys reads zero rows; " +
+      "pruned files provably hold none of the probes") {
+    val p = freshPath()
+    VersionedTable.commit(
+      df((1L to 400L).map(i => i -> i): _*).repartition(8, col("k")),
+      p, 1L)
+    VersionedTable.writeBloom(spark, p, 1L, Seq("k"))
+    val got = VersionedTable.readVersionPrunedBloom(spark, p, 1L,
+      "k", Seq(100000L, 200000L))
+    assert(got.count() == 0L)
+    // no-false-negative direction: every PRESENT key keeps >= 1 file
+    (1L to 400L by 37L).foreach { v =>
+      assert(VersionedTable.prunedFilesBloom(spark, p, 1L, "k", Seq(v))
+        ._1.nonEmpty, s"present key $v was falsely pruned")
+    }
+  }
+
+  test("compaction carries the bloom manifest; vacuum deletes it") {
+    val p = freshPath()
+    VersionedTable.commit(
+      df((1L to 400L).map(i => i -> i): _*).repartition(8, col("k")),
+      p, 1L)
+    VersionedTable.writeBloom(spark, p, 1L, Seq("k"), numBits = 1 << 12,
+      k = 5)
+    val v2 = VersionedTable.compact(spark, p, targetFiles = 2)
+    // the carried manifest re-sketches the NEW files with the SAME
+    // sizing, and stays exact
+    val carried = VersionedTable.readBloom(spark, p, v2)
+    assert(carried.select("num_bits").distinct().head().getInt(0) == (1 << 12))
+    val got = VersionedTable.readVersionPrunedBloom(spark, p, v2,
+      "k", Seq(7L, 203L))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7L, 203L))
+    VersionedTable.vacuum(spark, p, keep = 1)
+    intercept[Exception] {
+      VersionedTable.readBloom(spark, p, 1L).collect()
+    }
+  }
+
+  test("bloom prune without a manifest for the column fails loudly") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L), p, 1L)
+    VersionedTable.writeBloom(spark, p, 1L, Seq("v"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.prunedFilesBloom(spark, p, 1L, "k", Seq(1L))
+    }
+  }
 }
