@@ -1,10 +1,12 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Bloom, BloomMightContain}
 import graft.queries.CoreQueries
+import graft.sources.Tables
 
 class BloomSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -62,6 +64,75 @@ class BloomSpec extends AnyFunSuite {
         .collect()
     }
     assert(e.getMessage.toLowerCase.contains("foldable"))
+  }
+
+  /** Total shuffle bytes written by every task that completes while
+    * `body` runs. Task-end events arrive asynchronously on the
+    * listener bus, so after the action returns we poll until the
+    * counter is stable (3 consecutive unchanged reads, 50 ms apart).
+    */
+  private def measuredShuffleWrite(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) acc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var prev = -1L; var stable = 0; var iters = 0
+      while (stable < 3 && iters < 100) {
+        Thread.sleep(50)
+        val cur = acc.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        iters += 1
+      }
+      acc.get
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("q47 bloom prune cuts measured shuffle write bytes, not just rows-on-paper") {
+    // The at-scale claim behind q47 is that the scan-side bloom probe
+    // shrinks the fact exchange. Measure it: the same shuffle-hash
+    // semi + aggregate, with and without the probe, on sf0.01 (the
+    // NATION_4 dim admits ~4% of suppliers, so the pruned exchange
+    // should carry a small fraction of the bytes; assert a loose 2x).
+    val d01 = "/root/testdata/sf0.01"
+    BloomMightContain.register(spark)
+    val suppKeys = Tables.supplier(spark, d01)
+      .join(broadcast(Tables.nation(spark, d01)
+        .where(col("n_name") === "NATION_4").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").cast("long").as("sk"))
+    val blob = suppKeys
+      .agg(Bloom.bloomAgg(col("sk"), 1 << 17, 7).as("b"))
+      .head.getAs[Array[Byte]](0)
+
+    def run(withBloom: Boolean): Long = measuredShuffleWrite {
+      val fact0 = Tables.lineitem(spark, d01)
+      val fact =
+        if (withBloom)
+          fact0.where(call_function("bloom_might_contain",
+            lit(blob), col("l_suppkey").cast("long")))
+        else fact0
+      fact
+        .join(suppKeys.hint("shuffle_hash"),
+          col("l_suppkey").cast("long") === col("sk"), "left_semi")
+        .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+        .collect()
+    }
+
+    val unpruned = run(withBloom = false)
+    val pruned = run(withBloom = true)
+    info(s"shuffle write bytes: unpruned=$unpruned pruned=$pruned " +
+      f"(${pruned.toDouble / unpruned}%.3f of baseline)")
+    assert(unpruned > 0, "baseline run shuffled nothing - measurement broken")
+    assert(pruned > 0, "pruned run shuffled nothing - measurement broken")
+    assert(pruned * 2 < unpruned,
+      s"bloom probe did not cut shuffle bytes: $pruned vs $unpruned")
   }
 
   test("q47 plan: bloom probe filters the fact scan BEFORE the exchange; semi join is shuffle-hash") {
