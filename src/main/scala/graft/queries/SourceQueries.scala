@@ -321,5 +321,33 @@ object SourceQueries {
         Seq(7L, 123L, 321L))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // ---- c13: full-text keyword search through the token-bloom
+    // manifest. "Find every document containing BOTH terms" answered
+    // by (a) a driver-side probe of per-file vocabulary sketches that
+    // schedules only files that can possibly match — the 100 TB grep
+    // that never scans the corpus — and (b) the exact tokenized
+    // containment filter on the survivors. False positives cost bytes;
+    // false negatives are impossible, so results are exact — which is
+    // why the oracle is the plain containment predicate. The skip
+    // itself is quantified in VersionedTableSpec on a fixture whose
+    // files have disjoint marker vocabularies (this corpus's 31-token
+    // synthetic vocabulary appears in every file by construction).
+    QueryDef("c13_token_search",
+      """SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+        |FROM documents
+        |WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'dup')
+        |  AND list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.sources.VersionedTable
+      Warehouse.documentsText(s, dir) // commit v1 + token blooms
+      VersionedTable.readVersionSearch(s,
+        Warehouse.documentsTextPath(dir), 1L, "text", Seq("dup", "vector"))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT)")
+            .as("n_tokens"))
+        .orderBy("doc_id")
     })
 }

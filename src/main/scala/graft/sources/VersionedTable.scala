@@ -160,6 +160,14 @@ object VersionedTable {
           writeBloom(spark, path, toV, group.map(_._1), bits, kk)
       }
     }
+    if (fs.exists(new Path(s"$path/_tokens_v$fromV"))) {
+      readTokenBloom(spark, path, fromV)
+        .select("column", "num_bits", "k").distinct().collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+        .foreach { case (c, bits, kk) =>
+          writeTokenBloom(spark, path, toV, c, bits, kk)
+        }
+    }
   }
 
   /** Retention: delete every committed version EXCEPT the newest
@@ -177,6 +185,7 @@ object VersionedTable {
       fs.delete(new Path(s"$path/v$v"), true)
       fs.delete(new Path(s"$path/_stats_v$v"), true)
       fs.delete(new Path(s"$path/_bloom_v$v"), true)
+      fs.delete(new Path(s"$path/_tokens_v$v"), true)
     }
     drop
   }
@@ -350,6 +359,106 @@ object VersionedTable {
     if (files.isEmpty) full.where(lit(false))
     else spark.read.schema(full.schema).parquet(files: _*)
       .where(col(colName).isin(values: _*))
+  }
+
+  /** The canonical tokenizer shared by the token-bloom build, the
+    * residual search filter, and every oracle: lowercase alnum runs.
+    * Kept as ONE expression string so build and probe can never drift.
+    */
+  private def tokensExpr(textCol: String): String =
+    s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"
+
+  /** Publish a per-file TOKEN bloom manifest for text column `textCol`
+    * of committed version `version` at `path/_tokens_v<k>` — a
+    * full-text-search skip index: "which files can possibly contain
+    * the word W?" answered driver-side, before any task is scheduled.
+    * This is the capability behind "grep a 100 TB corpus for a rare
+    * term without scanning it": token blooms admit ~the files that
+    * truly contain the term (+FPR); everything else never leaves the
+    * manifest.
+    *
+    * Built in ONE columnar scan of the text column: tokenize →
+    * per-row distinct token hashes → explode → `groupBy(file)` with
+    * the mergeable bloom aggregate (map-side partial bitsets, so the
+    * shuffle carries file-count × blob, never token rows). Sizing
+    * note: unlike key blooms, token blooms hold a file's DISTINCT
+    * VOCABULARY — size `numBits` for vocabulary cardinality (2^17
+    * bits / k=7 holds ~10k distinct tokens at ~1% FPR), not row count.
+    */
+  def writeTokenBloom(spark: SparkSession, path: String, version: Long,
+      textCol: String, numBits: Int = 1 << 17, k: Int = 7): Unit = {
+    require(committedVersions(spark, path).contains(version),
+      s"writeTokenBloom: version $version is not committed under $path")
+    spark.read.parquet(s"$path/v$version")
+      .select(col("_metadata.file_path").as("file"), col(textCol))
+      .where(col(textCol).isNotNull)
+      .select(col("file"), explode(expr(
+        s"array_distinct(transform(${tokensExpr(textCol)}, t -> xxhash64(t)))"))
+        .as("th"))
+      .groupBy("file")
+      .agg(graft.functions.Bloom.bloomAgg(col("th"), numBits, k).as("blob"))
+      .select(col("file"), lit(textCol).as("column"),
+        lit(numBits).as("num_bits"), lit(k).as("k"), col("blob"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_tokens_v$version")
+  }
+
+  /** The token-bloom manifest written by [[writeTokenBloom]]. */
+  def readTokenBloom(spark: SparkSession, path: String,
+      version: Long): DataFrame =
+    spark.read.parquet(s"$path/_tokens_v$version")
+
+  /** Hash search terms EXACTLY as the manifest build hashed tokens —
+    * through the engine's own xxhash64 on a 1-row control-plane plan,
+    * so a Spark-version hash change can never split build from probe.
+    */
+  private def termHashes(spark: SparkSession, terms: Seq[String]): Seq[Long] = {
+    require(terms.nonEmpty, "token search: empty term list")
+    terms.foreach(t => require(t.matches("[a-z0-9]+"),
+      s"search term must be a lowercase alnum token, got '$t'"))
+    val row = spark.range(1)
+      .select(terms.zipWithIndex.map { case (t, i) =>
+        xxhash64(lit(t)).as(s"h$i")
+      }: _*).head
+    terms.indices.map(row.getLong)
+  }
+
+  /** The files of `version` that might contain EVERY one of `terms`
+    * in `textCol` per the token manifest (AND search semantics at
+    * file granularity — a superset of the row-level answer, which the
+    * residual filter makes exact), plus the total file count.
+    */
+  def prunedFilesToken(spark: SparkSession, path: String, version: Long,
+      textCol: String, terms: Seq[String]): (Seq[String], Long) = {
+    val hashes = termHashes(spark, terms)
+    val rows = readTokenBloom(spark, path, version)
+      .where(col("column") === textCol)
+      .select("file", "blob").collect()
+    require(rows.nonEmpty,
+      s"prunedFilesToken: no token manifest for column $textCol at " +
+        s"v$version of $path")
+    val kept = rows.filter { r =>
+      val (bits, k) = graft.functions.Bloom.decode(r.getAs[Array[Byte]](1))
+      hashes.forall(graft.functions.Bloom.mightContain(bits, k, _))
+    }.map(_.getString(0)).toSeq.sorted
+    (kept, rows.length.toLong)
+  }
+
+  /** Keyword search through the token manifest: schedule only the
+    * files whose vocabulary sketch admits every term, then apply the
+    * exact row-level containment filter (a row matches iff its
+    * tokenized text contains ALL terms). False positives cost bytes;
+    * false negatives are impossible (a term a file contains is always
+    * in its sketch), so the search NEVER misses a document.
+    */
+  def readVersionSearch(spark: SparkSession, path: String, version: Long,
+      textCol: String, terms: Seq[String]): DataFrame = {
+    val (files, _) = prunedFilesToken(spark, path, version, textCol, terms)
+    val full = readVersion(spark, path, version)
+    val residual = terms.map(t =>
+      array_contains(expr(tokensExpr(textCol)), t)).reduce(_ && _)
+    if (files.isEmpty) full.where(lit(false))
+    else spark.read.schema(full.schema).parquet(files: _*).where(residual)
   }
 
   /** Multi-dimensional data skipping: keep only files overlapping

@@ -326,4 +326,28 @@ object Warehouse {
       VersionedTable.writeBloom(s, path, 1L, Seq("doc_id"))
       VersionedTable.readVersion(s, path, 1L)
     }
+
+  /** Documents WITH the text column as a hash-distributed versioned
+    * table carrying a token-bloom manifest (c13's full-text skip
+    * index). Hash layout on doc_id — the worst case for range stats,
+    * the case token blooms are for.
+    */
+  def documentsTextPath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/documents_text$safe"
+  }
+
+  def documentsText(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_text:$dir") {
+      val path = documentsTextPath(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "text")
+        .repartition(8, col("doc_id"))
+      VersionedTable.commit(docs, path, 1L)
+      VersionedTable.writeTokenBloom(s, path, 1L, "text")
+      VersionedTable.readVersion(s, path, 1L)
+    }
 }

@@ -450,4 +450,76 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.prunedFilesBloom(spark, p, 1L, "k", Seq(1L))
     }
   }
+
+  // ---- per-file token blooms: full-text-search file skipping ----
+
+  /** 800 docs in 8 range-partitioned files; every doc carries the
+    * corpus-wide token "common" plus its block's exclusive marker
+    * "markerN" (N = doc_id / 100 = the file it lands in), so each
+    * marker's vocabulary entry exists in exactly one file.
+    */
+  private def tokenFixture(): String = {
+    import spark.implicits._
+    val p = freshPath()
+    val docs = (0L until 800L).map(i =>
+      (i, s"common text with marker${i / 100} inside")).toDF("doc_id", "text")
+    VersionedTable.commit(
+      docs.repartitionByRange(8, col("doc_id")), p, 1L)
+    VersionedTable.writeTokenBloom(spark, p, 1L, "text")
+    p
+  }
+
+  test("token search schedules only the files whose vocabulary admits the term") {
+    val p = tokenFixture()
+    // a marker term lives in one block = one range file
+    val (kept, total) = VersionedTable.prunedFilesToken(
+      spark, p, 1L, "text", Seq("marker3"))
+    assert(total == 8L)
+    assert(kept.size == 1, s"marker3 should admit 1 of 8 files, got $kept")
+    // the corpus-wide term admits everything (no false prune)
+    assert(VersionedTable.prunedFilesToken(
+      spark, p, 1L, "text", Seq("common"))._1.size == 8)
+    // AND semantics intersect at file level: common AND marker3 -> 1 file
+    assert(VersionedTable.prunedFilesToken(
+      spark, p, 1L, "text", Seq("common", "marker3"))._1.size == 1)
+    // and the search is row-exact on the survivors
+    val got = VersionedTable.readVersionSearch(
+      spark, p, 1L, "text", Seq("marker3", "common"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (300L until 400L))
+  }
+
+  test("token search: absent term reads zero rows; present terms never miss") {
+    val p = tokenFixture()
+    assert(VersionedTable.readVersionSearch(
+      spark, p, 1L, "text", Seq("zzzabsent")).count() == 0L)
+    // no-false-negative sweep: every marker finds its full block
+    (0 until 8).foreach { b =>
+      assert(VersionedTable.readVersionSearch(
+        spark, p, 1L, "text", Seq(s"marker$b")).count() == 100L,
+        s"marker$b block was falsely pruned")
+    }
+    // terms must be canonical lowercase tokens — anything else would
+    // silently hash to a vocabulary entry that cannot exist
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersionSearch(spark, p, 1L, "text", Seq("Marker3"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersionSearch(spark, p, 1L, "text", Seq())
+    }
+  }
+
+  test("compaction re-sketches the token manifest; vacuum deletes it") {
+    val p = tokenFixture()
+    val v2 = VersionedTable.compact(spark, p, targetFiles = 2)
+    val carried = VersionedTable.readTokenBloom(spark, p, v2)
+    assert(carried.count() == 2L, "token manifest not re-sketched on compact")
+    // search still exact across the compaction boundary
+    assert(VersionedTable.readVersionSearch(
+      spark, p, v2, "text", Seq("marker5")).count() == 100L)
+    VersionedTable.vacuum(spark, p, keep = 1)
+    intercept[Exception] {
+      VersionedTable.readTokenBloom(spark, p, 1L).collect()
+    }
+  }
 }
