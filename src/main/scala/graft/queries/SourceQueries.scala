@@ -349,5 +349,21 @@ object SourceQueries {
           expr("CAST(size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT)")
             .as("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // ---- c14: metadata-only aggregation. COUNT(*)/MIN/MAX answered
+    // from the per-file stats manifest with ZERO data files read (the
+    // spec deletes them first and the answer still comes back) — the
+    // catalog-ping-vs-full-scan difference for the dashboard aggregate
+    // a 100 TB table serves hourly. The oracle computes the same three
+    // values the honest way, from the raw table.
+    QueryDef("c14_metadata_agg",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(doc_id) AS min_v, MAX(doc_id) AS max_v
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import graft.sources.VersionedTable
+      Warehouse.documentsHashed(s, dir) // commit v1 + stats + blooms
+      VersionedTable.statsAgg(s,
+        Warehouse.documentsHashedPath(dir), 1L, "doc_id")
     })
 }

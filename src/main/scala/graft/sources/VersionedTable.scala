@@ -361,6 +361,32 @@ object VersionedTable {
       .where(col(colName).isin(values: _*))
   }
 
+  /** Metadata-only aggregation (the Delta/Iceberg "answer from the
+    * manifest" path): COUNT(*) / MIN / MAX on a stats-carrying column
+    * computed purely from the per-file manifest — sum of per-file row
+    * counts, min of per-file minima, max of per-file maxima. ZERO data
+    * files are read (spec-proven by deleting them first): at 100 TB
+    * this is the difference between a catalog ping and a full scan for
+    * the `SELECT count(*), min(k), max(k)` a dashboard fires hourly.
+    *
+    * Semantics match SQL aggregates exactly: `n_rows` counts ALL rows
+    * (the manifest's per-file count is unconditional); `min_v`/`max_v`
+    * ignore NULLs (an all-NULL file publishes NULL stats, which
+    * min/max skip). Only sound because snapshots are immutable — a
+    * mutable table would need manifest invalidation on write.
+    */
+  def statsAgg(spark: SparkSession, path: String, version: Long,
+      colName: String): DataFrame = {
+    val stats = readStats(spark, path, version)
+      .where(col("column") === colName)
+    require(stats.count() > 0,
+      s"statsAgg: no stats for column $colName at v$version of $path")
+    stats.agg(
+      sum("n_rows").cast("long").as("n_rows"),
+      min("min_v").as("min_v"),
+      max("max_v").as("max_v"))
+  }
+
   /** The canonical tokenizer shared by the token-bloom build, the
     * residual search filter, and every oracle: lowercase alnum runs.
     * Kept as ONE expression string so build and probe can never drift.

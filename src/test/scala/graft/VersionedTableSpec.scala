@@ -509,6 +509,50 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  // ---- metadata-only aggregation ----
+
+  test("statsAgg answers COUNT/MIN/MAX from the manifest with the data files DELETED") {
+    val p = freshPath()
+    VersionedTable.commit(
+      df((1L to 400L).map(i => i -> (i * 3)): _*).repartition(8, col("k")),
+      p, 1L)
+    VersionedTable.writeStats(spark, p, 1L, Seq("k", "v"))
+    // agree with the honest scan first
+    val viaScan = VersionedTable.readVersion(spark, p, 1L)
+      .agg(count(lit(1)), min("k"), max("k")).head()
+    val viaStats = VersionedTable.statsAgg(spark, p, 1L, "k").head()
+    assert(viaStats.getLong(0) == viaScan.getLong(0))
+    assert(viaStats.getLong(1) == viaScan.getLong(1))
+    assert(viaStats.getLong(2) == viaScan.getLong(2))
+    // now destroy every data file; the manifest keeps answering
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(s"$p/v1")).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.delete(f.getPath, false))
+    val after = VersionedTable.statsAgg(spark, p, 1L, "v").head()
+    assert(after.getLong(0) == 400L)
+    assert(after.getLong(1) == 3L && after.getLong(2) == 1200L)
+    // a column without stats still fails loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.statsAgg(spark, p, 1L, "nope")
+    }
+  }
+
+  test("statsAgg NULL semantics: all rows counted, NULLs invisible to min/max") {
+    import spark.implicits._
+    val p = freshPath()
+    val rows = Seq[(Long, Option[Long])](
+      1L -> Some(10L), 2L -> None, 3L -> Some(30L), 4L -> None)
+      .toDF("k", "v")
+    // force one all-NULL file: partition by nullness
+    VersionedTable.commit(
+      rows.repartition(2, col("v").isNull), p, 1L)
+    VersionedTable.writeStats(spark, p, 1L, Seq("v"))
+    val got = VersionedTable.statsAgg(spark, p, 1L, "v").head()
+    assert(got.getLong(0) == 4L, "COUNT must include NULL rows")
+    assert(got.getLong(1) == 10L && got.getLong(2) == 30L)
+  }
+
   test("compaction re-sketches the token manifest; vacuum deletes it") {
     val p = tokenFixture()
     val v2 = VersionedTable.compact(spark, p, targetFiles = 2)
