@@ -90,6 +90,25 @@ object Images {
        |GROUP BY img_id, w, h ORDER BY doc_id""".stripMargin
   }
 
+  /** The fixture as a DIRECTORY of real .png FILES (m8's input): the
+    * shape a media corpus actually arrives in — files in an object
+    * store, identity in the file NAME, not a column. Written once per
+    * warehouse dir (idempotent on content: encoding is deterministic);
+    * a non-image `README.txt` is planted deliberately so the reader's
+    * `pathGlobFilter` has something real to exclude.
+    */
+  def writePngDir(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(root)
+    specs.foreach { case (id, w, h, seed) =>
+      java.nio.file.Files.write(
+        root.resolve(f"img_$id%03d.png"), encodePng(w, h, seed))
+    }
+    java.nio.file.Files.write(root.resolve("README.txt"),
+      "not an image - the glob filter must skip this".getBytes("UTF-8"))
+    dir
+  }
+
   /** The m5 oracle: the 2×2 integer average-pool replayed analytically
     * — per-cell `SUM // COUNT` over the generated pixel grid (border
     * cells clip, so odd dimensions pool to ceil(d/2)), then the pooled

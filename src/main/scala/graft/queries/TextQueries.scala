@@ -658,6 +658,37 @@ object TextQueries {
           .orderBy("doc_id", "window_idx")
     },
 
+    // ---- m8: media ingestion from a DIRECTORY OF FILES ----
+    // The shape a 100 TB image corpus actually arrives in: loose
+    // files in an object store, identity in the file NAME. Spark's
+    // built-in `binaryFile` source lists + reads them as (path,
+    // length, content) rows — each file one row, read on executors,
+    // partitioned by Spark's ordinary file-split scheduling —
+    // `pathGlobFilter` excludes the planted non-image at LISTING time
+    // (never read, never decoded), the doc id is parsed from the
+    // filename, and the payloads flow through the SAME decode seam as
+    // m4. The oracle is m4's: identical analytic expectations, so
+    // byte drift anywhere in write-to-disk → list → read → decode
+    // breaks the hash.
+    QueryDef("m8_binary_ingest", graft.fixtures.Images.oracleSql) { (s, dir) =>
+      val pngDir = graft.fixtures.Images.writePngDir(
+        "spark-warehouse/png_files" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(pngDir)
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+          col("content").as("payload"))
+      graft.operators.Multimodal.decodeFeatures(files,
+          decoder = graft.operators.Multimodal.ImageIoDecoder)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("pix_sum"))
+        .orderBy("doc_id")
+    },
+
     // ---- blocked edit-distance (Levenshtein) near-dup pairs ----
     // The character-level complement to token Jaccard (d6) and
     // hash sketches (d7/d8): catches small in-place edits that shift

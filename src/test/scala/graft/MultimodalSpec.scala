@@ -101,6 +101,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("binaryFile ingestion (m8): glob filter excludes non-images at LISTING; " +
+      "filename-keyed decode matches the encode side") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val dir = graft.fixtures.Images.writePngDir(
+      java.nio.file.Files.createTempDirectory("m8png").toString)
+    // the planted README is listed without the filter...
+    val unfiltered = spark.read.format("binaryFile").load(dir).count()
+    assert(unfiltered == graft.fixtures.Images.specs.size + 1L)
+    // ...and excluded by it — at listing time, before any read
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+    assert(files.count() == graft.fixtures.Images.specs.size.toLong)
+    // filename-derived ids + decode agree with the generation params
+    val got = Multimodal.decodeFeatures(
+        files.select(
+          regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+          col("content").as("payload")),
+        decoder = Multimodal.ImageIoDecoder)
+      .select(col("doc_id"), element_at(col("features"), 1).cast("int"),
+        element_at(col("features"), 2).cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(got.toSeq == graft.fixtures.Images.specs
+      .map(t => (t._1, t._2, t._3)).sortBy(_._1))
+  }
+
   test("AvgPool2Transformer: pooled raster is cell-exact with border " +
       "clipping (odd dims, 1x1) and re-encodes losslessly") {
     for ((w, h, seed) <- Seq((5, 3, 9), (1, 1, 0), (4, 4, 100), (33, 7, 255))) {
