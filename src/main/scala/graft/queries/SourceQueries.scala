@@ -365,5 +365,25 @@ object SourceQueries {
       Warehouse.documentsHashed(s, dir) // commit v1 + stats + blooms
       VersionedTable.statsAgg(s,
         Warehouse.documentsHashedPath(dir), 1L, "doc_id")
+    },
+
+    // ---- c15: shared-file manifest table (O(delta) appends). The
+    // table was committed as TWO appends; v2's manifest REFERENCES
+    // v1's files (never copies them — the spec audits the sharing),
+    // and this query reads the latest version through the manifest.
+    // The oracle aggregates the raw table: a lost file, a double-
+    // referenced file, or a row duplicated across the append boundary
+    // all break the hash.
+    QueryDef("c15_append_scan",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      Warehouse.documentsManifest(s, dir) // latest of two O(delta) appends
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
     })
 }

@@ -337,6 +337,33 @@ object Warehouse {
     s"spark-warehouse/documents_text$safe"
   }
 
+  /** Documents as a SHARED-FILE manifest table built by two O(delta)
+    * appends (doc_id < 250, then the rest) with per-file stats
+    * extended incrementally — c15 reads the latest version through
+    * the manifest; the v2 commit wrote only the second half's files.
+    */
+  def documentsManifestPath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/documents_manifest$safe"
+  }
+
+  def documentsManifest(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_manifest:$dir") {
+      val path = documentsManifestPath(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      ManifestTable.commitAppend(
+        docs.where(col("doc_id") < 250).repartition(4, col("doc_id")), path)
+      ManifestTable.extendStats(s, path, 1L, Seq("doc_id"))
+      val v2 = ManifestTable.commitAppend(
+        docs.where(col("doc_id") >= 250).repartition(4, col("doc_id")), path)
+      ManifestTable.extendStats(s, path, v2, Seq("doc_id"))
+      ManifestTable.readVersion(s, path, v2)
+    }
+
   def documentsText(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrElseUpdate(s, s"documents_text:$dir") {
       val path = documentsTextPath(dir)

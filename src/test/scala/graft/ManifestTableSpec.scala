@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestTable
+
+/** The shared-file manifest layout: O(delta) appends, per-file
+  * metadata outliving versions, refcounting vacuum, CAS commits.
+  */
+class ManifestTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshPath(): String =
+    Files.createTempDirectory("mtab").resolve("t").toString
+
+  private def df(lo: Long, hi: Long, parts: Int = 2) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i, i * 3)).toDF("k", "v")
+      .repartition(parts, col("k"))
+  }
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("append commits are O(delta): parent files shared, only new rows written") {
+    val p = freshPath()
+    assert(ManifestTable.commitAppend(df(0, 100), p) == 1L)
+    val v1Files = ManifestTable.files(spark, p, 1L)
+    assert(ManifestTable.commitAppend(df(100, 150), p) == 2L)
+    val v2Files = ManifestTable.files(spark, p, 2L)
+    // v2 REFERENCES every v1 file (no copy) plus its own delta
+    assert(v2Files.startsWith(v1Files))
+    assert(v2Files.size > v1Files.size)
+    // both versions read correctly and independently
+    assert(ManifestTable.readVersion(spark, p, 1L).count() == 100L)
+    assert(ManifestTable.readVersion(spark, p, 2L).count() == 150L)
+    assert(ManifestTable.latest(spark, p)
+      .agg(sum("k")).head.getLong(0) == (0L until 150L).sum)
+    // history audits the sharing
+    val h = ManifestTable.history(spark, p).orderBy("version").collect()
+    assert(h(0).getLong(3) == 0L)
+    assert(h(1).getLong(3) == v1Files.size.toLong)
+  }
+
+  test("concurrent version publish is CAS: loser retries to the next version") {
+    val p = freshPath()
+    ManifestTable.commitAppend(df(0, 10), p)
+    // simulate a racing writer that already took v2
+    val winner = new Path(p, "_manifest_v2.json")
+    val out = fs(p).create(winner, false)
+    out.write(ManifestTable.files(spark, p, 1L)
+      .map(n => "\"" + n + "\"").mkString("[", ",", "]").getBytes("UTF-8"))
+    out.close()
+    // our append must land at v3, on top of the winner's list
+    val got = ManifestTable.commitAppend(df(10, 20), p)
+    assert(got == 3L)
+    assert(ManifestTable.readVersion(spark, p, 3L).count() == 20L)
+  }
+
+  test("per-file stats outlive versions: extendStats scans only the delta") {
+    val p = freshPath()
+    ManifestTable.commitAppend(df(0, 100), p)
+    ManifestTable.extendStats(spark, p, 1L, Seq("k"))
+    val rowsAfterV1 = ManifestTable.readFileStats(spark, p).count()
+    ManifestTable.commitAppend(df(100, 150), p)
+    ManifestTable.extendStats(spark, p, 2L, Seq("k"))
+    val all = ManifestTable.readFileStats(spark, p)
+    // v1's files were NOT re-sketched: their rows are byte-stable
+    assert(all.count() > rowsAfterV1)
+    val v1Names = ManifestTable.files(spark, p, 1L)
+    assert(all.where(col("file").isin(v1Names: _*)).count() == rowsAfterV1)
+    // extendStats on an already-covered version is a no-op
+    ManifestTable.extendStats(spark, p, 2L, Seq("k"))
+    assert(ManifestTable.readFileStats(spark, p).count() == all.count())
+    // and the versioned stats views disagree exactly by the delta files
+    assert(ManifestTable.statsFor(spark, p, 1L).count() == rowsAfterV1)
+  }
+
+  test("pruned read through per-file stats; missing stats fail loudly") {
+    val p = freshPath()
+    // range layout so the band prunes
+    import spark.implicits._
+    val data = (0L until 400L).map(i => (i, i)).toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+    ManifestTable.commitAppend(data, p)
+    ManifestTable.extendStats(spark, p, 1L, Seq("k"))
+    val got = ManifestTable.readVersionPruned(spark, p, 1L, "k", 10L, 40L)
+    assert(got.count() == 31L)
+    // append WITHOUT extending stats -> pruned read of v2 must refuse
+    ManifestTable.commitAppend(df(400, 420), p)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readVersionPruned(spark, p, 2L, "k", 10L, 40L)
+    }
+  }
+
+  test("vacuum refcounts: shared files survive while any reader can reach them") {
+    val p = freshPath()
+    ManifestTable.commitAppend(df(0, 100), p)    // v1
+    ManifestTable.commitAppend(df(100, 150), p)  // v2 (shares v1's files)
+    ManifestTable.extendStats(spark, p, 2L, Seq("k"))
+    val v3 = ManifestTable.compact(spark, p, targetFiles = 1) // shares nothing
+    assert(v3 == 3L)
+    // keep v2+v3: dropping v1 deletes NO pool files (v2 references them all)
+    val (d1, dead1) = ManifestTable.vacuum(spark, p, keep = 2)
+    assert(d1 == Seq(1L) && dead1.isEmpty)
+    assert(ManifestTable.readVersion(spark, p, 2L).count() == 150L)
+    // keep only v3: every v1/v2 file is now unreachable and reclaimed,
+    // and their stats rows go with them
+    val (d2, dead2) = ManifestTable.vacuum(spark, p, keep = 1)
+    assert(d2 == Seq(2L) && dead2.nonEmpty)
+    assert(ManifestTable.readVersion(spark, p, 3L).count() == 150L)
+    val statFiles = ManifestTable.readFileStats(spark, p)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    assert(statFiles.intersect(dead2.toSet).isEmpty,
+      "vacuum left stats rows for deleted files")
+    // compaction's fresh files still read the full data
+    assert(ManifestTable.latest(spark, p)
+      .agg(sum("k")).head.getLong(0) == (0L until 150L).sum)
+  }
+
+  test("crashed commit leaves no readable state; vacuum reclaims its orphans") {
+    val p = freshPath()
+    ManifestTable.commitAppend(df(0, 50), p)
+    // simulate a crash AFTER pool moves, BEFORE manifest publish:
+    // plant an orphan pool file
+    val orphan = new Path(p, "_pool/v9_orphan.parquet")
+    val out = fs(p).create(orphan, false); out.write(Array[Byte](1)); out.close()
+    assert(ManifestTable.committedVersions(spark, p) == Seq(1L))
+    assert(ManifestTable.readVersion(spark, p, 1L).count() == 50L)
+    val (_, dead) = ManifestTable.vacuum(spark, p, keep = 1)
+    assert(dead.contains("v9_orphan.parquet"))
+  }
+}
