@@ -61,24 +61,45 @@ object ManifestTable {
   }
 
   /** The pool-relative file names version `v` comprises, in manifest
-    * order. The manifest is one JSON array of names — driver-side,
-    * file-count-sized, like the scheduler's own file enumeration.
+    * order — driver-side, file-count-sized, like the scheduler's own
+    * file enumeration.
     */
-  def files(spark: SparkSession, path: String, v: Long): Seq[String] = {
+  def files(spark: SparkSession, path: String, v: Long): Seq[String] =
+    readManifest(spark, path, v)._1
+
+  /** (file names, txn id if the version was an idempotent commit). */
+  def readManifest(spark: SparkSession, path: String,
+      v: Long): (Seq[String], Option[Long]) = {
     val fs = fsFor(spark, path)
     val mp = manifestPath(path, v)
     require(fs.exists(mp), s"version $v is not committed under $path")
     val in = fs.open(mp)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    parseNameArray(body)
+    parseManifest(body)
   }
 
-  // single-purpose JSON (de)serialization for a string array — the
-  // names are our own (`v<k>_part-*.parquet`, no quotes/escapes), so a
-  // strict parser beats dragging in a JSON library.
-  private def renderNameArray(names: Seq[String]): String =
-    names.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+  // single-purpose JSON (de)serialization — the names are our own
+  // (`v<k>_part-*.parquet`, no quotes/escapes) and the txn is a long,
+  // so a strict parser beats dragging in a JSON library. Two forms:
+  // a bare name array (plain commits) and `{"txn":N,"files":[...]}`
+  // (idempotent commits).
+  private def renderManifest(names: Seq[String], txn: Option[Long]): String = {
+    val arr = names.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    txn.fold(arr)(t => s"""{"txn":$t,"files":$arr}""")
+  }
+
+  private def parseManifest(body: String): (Seq[String], Option[Long]) = {
+    val t = body.trim
+    if (t.startsWith("{")) {
+      val m = "^\\{\"txn\":(-?\\d+),\"files\":(\\[.*\\])\\}$".r
+      t match {
+        case m(txn, arr) => (parseNameArray(arr), Some(txn.toLong))
+        case _ => throw new IllegalArgumentException(
+          s"malformed manifest object: $t")
+      }
+    } else (parseNameArray(t), None)
+  }
 
   private def parseNameArray(body: String): Seq[String] = {
     val t = body.trim
@@ -123,11 +144,11 @@ object ManifestTable {
     * [[vacuum]].
     */
   private def publish(spark: SparkSession, path: String, v: Long,
-      names: Seq[String]): Boolean = {
+      names: Seq[String], txn: Option[Long] = None): Boolean = {
     val fs = fsFor(spark, path)
     val tmp = new Path(path, s"_manifest_tmp_v${v}_${names.hashCode.abs}")
     val out = fs.create(tmp, false)
-    try out.write(renderNameArray(names).getBytes("UTF-8"))
+    try out.write(renderManifest(names, txn).getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(manifestPath(path, v))) { fs.delete(tmp, false); false }
     else {
@@ -155,6 +176,48 @@ object ManifestTable {
     }
     v
   }
+
+  /** Idempotent append for exactly-once sinks (Delta's txnAppId/
+    * txnVersion dedup, same mechanism): `txnId` names the logical
+    * transaction — for a streaming sink, the micro-batch id. The txn
+    * id is recorded INSIDE the manifest, so the one atomic manifest
+    * rename commits the data AND the dedup record together — there is
+    * no ordering window where a crash could double-append (marker
+    * after data) or lose a batch (marker before data). A retry first
+    * scans committed manifests for the txn (driver-side,
+    * version-count-sized) and no-ops to the original version; its
+    * half-written pool files are vacuum-able orphans.
+    */
+  def commitAppendOnce(df: DataFrame, path: String, txnId: Long): Long = {
+    val spark = df.sparkSession
+    versionOfTxn(spark, path, txnId) match {
+      case Some(v) => v
+      case None =>
+        var v = committedVersions(spark, path).sorted.lastOption
+          .getOrElse(0L) + 1
+        val names = writeParts(df, path, v)
+        var done = false
+        while (!done) {
+          // a concurrent commit (or a concurrent retry of THIS txn)
+          // may land while we prepare — re-check the txn each lap
+          versionOfTxn(spark, path, txnId) match {
+            case Some(w) => return w
+            case None =>
+              done = publish(spark, path, v,
+                (if (v == 1) Seq.empty else files(spark, path, v - 1)) ++
+                  names, Some(txnId))
+              if (!done) v += 1
+          }
+        }
+        v
+    }
+  }
+
+  /** The committed version carrying `txnId`, if any. */
+  def versionOfTxn(spark: SparkSession, path: String,
+      txnId: Long): Option[Long] =
+    committedVersions(spark, path).sorted
+      .find(v => readManifest(spark, path, v)._2.contains(txnId))
 
   /** Read version `v`: schedule exactly its manifest's pool files. */
   def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {

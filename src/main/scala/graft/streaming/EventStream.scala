@@ -519,6 +519,29 @@ object EventStream {
     spark.read.parquet(s"$path/v${vs.max}")
   }
 
+  /** Exactly-once APPEND sink into the shared-file manifest table —
+    * the fact-scale complement to [[upsertUserSummary]]'s dim-sized
+    * full-snapshot merge: each micro-batch lands as an O(delta)
+    * [[graft.sources.ManifestTable.commitAppendOnce]] keyed by the
+    * batch id, so a replayed batch (sink retry after a crash between
+    * the data commit and the checkpoint advance — the standard
+    * at-least-once window foreachBatch leaves open) finds its txn
+    * already in a committed manifest and appends NOTHING. The dedup
+    * record rides the manifest's own atomic rename; there is no
+    * second marker file to race. Spec drives the same batch through
+    * the sink twice and asserts row counts, version count, and the
+    * no-op's orphan staying invisible to readers.
+    */
+  def appendEventFeed(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.ManifestTable.commitAppendOnce(
+          batch.toDF(), path, txnId = batchId)
+        ()
+      }
+
   case class CdcIn(bucket: Long, d_n: Long, d_events: Long, d_cents: Long)
   case class RollupOut(bucket: Long, n_users: Long, sum_events: Long,
       sum_cents: Long, tombstone: Boolean)
