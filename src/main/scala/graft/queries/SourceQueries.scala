@@ -385,5 +385,26 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("source")
+    },
+
+    // ---- c16: predicate-pruned DELETE on the manifest table. The
+    // GDPR-erasure / bad-ingestion-window shape: doc_id ∈ [100, 199]
+    // is removed as a NEW version that rewrote ONLY the range files
+    // whose stats overlap the band (the spec counts them — most files
+    // are referenced byte-identical). Reading the post-delete version
+    // must agree with the raw table filtered the honest way: a row
+    // surviving in a rewritten file, a lost row in an untouched one,
+    // or a double-referenced file all break the hash.
+    QueryDef("c16_delete_scan",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents WHERE doc_id NOT BETWEEN 100 AND 199
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Warehouse.documentsManifestDel(s, dir) // post-delete latest version
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
     })
 }

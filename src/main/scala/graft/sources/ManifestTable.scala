@@ -299,6 +299,46 @@ object ManifestTable {
     (drop, dead)
   }
 
+  /** Predicate-pruned DELETE (Delta's DELETE with file skipping): drop
+    * rows with `colName` ∈ [lo, hi] as a NEW version that REWRITES
+    * ONLY the files whose per-file stats overlap the band — every
+    * other file is referenced unchanged, byte-identical, stats intact.
+    * On a 100 TB table a targeted delete (GDPR erasure, a bad
+    * ingestion window) touches the few files that can possibly hold
+    * the rows; the rest of the table is never read, never written.
+    * Old versions still read the pre-delete data (time travel is the
+    * audit trail). Requires stats on `colName` for every file — a
+    * stats-less file cannot be safely skipped, and rewriting it
+    * unconditionally would hide the metadata gap; fail loudly.
+    * Returns the new version, or the CURRENT version unchanged if no
+    * file overlaps the band (a provable no-op commits nothing).
+    */
+  def deleteWhere(spark: SparkSession, path: String, colName: String,
+      lo: Long, hi: Long): Long = {
+    val v = latestVersion(spark, path)
+    val names = files(spark, path, v)
+    val stats = statsFor(spark, path, v).where(col("column") === colName)
+      .select("file", "min_v", "max_v").collect()
+    val statFiles = stats.map(_.getString(0)).toSet
+    require(names.forall(statFiles.contains),
+      s"deleteWhere: files of v$v lack stats for $colName: " +
+        names.filterNot(statFiles.contains).mkString(", "))
+    val touched = stats
+      .filter(r => !r.isNullAt(1) && r.getLong(2) >= lo && r.getLong(1) <= hi)
+      .map(_.getString(0)).toSet
+    if (touched.isEmpty) return v // provable no-op
+    val untouched = names.filterNot(touched.contains)
+    val nv = v + 1
+    val survivors = spark.read
+      .parquet(touched.toSeq.sorted.map(n => s"$path/_pool/$n"): _*)
+      .where(!(col(colName) >= lo && col(colName) <= hi))
+      .coalesce(touched.size)
+    val newNames = writeParts(survivors, path, nv)
+    require(publish(spark, path, nv, untouched ++ newNames),
+      s"ManifestTable.deleteWhere: version $nv raced a concurrent commit")
+    nv
+  }
+
   /** Incrementally extend the per-FILE stats side table for `statsCols`
     * (long-typed): files are immutable, so stats are computed ONCE per
     * file and reused by every version that references it — only files
@@ -327,8 +367,23 @@ object ManifestTable {
         .select(col("file"), lit(c).as("column"), col("n_rows"),
           col("min_v"), col("max_v"))
     }
-    perCol.reduce(_ unionByName _)
-      .coalesce(1)
+    val fromData = perCol.reduce(_ unionByName _)
+    // a ZERO-ROW file (e.g. a delete that emptied it) produces no
+    // aggregate group — it still needs a stats row (n_rows=0, NULL
+    // band) or every stats consumer would refuse the file as
+    // metadata-less. NULL bands never overlap a probe, so empty files
+    // always prune.
+    val covered = fromData.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val emptyFiles = need.filterNot(covered.contains)
+    val all = if (emptyFiles.isEmpty) fromData else {
+      import spark.implicits._
+      val zeroRows = emptyFiles.flatMap(f => statsCols.map(c =>
+        (f, c, 0L, Option.empty[Long], Option.empty[Long])))
+        .toDF("file", "column", "n_rows", "min_v", "max_v")
+      fromData.unionByName(zeroRows)
+    }
+    all.coalesce(1)
       .write.mode("append").parquet(s"$path/_filestats")
   }
 

@@ -364,6 +364,31 @@ object Warehouse {
       ManifestTable.readVersion(s, path, v2)
     }
 
+  /** A second, independent manifest table for c16: range layout on
+    * doc_id (so the delete band provably skips most files), then a
+    * predicate-pruned DELETE of doc_id ∈ [100, 199] — returns the
+    * post-delete latest version.
+    */
+  def documentsManifestDelPath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/documents_mdel$safe"
+  }
+
+  def documentsManifestDel(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_mdel:$dir") {
+      val path = documentsManifestDelPath(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+        .repartitionByRange(8, col("doc_id"))
+      ManifestTable.commitAppend(docs, path)
+      ManifestTable.extendStats(s, path, 1L, Seq("doc_id"))
+      val v = ManifestTable.deleteWhere(s, path, "doc_id", 100L, 199L)
+      ManifestTable.readVersion(s, path, v)
+    }
+
   def documentsText(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrElseUpdate(s, s"documents_text:$dir") {
       val path = documentsTextPath(dir)

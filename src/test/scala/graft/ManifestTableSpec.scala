@@ -122,6 +122,42 @@ class ManifestTableSpec extends AnyFunSuite {
       .agg(sum("k")).head.getLong(0) == (0L until 150L).sum)
   }
 
+  test("deleteWhere rewrites ONLY stat-overlapping files; the rest are " +
+      "referenced byte-identical") {
+    import spark.implicits._
+    val p = freshPath()
+    val data = (0L until 400L).map(i => (i, i)).toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+    ManifestTable.commitAppend(data, p)
+    ManifestTable.extendStats(spark, p, 1L, Seq("k"))
+    val v1Files = ManifestTable.files(spark, p, 1L)
+    val v2 = ManifestTable.deleteWhere(spark, p, "k", 100L, 149L)
+    assert(v2 == 2L)
+    val v2Files = ManifestTable.files(spark, p, 2L)
+    // most range files cannot hold [100,149] and are SHARED, not rewritten
+    val shared = v2Files.toSet.intersect(v1Files.toSet)
+    assert(shared.size >= 5,
+      s"expected most files untouched, shared only $shared")
+    assert(v2Files.toSet != v1Files.toSet, "no file was rewritten")
+    // rows are exactly the survivors; the old version still has everything
+    assert(ManifestTable.readVersion(spark, p, 2L).count() == 350L)
+    assert(ManifestTable.readVersion(spark, p, 2L)
+      .where(col("k").between(100, 149)).count() == 0L)
+    assert(ManifestTable.readVersion(spark, p, 1L).count() == 400L)
+    // extendStats covers only the rewritten files; pruned reads work on v2
+    ManifestTable.extendStats(spark, p, 2L, Seq("k"))
+    assert(ManifestTable.readVersionPruned(spark, p, 2L, "k", 90L, 160L)
+      .count() == 21L) // 90..99 (10) + 150..160 (11)
+    // a band no file can hold is a provable no-op: no new version
+    assert(ManifestTable.deleteWhere(spark, p, "k", 5000L, 6000L) == 2L)
+    assert(ManifestTable.committedVersions(spark, p).sorted == Seq(1L, 2L))
+    // a stats-less file refuses to delete-skip
+    ManifestTable.commitAppend(df(400, 420), p)
+    intercept[IllegalArgumentException] {
+      ManifestTable.deleteWhere(spark, p, "k", 0L, 10L)
+    }
+  }
+
   test("commitAppendOnce: a retried transaction appends NOTHING; the dedup " +
       "record rides the manifest's own atomic rename") {
     val p = freshPath()
