@@ -406,5 +406,46 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("source")
+    },
+
+    // ---- c17: copy-on-write MERGE INTO on the manifest table. The
+    // dimension-upsert shape: doc_id ∈ [120, 179] updated in place
+    // (n_chars + 1000) and 30 brand-new rows inserted, as ONE new
+    // version that rewrote only the range files actually HOLDING a
+    // matched key (two-phase skip: stats band, then exact key probe —
+    // the spec counts the untouched references and the candidate file
+    // whose band brackets a key it doesn't contain). The oracle
+    // replays MERGE semantics relationally (left join for the update
+    // arm, NOT EXISTS for the insert arm): a row updated in an
+    // unmatched file, a lost or doubled insert, or a stale value
+    // surviving a rewrite all break the hash.
+    QueryDef("c17_merge_scan",
+      """WITH src AS (
+        |  SELECT doc_id, source, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id BETWEEN 120 AND 179
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, 'merged' AS source,
+        |    doc_id AS n_chars
+        |  FROM documents WHERE doc_id < 30
+        |), merged AS (
+        |  SELECT d.doc_id,
+        |    coalesce(s.source, d.source) AS source,
+        |    coalesce(s.n_chars, d.n_chars) AS n_chars
+        |  FROM documents d LEFT JOIN src s ON d.doc_id = s.doc_id
+        |  UNION ALL
+        |  SELECT s.doc_id, s.source, s.n_chars FROM src s
+        |  WHERE NOT EXISTS
+        |    (SELECT 1 FROM documents d WHERE d.doc_id = s.doc_id)
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      Warehouse.documentsManifestMerge(s, dir) // post-merge latest version
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
     })
 }

@@ -339,6 +339,122 @@ object ManifestTable {
     nv
   }
 
+  /** Copy-on-write MERGE (Delta's `MERGE INTO … WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`): upsert `source`
+    * (same schema as the table; `keyCol` unique WITHIN source —
+    * checked, because two source rows matching one target row makes
+    * the update ambiguous, the error Delta raises too) into the
+    * latest version. Two-phase file skipping finds the touched set:
+    *
+    *   1. '''stats prune''' — a file is a CANDIDATE only if some
+    *      source key falls inside its per-file [min,max] band on
+    *      `keyCol`. The bands are manifest-sized, so they broadcast
+    *      to the source side; the table itself is never read here.
+    *   2. '''exact probe''' — candidates are scanned ONCE, key column
+    *      only, inner-joined to the source keys via
+    *      `_metadata.file_path`: a candidate whose band overlaps but
+    *      which holds no actually-matched key stays UNTOUCHED (the
+    *      payoff over band-only pruning — spec-proven on a file whose
+    *      band brackets a key it doesn't contain).
+    *
+    * Touched files are rewritten with matched rows' non-key columns
+    * replaced by the source row's (row multiplicity preserved — N
+    * target rows with the same key all update, as in Delta); source
+    * rows that matched nothing anywhere are appended as new file(s).
+    * Every other file is referenced byte-identical, stats intact. On
+    * a 100 TB table the cost is O(files-actually-hit + delta), not
+    * O(table). Old versions still serve the pre-merge rows. Requires
+    * stats on `keyCol` for every file (a stats-less file cannot be
+    * safely skipped; rewriting it unconditionally would hide the
+    * metadata gap — fail loudly). Returns the new version, or the
+    * current version unchanged for an empty source.
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+      keyCol: String): Long = {
+    val v = latestVersion(spark, path)
+    val names = files(spark, path, v)
+    val stats = statsFor(spark, path, v).where(col("column") === keyCol)
+      .select("file", "min_v", "max_v").collect()
+    val statFiles = stats.map(_.getString(0)).toSet
+    require(names.forall(statFiles.contains),
+      s"mergeInto: files of v$v lack stats for $keyCol: " +
+        names.filterNot(statFiles.contains).mkString(", "))
+    val src = source.cache()
+    try {
+      val dup = src.groupBy(keyCol).count().where(col("count") > 1).count()
+      require(dup == 0,
+        s"mergeInto: $dup duplicate $keyCol values in source — " +
+          "a target row would match more than one update")
+      if (src.isEmpty) return v
+      // phase 1: band prune. Bands are manifest-sized → broadcast them
+      // against the source keys; candidates = files whose band admits
+      // at least one source key.
+      import spark.implicits._
+      val bands = stats.toSeq
+        .collect { case r if !r.isNullAt(1) =>
+          (r.getString(0), r.getLong(1), r.getLong(2)) }
+        .toDF("file", "min_v", "max_v")
+      val srcKeys = src.select(col(keyCol).cast("long").as("_mk"))
+      val candidates = srcKeys
+        .join(broadcast(bands),
+          col("_mk") >= col("min_v") && col("_mk") <= col("max_v"))
+        .select("file").distinct().collect().map(_.getString(0)).toSeq
+      // phase 2: exact probe — key column only, candidates only.
+      val touched: Seq[String] =
+        if (candidates.isEmpty) Seq.empty
+        else spark.read
+          .parquet(candidates.sorted.map(n => s"$path/_pool/$n"): _*)
+          .select(col(keyCol),
+            element_at(split(col("_metadata.file_path"), "/"), -1)
+              .as("_file"))
+          .join(src.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .select("_file").distinct().collect().map(_.getString(0)).toSeq
+      val untouched = names.filterNot(touched.toSet)
+      val tableSchema = readVersion(spark, path, v).schema
+      val others = tableSchema.fieldNames.filterNot(_ == keyCol).toSeq
+      val srcAliased = src.select(
+        col(keyCol) +: others.map(c => col(c).as(s"_src_$c")): _*)
+      val nv = v + 1
+      // rewrite: matched rows take the source row's non-key columns;
+      // multiplicity and target column order preserved.
+      val rewrittenNames =
+        if (touched.isEmpty) Seq.empty
+        else {
+          val rows = spark.read.schema(tableSchema)
+            .parquet(touched.sorted.map(n => s"$path/_pool/$n"): _*)
+          val marked = src.select(col(keyCol), lit(true).as("_hit"))
+          val rewritten = rows
+            .join(srcAliased.join(marked, Seq(keyCol)), Seq(keyCol), "left")
+            .select(tableSchema.fieldNames.toSeq.map {
+              case k if k == keyCol => col(k)
+              case c => when(col("_hit"), col(s"_src_$c"))
+                .otherwise(col(c)).as(c)
+            }: _*)
+            .coalesce(touched.size)
+          writeParts(rewritten, path, nv)
+        }
+      // insert: source rows whose key matched nothing anywhere. Keys
+      // outside every band cannot match; keys inside a band matched
+      // only if the probe's scan found them — so anti-join against
+      // the touched files' key set is exact.
+      val matchedKeys =
+        if (touched.isEmpty) src.select(col(keyCol)).where(lit(false))
+        else spark.read
+          .parquet(touched.sorted.map(n => s"$path/_pool/$n"): _*)
+          .select(col(keyCol))
+      val inserts = src
+        .join(matchedKeys.distinct(), Seq(keyCol), "left_anti")
+        .select(tableSchema.fieldNames.toSeq.map(col): _*)
+      val insertNames =
+        if (inserts.isEmpty) Seq.empty
+        else writeParts(inserts.coalesce(1), path, nv)
+      require(publish(spark, path, nv,
+          untouched ++ rewrittenNames ++ insertNames),
+        s"ManifestTable.mergeInto: version $nv raced a concurrent commit")
+      nv
+    } finally src.unpersist()
+  }
+
   /** Incrementally extend the per-FILE stats side table for `statsCols`
     * (long-typed): files are immutable, so stats are computed ONCE per
     * file and reused by every version that references it — only files

@@ -389,6 +389,41 @@ object Warehouse {
       ManifestTable.readVersion(s, path, v)
     }
 
+  /** A third manifest table for c17: range layout on doc_id, then a
+    * copy-on-write MERGE — updates confined to doc_id ∈ [120, 179]
+    * (n_chars bumped by 1000) plus brand-new rows at doc_id + 10000
+    * for doc_id < 30 — returns the post-merge latest version. Only
+    * the range files actually holding matched keys are rewritten;
+    * the inserts land as one new file; everything else is referenced
+    * byte-identical (file accounting spec-audited).
+    */
+  def documentsManifestMergePath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/documents_mmerge$safe"
+  }
+
+  def documentsManifestMerge(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_mmerge:$dir") {
+      val path = documentsManifestMergePath(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+        .repartitionByRange(8, col("doc_id"))
+      ManifestTable.commitAppend(docs, path)
+      ManifestTable.extendStats(s, path, 1L, Seq("doc_id"))
+      val base = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+      val updates = base.where(col("doc_id").between(120, 179))
+        .withColumn("n_chars", col("n_chars") + lit(1000L))
+      val inserts = base.where(col("doc_id") < 30)
+        .select((col("doc_id") + lit(10000L)).as("doc_id"),
+          lit("merged").as("source"), col("doc_id").as("n_chars"))
+      val v = ManifestTable.mergeInto(s, path,
+        updates.unionByName(inserts), "doc_id")
+      ManifestTable.readVersion(s, path, v)
+    }
+
   def documentsText(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrElseUpdate(s, s"documents_text:$dir") {
       val path = documentsTextPath(dir)

@@ -220,6 +220,77 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(dead.isEmpty, s"replayed no-op left pool garbage: $dead")
   }
 
+  test("mergeInto rewrites ONLY files actually holding matched keys; " +
+      "inserts land as new files; the rest are referenced byte-identical") {
+    import spark.implicits._
+    val p = freshPath()
+    val data = (0L until 400L).map(i => (i, i)).toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+    ManifestTable.commitAppend(data, p)
+    ManifestTable.extendStats(spark, p, 1L, Seq("k"))
+    val v1Files = ManifestTable.files(spark, p, 1L)
+    // update k ∈ {110, 130} (one range file) + insert k ∈ {900, 901}
+    val src = Seq((110L, -1L), (130L, -2L), (900L, 9L), (901L, 9L))
+      .toDF("k", "v")
+    val v2 = ManifestTable.mergeInto(spark, p, src, "k")
+    assert(v2 == 2L)
+    val v2Files = ManifestTable.files(spark, p, 2L)
+    val shared = v2Files.toSet.intersect(v1Files.toSet)
+    assert(shared.size == v1Files.size - 1,
+      s"expected exactly one file rewritten; shared = ${shared.size}/${v1Files.size}")
+    // values: updates applied, inserts present, everything else intact
+    val after = ManifestTable.readVersion(spark, p, 2L)
+    assert(after.count() == 402L)
+    assert(after.where(col("k") === 110L).head.getLong(1) == -1L)
+    assert(after.where(col("k") === 130L).head.getLong(1) == -2L)
+    assert(after.where(col("k") >= 900L).count() == 2L)
+    assert(after.where(col("k") === 111L).head.getLong(1) == 111L)
+    // the pre-merge version still serves the old values (time travel)
+    assert(ManifestTable.readVersion(spark, p, 1L)
+      .where(col("k") === 110L).head.getLong(1) == 110L)
+    // duplicate source keys are ambiguous updates — refused
+    intercept[IllegalArgumentException] {
+      ManifestTable.mergeInto(spark, p,
+        Seq((5L, 1L), (5L, 2L)).toDF("k", "v"), "k")
+    }
+  }
+
+  test("mergeInto exact probe: a candidate whose band brackets an absent " +
+      "key is NOT rewritten (band-only pruning would copy it)") {
+    import spark.implicits._
+    val p = freshPath()
+    // one file of EVEN keys: band [0, 98] brackets 51, which is absent
+    val data = (0L until 100L by 2).map(i => (i, i)).toDF("k", "v")
+      .coalesce(1)
+    ManifestTable.commitAppend(data, p)
+    ManifestTable.extendStats(spark, p, 1L, Seq("k"))
+    val v1Files = ManifestTable.files(spark, p, 1L)
+    val v2 = ManifestTable.mergeInto(spark, p,
+      Seq((51L, 7L)).toDF("k", "v"), "k")
+    assert(v2 == 2L)
+    val v2Files = ManifestTable.files(spark, p, 2L)
+    // the even-keys file is untouched; only the insert file is new
+    assert(v1Files.forall(v2Files.contains),
+      s"phase-2 probe failed: $v1Files not all in $v2Files")
+    assert(v2Files.size == v1Files.size + 1)
+    assert(ManifestTable.readVersion(spark, p, 2L).count() == 51L)
+    // update-row multiplicity: two target rows with one key BOTH update
+    val p2 = freshPath()
+    ManifestTable.commitAppend(
+      Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("k", "v").coalesce(1), p2)
+    ManifestTable.extendStats(spark, p2, 1L, Seq("k"))
+    val v = ManifestTable.mergeInto(spark, p2,
+      Seq((1L, 99L)).toDF("k", "v"), "k")
+    val rows = ManifestTable.readVersion(spark, p2, v)
+      .where(col("k") === 1L).collect()
+    assert(rows.length == 2 && rows.forall(_.getLong(1) == 99L))
+    // a stats-less file refuses to merge-skip
+    ManifestTable.commitAppend(df(100, 110), p2) // v3: never sketched
+    intercept[IllegalArgumentException] {
+      ManifestTable.mergeInto(spark, p2, Seq((1L, 0L)).toDF("k", "v"), "k")
+    }
+  }
+
   test("crashed commit leaves no readable state; vacuum reclaims its orphans") {
     val p = freshPath()
     ManifestTable.commitAppend(df(0, 50), p)
