@@ -447,5 +447,29 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("source")
+    },
+
+    // ---- c18: incremental tail read — change capture as a manifest
+    // diff. The table was committed as THREE appends; the tail since
+    // v1 must be EXACTLY the rows of appends 2 and 3, scheduled from
+    // the file-list difference with zero data compared (the
+    // VersionedTable change feed diff-joins two snapshots — O(table);
+    // here the delta falls out of the metadata). The oracle is the
+    // honest filter over the raw table: a v1 row leaking into the
+    // tail, a dropped append-2 row, or a file double-referenced
+    // across the version boundary all break the hash. The spec also
+    // pins the refusal on a non-append history (a delete between the
+    // versions).
+    QueryDef("c18_tail_scan",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents WHERE doc_id >= 200
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Warehouse.documentsManifestTail(s, dir) // rows of appends 2+3 only
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
     })
 }

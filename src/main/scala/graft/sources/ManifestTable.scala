@@ -339,6 +339,41 @@ object ManifestTable {
     nv
   }
 
+  /** Incremental read between versions — the manifest layout's payoff
+    * on the READ side: the rows added after `fromV` (exclusive) up to
+    * `toV` (inclusive) are exactly the rows of the files the two
+    * manifests DIFFER by, so change capture costs O(delta-files) with
+    * ZERO data compared ([[VersionedTable.changeFeed]] diff-joins two
+    * full snapshots — O(table); here the delta falls out of the
+    * metadata). This is how a downstream consumer tails a 100 TB
+    * table that commits every minute: each poll schedules only the
+    * new files.
+    *
+    * Sound only for APPEND-ONLY histories: a version that REMOVED a
+    * file (delete, merge rewrite, compaction) breaks
+    * rows-added-equals-file-diff — a rewritten file's surviving rows
+    * would re-appear as "new". Every step in (fromV, toV] is checked
+    * (not just the endpoints: a mid-range rewrite can slip past an
+    * endpoint-only subset test) and refused loudly — Delta's
+    * streaming-source contract, without the ignoreChanges opt-out.
+    */
+  def tailSince(spark: SparkSession, path: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV <= toV, s"tailSince: fromV $fromV > toV $toV")
+    var prev = files(spark, path, fromV)
+    ((fromV + 1) to toV).foreach { v =>
+      val cur = files(spark, path, v)
+      val removed = prev.filterNot(cur.toSet)
+      require(removed.isEmpty,
+        s"tailSince: v$v is not an append (removed ${removed.mkString(", ")}) " +
+          "— rows-added-equals-file-diff does not hold past a rewrite")
+      prev = cur
+    }
+    val delta = prev.filterNot(files(spark, path, fromV).toSet)
+    if (delta.isEmpty) readVersion(spark, path, toV).where(lit(false))
+    else spark.read.parquet(delta.sorted.map(n => s"$path/_pool/$n"): _*)
+  }
+
   /** Copy-on-write MERGE (Delta's `MERGE INTO … WHEN MATCHED THEN
     * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`): upsert `source`
     * (same schema as the table; `keyCol` unique WITHIN source —

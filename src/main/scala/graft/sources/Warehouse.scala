@@ -424,6 +424,34 @@ object Warehouse {
       ManifestTable.readVersion(s, path, v)
     }
 
+  /** A fourth manifest table for c18: THREE appends (doc_id < 200,
+    * [200, 350), ≥ 350), then the incremental tail read since v1 —
+    * the rows of appends 2 and 3, scheduled as a manifest diff with
+    * zero data compared.
+    */
+  def documentsManifestTailPath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/documents_mtail$safe"
+  }
+
+  def documentsManifestTail(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_mtail:$dir") {
+      val path = documentsManifestTailPath(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      ManifestTable.commitAppend(
+        docs.where(col("doc_id") < 200).repartition(4, col("doc_id")), path)
+      ManifestTable.commitAppend(
+        docs.where(col("doc_id") >= 200 && col("doc_id") < 350)
+          .repartition(2, col("doc_id")), path)
+      val v3 = ManifestTable.commitAppend(
+        docs.where(col("doc_id") >= 350).repartition(2, col("doc_id")), path)
+      ManifestTable.tailSince(s, path, 1L, v3)
+    }
+
   def documentsText(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrElseUpdate(s, s"documents_text:$dir") {
       val path = documentsTextPath(dir)

@@ -291,6 +291,46 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("tailSince schedules EXACTLY the diff files; a rewrite between the " +
+      "versions is refused; an exactly-once cursor loop sees each row once") {
+    import spark.implicits._
+    val p = freshPath()
+    ManifestTable.commitAppend(df(0, 100), p)            // v1
+    ManifestTable.commitAppend(df(100, 150), p)          // v2
+    val v3 = ManifestTable.commitAppend(df(150, 180), p) // v3
+    val tail = ManifestTable.tailSince(spark, p, 1L, v3)
+    assert(tail.count() == 80L)
+    assert(tail.agg(min("k"), max("k")).head match {
+      case r => r.getLong(0) == 100L && r.getLong(1) == 179L
+    })
+    // the scan is scheduled from the manifest diff, not the table:
+    // its input files are exactly the v3∖v1 names
+    val diff = ManifestTable.files(spark, p, v3)
+      .filterNot(ManifestTable.files(spark, p, 1L).toSet)
+      .map(n => s"_pool/$n")
+    val inputs = tail.inputFiles.toSeq
+    assert(inputs.size == diff.size &&
+      diff.forall(d => inputs.exists(_.endsWith(d))),
+      s"expected inputs $diff, got $inputs")
+    // empty tail: same version twice → zero rows, schema intact
+    val none = ManifestTable.tailSince(spark, p, v3, v3)
+    assert(none.count() == 0L && none.columns.toSeq == Seq("k", "v"))
+    // cursor loop: consuming (v1,v2] then (v2,v3] partitions the delta
+    val c1 = ManifestTable.tailSince(spark, p, 1L, 2L).count()
+    val c2 = ManifestTable.tailSince(spark, p, 2L, 3L).count()
+    assert(c1 == 50L && c2 == 30L)
+    // a rewrite between the versions breaks rows-added-equals-file-diff
+    // — refused even when the ENDPOINT manifests happen to nest
+    ManifestTable.extendStats(spark, p, v3, Seq("k"))
+    val v4 = ManifestTable.deleteWhere(spark, p, "k", 0L, 9L)
+    ManifestTable.commitAppend(df(180, 200), p)          // v5
+    intercept[IllegalArgumentException] {
+      ManifestTable.tailSince(spark, p, 1L, v4 + 1)
+    }
+    // but tailing FROM the rewrite forward is sound again
+    assert(ManifestTable.tailSince(spark, p, v4, v4 + 1).count() == 20L)
+  }
+
   test("crashed commit leaves no readable state; vacuum reclaims its orphans") {
     val p = freshPath()
     ManifestTable.commitAppend(df(0, 50), p)
