@@ -471,5 +471,30 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("source")
+    },
+
+    // ---- c19: metadata-only column rename (Delta/Iceberg column
+    // mapping). Half the corpus was appended under `n_chars`, the
+    // column was renamed to `char_count` WITHOUT touching a data file
+    // (the spec asserts the rename version's file list is
+    // byte-identical), and the other half was appended in the new
+    // logical schema — pool files stay under the frozen physical
+    // name, readers alias on the way out, writers translate on the
+    // way in. The oracle reads the raw table with the new name: a
+    // half lost across the rename, a mapping misapplied to one side,
+    // or a stale name leaking through all break the hash (schema
+    // match covers the column NAME itself).
+    QueryDef("c19_rename_scan",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_count,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      Warehouse.documentsManifestRename(s, dir) // (doc_id, source, char_count)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("char_count").as("sum_count"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
     })
 }

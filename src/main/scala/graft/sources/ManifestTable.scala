@@ -67,9 +67,11 @@ object ManifestTable {
   def files(spark: SparkSession, path: String, v: Long): Seq[String] =
     readManifest(spark, path, v)._1
 
-  /** (file names, txn id if the version was an idempotent commit). */
+  /** (file names, txn id if the version was an idempotent commit,
+    * physical→logical column renames — see [[renameColumn]]).
+    */
   def readManifest(spark: SparkSession, path: String,
-      v: Long): (Seq[String], Option[Long]) = {
+      v: Long): (Seq[String], Option[Long], Map[String, String]) = {
     val fs = fsFor(spark, path)
     val mp = manifestPath(path, v)
     require(fs.exists(mp), s"version $v is not committed under $path")
@@ -80,25 +82,50 @@ object ManifestTable {
   }
 
   // single-purpose JSON (de)serialization — the names are our own
-  // (`v<k>_part-*.parquet`, no quotes/escapes) and the txn is a long,
-  // so a strict parser beats dragging in a JSON library. Two forms:
-  // a bare name array (plain commits) and `{"txn":N,"files":[...]}`
-  // (idempotent commits).
-  private def renderManifest(names: Seq[String], txn: Option[Long]): String = {
+  // (`v<k>_part-*.parquet`, no quotes/escapes), the txn is a long and
+  // the rename map's keys/values are column identifiers, so a strict
+  // parser beats dragging in a JSON library. Three forms: a bare name
+  // array (plain commits), `{"txn":N,"files":[...]}` (idempotent
+  // commits), and either with a `"renames":{"phys":"logical",...}`
+  // field (column mapping). Parsing is strict by ROUND-TRIP: the
+  // extracted fields must re-render to the exact input byte string.
+  private def renderManifest(names: Seq[String], txn: Option[Long],
+      renames: Map[String, String] = Map.empty): String = {
     val arr = names.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    txn.fold(arr)(t => s"""{"txn":$t,"files":$arr}""")
+    if (txn.isEmpty && renames.isEmpty) arr
+    else {
+      val fields = txn.map(t => s""""txn":$t""").toSeq ++
+        Seq(s""""files":$arr""") ++
+        (if (renames.isEmpty) Seq.empty
+         else Seq(renames.toSeq.sorted
+           .map { case (p, l) => s""""$p":"$l"""" }
+           .mkString("\"renames\":{", ",", "}")))
+      fields.mkString("{", ",", "}")
+    }
   }
 
-  private def parseManifest(body: String): (Seq[String], Option[Long]) = {
+  private def parseManifest(
+      body: String): (Seq[String], Option[Long], Map[String, String]) = {
     val t = body.trim
-    if (t.startsWith("{")) {
-      val m = "^\\{\"txn\":(-?\\d+),\"files\":(\\[.*\\])\\}$".r
-      t match {
-        case m(txn, arr) => (parseNameArray(arr), Some(txn.toLong))
-        case _ => throw new IllegalArgumentException(
-          s"malformed manifest object: $t")
-      }
-    } else (parseNameArray(t), None)
+    if (!t.startsWith("{")) return (parseNameArray(t), None, Map.empty)
+    val files = "\"files\":(\\[[^\\]]*\\])".r.findFirstMatchIn(t)
+      .map(m => parseNameArray(m.group(1)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed manifest object: $t"))
+    val txn = "\"txn\":(-?\\d+)".r.findFirstMatchIn(t).map(_.group(1).toLong)
+    val kv = "\"([A-Za-z0-9_]+)\":\"([A-Za-z0-9_]+)\"".r
+    val renames = "\"renames\":\\{([^}]*)\\}".r.findFirstMatchIn(t)
+      .map(_.group(1).trim).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map {
+        _.trim match {
+          case kv(p, l) => p -> l
+          case other => throw new IllegalArgumentException(
+            s"malformed rename entry: $other")
+        }
+      }.toMap).getOrElse(Map.empty[String, String])
+    require(renderManifest(files, txn, renames) == t,
+      s"malformed manifest object (round-trip mismatch): $t")
+    (files, txn, renames)
   }
 
   private def parseNameArray(body: String): Seq[String] = {
@@ -144,11 +171,12 @@ object ManifestTable {
     * [[vacuum]].
     */
   private def publish(spark: SparkSession, path: String, v: Long,
-      names: Seq[String], txn: Option[Long] = None): Boolean = {
+      names: Seq[String], txn: Option[Long] = None,
+      renames: Map[String, String] = Map.empty): Boolean = {
     val fs = fsFor(spark, path)
     val tmp = new Path(path, s"_manifest_tmp_v${v}_${names.hashCode.abs}")
     val out = fs.create(tmp, false)
-    try out.write(renderManifest(names, txn).getBytes("UTF-8"))
+    try out.write(renderManifest(names, txn, renames).getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(manifestPath(path, v))) { fs.delete(tmp, false); false }
     else {
@@ -158,21 +186,89 @@ object ManifestTable {
     }
   }
 
+  // ---- column mapping (Delta/Iceberg-style): pool files are written
+  // ONCE under the table's original — PHYSICAL — column names and are
+  // immutable; a rename is pure metadata, a physical→logical map in
+  // the manifest. Readers alias physical to logical on the way out;
+  // writers (appends, merge sources) translate logical back to
+  // physical on the way in, so the pool stays uniform forever and a
+  // rename never rewrites a byte of a 100 TB table.
+
+  /** Version `v`'s physical→logical column map (empty = no renames). */
+  def renamesOf(spark: SparkSession, path: String, v: Long)
+      : Map[String, String] = readManifest(spark, path, v)._3
+
+  private def toLogical(df: DataFrame, renames: Map[String, String])
+      : DataFrame =
+    if (renames.isEmpty) df
+    else df.select(df.columns.toSeq
+      .map(c => col(c).as(renames.getOrElse(c, c))): _*)
+
+  private def toPhysical(df: DataFrame, renames: Map[String, String])
+      : DataFrame = {
+    val inv = renames.map(_.swap)
+    if (inv.isEmpty) df
+    else df.select(df.columns.toSeq
+      .map(c => col(c).as(inv.getOrElse(c, c))): _*)
+  }
+
+  /** The physical column behind logical name `logical` under `renames`. */
+  private def physicalFor(renames: Map[String, String],
+      logical: String): String =
+    renames.collectFirst { case (p, l) if l == logical => p }
+      .getOrElse(logical)
+
+  /** Metadata-only column rename: commits a NEW version with the SAME
+    * file list and an updated physical→logical map — zero data files
+    * read or written (the spec asserts byte-identical file
+    * references). Renames compose (a→b then b→c maps the original
+    * physical a to c); a mapping back to the physical name erases the
+    * entry. Refuses a target name already in use. Old versions keep
+    * their old names — time travel shows the schema as it was.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Long = {
+    require(to.matches("[A-Za-z0-9_]+"), s"renameColumn: bad name '$to'")
+    val v = latestVersion(spark, path)
+    val renames = renamesOf(spark, path, v)
+    val physCols = readVersionPhysical(spark, path, v).columns.toSeq
+    val logicalCols = physCols.map(c => renames.getOrElse(c, c))
+    require(logicalCols.contains(from),
+      s"renameColumn: no column '$from' (have ${logicalCols.mkString(", ")})")
+    require(!logicalCols.filterNot(_ == from).contains(to),
+      s"renameColumn: '$to' already names a column")
+    val phys = physicalFor(renames, from)
+    val next =
+      if (phys == to) renames - phys else renames + (phys -> to)
+    val nv = v + 1
+    require(publish(spark, path, nv, files(spark, path, v),
+        readManifest(spark, path, v)._2, next),
+      s"ManifestTable.renameColumn: version $nv raced a concurrent commit")
+    nv
+  }
+
   /** Append `df` as a new version: O(delta) — only the new rows are
     * written; every parent file is REFERENCED, never copied. The first
     * call creates v1. Returns the committed version number (retrying
-    * past concurrent winners).
+    * past concurrent winners). `df` arrives in the CURRENT logical
+    * schema; rows are stored under the physical names so the pool
+    * stays uniform across renames.
     */
   def commitAppend(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     var v = committedVersions(spark, path).sorted.lastOption.getOrElse(0L) + 1
-    val names = writeParts(df, path, v)
+    var renames =
+      if (v == 1) Map.empty[String, String]
+      else renamesOf(spark, path, v - 1)
+    val names = writeParts(toPhysical(df, renames), path, v)
     while (!publish(spark, path, v,
         (if (v == 1) Seq.empty
-         else files(spark, path, v - 1)) ++ names)) {
+         else files(spark, path, v - 1)) ++ names,
+        None, renames)) {
       v += 1 // a concurrent writer took this version; re-point at the
       // new parent's list (our pool files are version-named but names
       // only need uniqueness, not version agreement)
+      renames = renamesOf(spark, path, v - 1)
     }
     v
   }
@@ -195,7 +291,10 @@ object ManifestTable {
       case None =>
         var v = committedVersions(spark, path).sorted.lastOption
           .getOrElse(0L) + 1
-        val names = writeParts(df, path, v)
+        var renames =
+          if (v == 1) Map.empty[String, String]
+          else renamesOf(spark, path, v - 1)
+        val names = writeParts(toPhysical(df, renames), path, v)
         var done = false
         while (!done) {
           // a concurrent commit (or a concurrent retry of THIS txn)
@@ -205,8 +304,11 @@ object ManifestTable {
             case None =>
               done = publish(spark, path, v,
                 (if (v == 1) Seq.empty else files(spark, path, v - 1)) ++
-                  names, Some(txnId))
-              if (!done) v += 1
+                  names, Some(txnId), renames)
+              if (!done) {
+                v += 1
+                renames = renamesOf(spark, path, v - 1)
+              }
           }
         }
         v
@@ -219,8 +321,15 @@ object ManifestTable {
     committedVersions(spark, path).sorted
       .find(v => readManifest(spark, path, v)._2.contains(txnId))
 
-  /** Read version `v`: schedule exactly its manifest's pool files. */
-  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
+  /** Read version `v`: schedule exactly its manifest's pool files,
+    * aliased to `v`'s LOGICAL column names (see [[renameColumn]]).
+    */
+  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame =
+    toLogical(readVersionPhysical(spark, path, v),
+      renamesOf(spark, path, v))
+
+  private def readVersionPhysical(spark: SparkSession, path: String,
+      v: Long): DataFrame = {
     val names = files(spark, path, v)
     require(names.nonEmpty, s"version $v of $path has no files")
     spark.read.parquet(names.map(n => s"$path/_pool/$n"): _*)
@@ -260,8 +369,8 @@ object ManifestTable {
     val v = latestVersion(spark, path)
     val nv = v + 1
     val names = writeParts(
-      readVersion(spark, path, v).coalesce(targetFiles), path, nv)
-    require(publish(spark, path, nv, names),
+      readVersionPhysical(spark, path, v).coalesce(targetFiles), path, nv)
+    require(publish(spark, path, nv, names, None, renamesOf(spark, path, v)),
       s"ManifestTable.compact: version $nv raced a concurrent commit")
     nv
   }
@@ -316,8 +425,10 @@ object ManifestTable {
   def deleteWhere(spark: SparkSession, path: String, colName: String,
       lo: Long, hi: Long): Long = {
     val v = latestVersion(spark, path)
+    val renames = renamesOf(spark, path, v)
+    val phys = physicalFor(renames, colName) // stats are keyed physical
     val names = files(spark, path, v)
-    val stats = statsFor(spark, path, v).where(col("column") === colName)
+    val stats = statsFor(spark, path, v).where(col("column") === phys)
       .select("file", "min_v", "max_v").collect()
     val statFiles = stats.map(_.getString(0)).toSet
     require(names.forall(statFiles.contains),
@@ -331,10 +442,10 @@ object ManifestTable {
     val nv = v + 1
     val survivors = spark.read
       .parquet(touched.toSeq.sorted.map(n => s"$path/_pool/$n"): _*)
-      .where(!(col(colName) >= lo && col(colName) <= hi))
+      .where(!(col(phys) >= lo && col(phys) <= hi))
       .coalesce(touched.size)
     val newNames = writeParts(survivors, path, nv)
-    require(publish(spark, path, nv, untouched ++ newNames),
+    require(publish(spark, path, nv, untouched ++ newNames, None, renames),
       s"ManifestTable.deleteWhere: version $nv raced a concurrent commit")
     nv
   }
@@ -371,7 +482,9 @@ object ManifestTable {
     }
     val delta = prev.filterNot(files(spark, path, fromV).toSet)
     if (delta.isEmpty) readVersion(spark, path, toV).where(lit(false))
-    else spark.read.parquet(delta.sorted.map(n => s"$path/_pool/$n"): _*)
+    else toLogical(
+      spark.read.parquet(delta.sorted.map(n => s"$path/_pool/$n"): _*),
+      renamesOf(spark, path, toV))
   }
 
   /** Copy-on-write MERGE (Delta's `MERGE INTO … WHEN MATCHED THEN
@@ -407,16 +520,18 @@ object ManifestTable {
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keyCol: String): Long = {
     val v = latestVersion(spark, path)
+    val renames = renamesOf(spark, path, v)
+    val physKey = physicalFor(renames, keyCol) // pool + stats: physical
     val names = files(spark, path, v)
-    val stats = statsFor(spark, path, v).where(col("column") === keyCol)
+    val stats = statsFor(spark, path, v).where(col("column") === physKey)
       .select("file", "min_v", "max_v").collect()
     val statFiles = stats.map(_.getString(0)).toSet
     require(names.forall(statFiles.contains),
       s"mergeInto: files of v$v lack stats for $keyCol: " +
         names.filterNot(statFiles.contains).mkString(", "))
-    val src = source.cache()
+    val src = toPhysical(source, renames).cache()
     try {
-      val dup = src.groupBy(keyCol).count().where(col("count") > 1).count()
+      val dup = src.groupBy(physKey).count().where(col("count") > 1).count()
       require(dup == 0,
         s"mergeInto: $dup duplicate $keyCol values in source — " +
           "a target row would match more than one update")
@@ -429,7 +544,7 @@ object ManifestTable {
         .collect { case r if !r.isNullAt(1) =>
           (r.getString(0), r.getLong(1), r.getLong(2)) }
         .toDF("file", "min_v", "max_v")
-      val srcKeys = src.select(col(keyCol).cast("long").as("_mk"))
+      val srcKeys = src.select(col(physKey).cast("long").as("_mk"))
       val candidates = srcKeys
         .join(broadcast(bands),
           col("_mk") >= col("min_v") && col("_mk") <= col("max_v"))
@@ -439,16 +554,16 @@ object ManifestTable {
         if (candidates.isEmpty) Seq.empty
         else spark.read
           .parquet(candidates.sorted.map(n => s"$path/_pool/$n"): _*)
-          .select(col(keyCol),
+          .select(col(physKey),
             element_at(split(col("_metadata.file_path"), "/"), -1)
               .as("_file"))
-          .join(src.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .join(src.select(col(physKey)), Seq(physKey), "left_semi")
           .select("_file").distinct().collect().map(_.getString(0)).toSeq
       val untouched = names.filterNot(touched.toSet)
-      val tableSchema = readVersion(spark, path, v).schema
-      val others = tableSchema.fieldNames.filterNot(_ == keyCol).toSeq
+      val tableSchema = readVersionPhysical(spark, path, v).schema
+      val others = tableSchema.fieldNames.filterNot(_ == physKey).toSeq
       val srcAliased = src.select(
-        col(keyCol) +: others.map(c => col(c).as(s"_src_$c")): _*)
+        col(physKey) +: others.map(c => col(c).as(s"_src_$c")): _*)
       val nv = v + 1
       // rewrite: matched rows take the source row's non-key columns;
       // multiplicity and target column order preserved.
@@ -457,11 +572,11 @@ object ManifestTable {
         else {
           val rows = spark.read.schema(tableSchema)
             .parquet(touched.sorted.map(n => s"$path/_pool/$n"): _*)
-          val marked = src.select(col(keyCol), lit(true).as("_hit"))
+          val marked = src.select(col(physKey), lit(true).as("_hit"))
           val rewritten = rows
-            .join(srcAliased.join(marked, Seq(keyCol)), Seq(keyCol), "left")
+            .join(srcAliased.join(marked, Seq(physKey)), Seq(physKey), "left")
             .select(tableSchema.fieldNames.toSeq.map {
-              case k if k == keyCol => col(k)
+              case k if k == physKey => col(k)
               case c => when(col("_hit"), col(s"_src_$c"))
                 .otherwise(col(c)).as(c)
             }: _*)
@@ -473,18 +588,18 @@ object ManifestTable {
       // only if the probe's scan found them — so anti-join against
       // the touched files' key set is exact.
       val matchedKeys =
-        if (touched.isEmpty) src.select(col(keyCol)).where(lit(false))
+        if (touched.isEmpty) src.select(col(physKey)).where(lit(false))
         else spark.read
           .parquet(touched.sorted.map(n => s"$path/_pool/$n"): _*)
-          .select(col(keyCol))
+          .select(col(physKey))
       val inserts = src
-        .join(matchedKeys.distinct(), Seq(keyCol), "left_anti")
+        .join(matchedKeys.distinct(), Seq(physKey), "left_anti")
         .select(tableSchema.fieldNames.toSeq.map(col): _*)
       val insertNames =
         if (inserts.isEmpty) Seq.empty
         else writeParts(inserts.coalesce(1), path, nv)
       require(publish(spark, path, nv,
-          untouched ++ rewrittenNames ++ insertNames),
+          untouched ++ rewrittenNames ++ insertNames, None, renames),
         s"ManifestTable.mergeInto: version $nv raced a concurrent commit")
       nv
     } finally src.unpersist()
@@ -498,8 +613,12 @@ object ManifestTable {
     * only, never re-reads the table.
     */
   def extendStats(spark: SparkSession, path: String, version: Long,
-      statsCols: Seq[String]): Unit = {
+      statsCols0: Seq[String]): Unit = {
     val fs = fsFor(spark, path)
+    // stats rows are keyed by PHYSICAL column names (they describe
+    // immutable files); callers pass the current logical names
+    val renames = renamesOf(spark, path, version)
+    val statsCols = statsCols0.map(physicalFor(renames, _))
     val have: Set[String] =
       if (!fs.exists(new Path(s"$path/_filestats"))) Set.empty
       else readFileStats(spark, path)
@@ -559,8 +678,10 @@ object ManifestTable {
     */
   def readVersionPruned(spark: SparkSession, path: String, v: Long,
       colName: String, lo: Long, hi: Long): DataFrame = {
+    val renames = renamesOf(spark, path, v)
+    val phys = physicalFor(renames, colName) // stats are keyed physical
     val names = files(spark, path, v)
-    val stats = statsFor(spark, path, v).where(col("column") === colName)
+    val stats = statsFor(spark, path, v).where(col("column") === phys)
     val statFiles = stats.select("file").distinct()
       .collect().map(_.getString(0)).toSet
     require(names.forall(statFiles.contains),
@@ -568,10 +689,12 @@ object ManifestTable {
         names.filterNot(statFiles.contains).mkString(", "))
     val kept = stats.where(col("max_v") >= lo && col("min_v") <= hi)
       .select("file").collect().map(_.getString(0)).toSeq.sorted
-    val full = readVersion(spark, path, v)
-    if (kept.isEmpty) full.where(lit(false))
-    else spark.read.schema(full.schema)
-      .parquet(kept.map(n => s"$path/_pool/$n"): _*)
-      .where(col(colName) >= lo && col(colName) <= hi)
+    val full = readVersionPhysical(spark, path, v)
+    if (kept.isEmpty) readVersion(spark, path, v).where(lit(false))
+    else toLogical(
+      spark.read.schema(full.schema)
+        .parquet(kept.map(n => s"$path/_pool/$n"): _*)
+        .where(col(phys) >= lo && col(phys) <= hi),
+      renames)
   }
 }

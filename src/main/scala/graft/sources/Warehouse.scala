@@ -452,6 +452,35 @@ object Warehouse {
       ManifestTable.tailSince(s, path, 1L, v3)
     }
 
+  /** A fifth manifest table for c19: append half the corpus, RENAME
+    * n_chars → char_count (metadata-only — zero files rewritten),
+    * then append the other half in the NEW logical schema; the read
+    * of the latest version unifies both halves under the new name.
+    */
+  def documentsManifestRenamePath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/documents_mren$safe"
+  }
+
+  def documentsManifestRename(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_mren:$dir") {
+      val path = documentsManifestRenamePath(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      ManifestTable.commitAppend(
+        docs.where(col("doc_id") < 250).repartition(4, col("doc_id")), path)
+      val v2 = ManifestTable.renameColumn(s, path, "n_chars", "char_count")
+      val v3 = ManifestTable.commitAppend(
+        docs.where(col("doc_id") >= 250)
+          .withColumnRenamed("n_chars", "char_count")
+          .repartition(4, col("doc_id")), path)
+      require(v2 == 2L && v3 == 3L, s"unexpected versions $v2/$v3")
+      ManifestTable.readVersion(s, path, v3)
+    }
+
   def documentsText(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrElseUpdate(s, s"documents_text:$dir") {
       val path = documentsTextPath(dir)

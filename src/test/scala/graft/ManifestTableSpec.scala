@@ -331,6 +331,64 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.tailSince(spark, p, v4, v4 + 1).count() == 20L)
   }
 
+  test("renameColumn is metadata-only: byte-identical file references, " +
+      "old versions keep old names, appends/prunes/merges speak the new name") {
+    import spark.implicits._
+    val p = freshPath()
+    val data = (0L until 100L).map(i => (i, i * 3)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    ManifestTable.commitAppend(data, p)
+    ManifestTable.extendStats(spark, p, 1L, Seq("k"))
+    val v1Files = ManifestTable.files(spark, p, 1L)
+    val v2 = ManifestTable.renameColumn(spark, p, "v", "val2")
+    assert(v2 == 2L)
+    // metadata-only: the file list is byte-identical
+    assert(ManifestTable.files(spark, p, v2) == v1Files)
+    // new name out, old version unchanged (time travel shows old schema)
+    assert(ManifestTable.readVersion(spark, p, v2).columns.toSeq
+      == Seq("k", "val2"))
+    assert(ManifestTable.readVersion(spark, p, 1L).columns.toSeq
+      == Seq("k", "v"))
+    assert(ManifestTable.readVersion(spark, p, v2)
+      .agg(sum("val2")).head.getLong(0) == (0L until 100L).map(_ * 3).sum)
+    // appends arrive in the LOGICAL schema; the pool stays physical
+    val v3 = ManifestTable.commitAppend(
+      Seq((100L, 500L)).toDF("k", "val2"), p)
+    val after = ManifestTable.readVersion(spark, p, v3)
+    assert(after.columns.toSeq == Seq("k", "val2"))
+    assert(after.count() == 101L)
+    assert(after.where(col("k") === 100L).head.getLong(1) == 500L)
+    // pruned reads and merges translate logical→physical for stats
+    ManifestTable.extendStats(spark, p, v3, Seq("k"))
+    assert(ManifestTable.readVersionPruned(spark, p, v3, "k", 10L, 19L)
+      .columns.toSeq == Seq("k", "val2"))
+    assert(ManifestTable.readVersionPruned(spark, p, v3, "k", 10L, 19L)
+      .count() == 10L)
+    val v4 = ManifestTable.mergeInto(spark, p,
+      Seq((7L, -1L)).toDF("k", "val2"), "k")
+    assert(ManifestTable.readVersion(spark, p, v4)
+      .where(col("k") === 7L).head.getLong(1) == -1L)
+    // rename the key too, then tail: the delta comes out logical
+    val v5 = ManifestTable.renameColumn(spark, p, "k", "id")
+    val v6 = ManifestTable.commitAppend(
+      Seq((200L, 9L)).toDF("id", "val2"), p)
+    val tail = ManifestTable.tailSince(spark, p, v5, v6)
+    assert(tail.columns.toSeq == Seq("id", "val2") && tail.count() == 1L)
+    // rename chains compose; colliding names and unknown sources refuse
+    val v7 = ManifestTable.renameColumn(spark, p, "id", "doc")
+    assert(ManifestTable.readVersion(spark, p, v7).columns.toSeq
+      == Seq("doc", "val2"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, p, "doc", "val2")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, p, "nope", "x")
+    }
+    // renaming BACK erases the mapping entry (physical == logical)
+    val v8 = ManifestTable.renameColumn(spark, p, "doc", "k")
+    assert(ManifestTable.renamesOf(spark, p, v8) == Map("v" -> "val2"))
+  }
+
   test("crashed commit leaves no readable state; vacuum reclaims its orphans") {
     val p = freshPath()
     ManifestTable.commitAppend(df(0, 50), p)
