@@ -471,7 +471,11 @@ object ManifestTable {
   def tailSince(spark: SparkSession, path: String, fromV: Long,
       toV: Long): DataFrame = {
     require(fromV <= toV, s"tailSince: fromV $fromV > toV $toV")
-    var prev = files(spark, path, fromV)
+    // fromV = 0 means "before the first commit": the whole of toV is
+    // the delta (a fresh consumer's initial batch)
+    val base =
+      if (fromV == 0) Seq.empty[String] else files(spark, path, fromV)
+    var prev = base
     ((fromV + 1) to toV).foreach { v =>
       val cur = files(spark, path, v)
       val removed = prev.filterNot(cur.toSet)
@@ -480,7 +484,7 @@ object ManifestTable {
           "— rows-added-equals-file-diff does not hold past a rewrite")
       prev = cur
     }
-    val delta = prev.filterNot(files(spark, path, fromV).toSet)
+    val delta = prev.filterNot(base.toSet)
     if (delta.isEmpty) readVersion(spark, path, toV).where(lit(false))
     else toLogical(
       spark.read.parquet(delta.sorted.map(n => s"$path/_pool/$n"): _*),

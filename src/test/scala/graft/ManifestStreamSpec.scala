@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestTable
+
+/** The manifest table as a REAL Structured Streaming source
+  * (`graft.streaming.ManifestStreamProvider`): offsets are manifest
+  * versions, each micro-batch is a manifest diff, checkpoint restart
+  * resumes at the committed version, and a rewrite inside the offset
+  * range fails the batch (append-only contract).
+  */
+class ManifestStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshPath(): String =
+    Files.createTempDirectory("mstream").resolve("t").toString
+
+  private def df(lo: Long, hi: Long) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i, i * 2)).toDF("k", "v").coalesce(1)
+  }
+
+  private def readTail(path: String) =
+    spark.readStream
+      .format("graft.streaming.ManifestStreamProvider")
+      .option("path", path)
+      .load()
+
+  test("each micro-batch is the version delta; offsets are versions; " +
+      "checkpoint restart resumes exactly-once") {
+    val p = freshPath()
+    val ckpt = Files.createTempDirectory("mstream_ckpt").toString
+    ManifestTable.commitAppend(df(0, 10), p) // v1
+    val seen = mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    def start() = readTail(p).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        seen.synchronized {
+          seen += ((batchId,
+            batch.select("k").collect().map(_.getLong(0)).toSeq.sorted))
+        }
+        ()
+      }
+      .start()
+
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // first batch: the whole table (startingVersion default 0)
+      assert(seen.map(_._2.size).sum == 10)
+      assert(seen.flatMap(_._2).sorted == (0L until 10L))
+      // append v2 while the stream runs: the next batch is ONLY v2's rows
+      val before = seen.size
+      ManifestTable.commitAppend(df(10, 15), p)
+      q.processAllAvailable()
+      assert(seen.size == before + 1)
+      assert(seen.last._2 == (10L until 15L))
+      // no data → no batch
+      q.processAllAvailable()
+      assert(seen.size == before + 1)
+    } finally q.stop()
+
+    // append v3 while the stream is DOWN; restart from the checkpoint
+    ManifestTable.commitAppend(df(15, 18), p)
+    seen.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // exactly-once: only v3's rows are delivered after the restart
+      assert(seen.flatMap(_._2).sorted == (15L until 18L),
+        s"expected only v3 rows, got $seen")
+    } finally q2.stop()
+  }
+
+  test("startingVersion skips consumed history; a rewrite in the offset " +
+      "range fails the batch (append-only contract)") {
+    val p = freshPath()
+    ManifestTable.commitAppend(df(0, 10), p)  // v1
+    ManifestTable.commitAppend(df(10, 20), p) // v2
+    val seen = mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .format("graft.streaming.ManifestStreamProvider")
+      .option("path", p)
+      .option("startingVersion", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("mstream_ckpt2").toString)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        seen.synchronized {
+          seen ++= batch.select("k").collect().map(_.getLong(0))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sorted == (10L until 20L), s"expected v2 only, got $seen")
+      // a DELETE commits a rewrite: the next batch must fail loudly,
+      // not re-emit the rewritten file's surviving rows as "new"
+      ManifestTable.extendStats(spark, p, 2L, Seq("k"))
+      ManifestTable.deleteWhere(spark, p, "k", 0L, 4L) // v3 rewrites v1 file
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      assert(ex.getMessage.contains("not an append") ||
+        Option(ex.getCause).exists(_.getMessage.contains("not an append")))
+    } finally q.stop()
+  }
+}
