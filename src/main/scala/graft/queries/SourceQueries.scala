@@ -496,5 +496,46 @@ object SourceQueries {
           sum("char_count").as("sum_count"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("source")
+    },
+
+    // ---- c20: row lineage from metadata. The c18 three-append table
+    // read back with `_commit_version` — which append introduced each
+    // row — derived ENTIRELY from the manifests (file → first
+    // referencing version, a broadcast joined at the scan); no
+    // lineage is stored in the rows. The oracle reconstructs the
+    // version from the append predicates: a row attributed to the
+    // wrong commit breaks the hash.
+    QueryDef("c20_lineage_scan",
+      """SELECT CAST(CASE WHEN doc_id < 200 THEN 1
+        |            WHEN doc_id < 350 THEN 2 ELSE 3 END AS BIGINT) AS commit_v,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Warehouse.documentsManifestLineage(s, dir)
+        .groupBy(col("_commit_version").as("commit_v"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("commit_v")
+    },
+
+    // ---- c21: CHECK-constrained ingestion. Three producer batches:
+    // two valid halves commit; the poisoned middle batch (negated
+    // ids) is REFUSED WHOLE — all-or-nothing, O(delta) validation,
+    // never a partially-valid version. The read sees exactly the two
+    // valid appends; the oracle is the honest union: a poisoned row
+    // leaking through, or a valid row lost with its refused batch,
+    // breaks the hash.
+    QueryDef("c21_checked_scan",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      Warehouse.documentsManifestChecked(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
     })
 }

@@ -273,6 +273,24 @@ object ManifestTable {
     v
   }
 
+  /** CHECK-constrained append (Delta's table CHECK constraints as an
+    * ingestion gate): commits `df` only if every row satisfies
+    * `constraint` (a boolean SQL expression over the LOGICAL schema).
+    * SQL CHECK semantics — only FALSE violates; NULL (unknown)
+    * passes. The check costs O(delta) — it scans the incoming rows
+    * once, never the table — and REFUSES the whole commit on any
+    * violation (all-or-nothing, reporting the violation count), so a
+    * bad producer can never leave a partially-valid version behind.
+    */
+  def commitAppendChecked(df: DataFrame, path: String,
+      constraint: String): Long = {
+    val bad = df.where(!coalesce(expr(constraint), lit(true))).count()
+    require(bad == 0L,
+      s"commitAppendChecked: $bad rows violate CHECK ($constraint) — " +
+        "commit refused")
+    commitAppend(df, path)
+  }
+
   /** Idempotent append for exactly-once sinks (Delta's txnAppId/
     * txnVersion dedup, same mechanism): `txnId` names the logical
     * transaction — for a streaming sink, the micro-batch id. The txn
@@ -337,6 +355,52 @@ object ManifestTable {
 
   def latest(spark: SparkSession, path: String): DataFrame =
     readVersion(spark, path, latestVersion(spark, path))
+
+  /** Timestamp time travel (Delta's `TIMESTAMP AS OF`): the newest
+    * version whose manifest was committed at or before `tsMillis` —
+    * the manifest file's own modification time IS the commit time,
+    * exactly one atomic rename, so no separate commit-time record can
+    * disagree with it. Refuses a timestamp older than the first
+    * commit (nothing existed to read).
+    */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val fs = fsFor(spark, path)
+    val at = committedVersions(spark, path)
+      .map(v => v -> fs.getFileStatus(manifestPath(path, v))
+        .getModificationTime)
+      .filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"versionAsOf: no version committed at or before $tsMillis under $path")
+    at.maxBy(_._1)._1
+  }
+
+  /** Read version `v` with ROW LINEAGE: an extra `_commit_version`
+    * column naming the version whose commit INTRODUCED each row's
+    * file — pure metadata (file → first manifest that references it),
+    * joined at the scan via `_metadata.file_path`, no data rewritten
+    * or compared. The incremental-debugging read ("which append
+    * brought these rows in?") a 100 TB table serves without storing
+    * lineage in the rows. Rewritten files (delete/merge survivors,
+    * compaction output) carry the REWRITE's version — lineage names
+    * the commit that produced the bytes, not the original insert.
+    */
+  def readVersionLineage(spark: SparkSession, path: String,
+      v: Long): DataFrame = {
+    import spark.implicits._
+    val vs = committedVersions(spark, path).sorted.filter(_ <= v)
+    val firstRef = vs.flatMap(w => files(spark, path, w).map(_ -> w))
+      .groupBy(_._1).map { case (f, refs) => f -> refs.map(_._2).min }
+    val names = files(spark, path, v)
+    val lineage = broadcast(names.map(n => n -> firstRef(n))
+      .toDF("_file", "_commit_version"))
+    toLogical(
+      readVersionPhysical(spark, path, v)
+        .withColumn("_file",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .join(lineage, Seq("_file"))
+        .drop("_file"),
+      renamesOf(spark, path, v))
+  }
 
   /** One row per version: file count, bytes, and how many files are
     * SHARED with the previous version — the audit trail that makes the

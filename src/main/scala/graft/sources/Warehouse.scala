@@ -481,6 +481,55 @@ object Warehouse {
       ManifestTable.readVersion(s, path, v3)
     }
 
+  /** c20: the c18 three-append layout read back WITH row lineage —
+    * `_commit_version` names the append that introduced each row,
+    * derived purely from manifests (file → first referencing version).
+    */
+  def documentsManifestLineage(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_mlin:$dir") {
+      documentsManifestTail(s, dir) // builds the 3-append table
+      val path = documentsManifestTailPath(dir)
+      ManifestTable.readVersionLineage(s, path,
+        ManifestTable.latestVersion(s, path))
+    }
+
+  /** c21: CHECK-constrained ingestion — the valid half commits, a
+    * violating batch is REFUSED whole (caught here, table unchanged),
+    * then a second valid append lands; reads must see exactly the two
+    * valid appends.
+    */
+  def documentsManifestCheckedPath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/documents_mchk$safe"
+  }
+
+  def documentsManifestChecked(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_mchk:$dir") {
+      val path = documentsManifestCheckedPath(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      val check = "doc_id >= 0 AND n_chars >= 0"
+      ManifestTable.commitAppendChecked(
+        docs.where(col("doc_id") < 300).repartition(4, col("doc_id")),
+        path, check)
+      // a poisoned batch (negated ids) must be refused WHOLE
+      val refused =
+        try {
+          ManifestTable.commitAppendChecked(
+            docs.where(col("doc_id").between(300, 320))
+              .withColumn("doc_id", -col("doc_id")), path, check)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(refused, "c21: violating batch was not refused")
+      ManifestTable.commitAppendChecked(
+        docs.where(col("doc_id") >= 300).repartition(4, col("doc_id")),
+        path, check)
+      ManifestTable.latest(s, path)
+    }
+
   def documentsText(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrElseUpdate(s, s"documents_text:$dir") {
       val path = documentsTextPath(dir)

@@ -389,6 +389,49 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.renamesOf(spark, p, v8) == Map("v" -> "val2"))
   }
 
+  test("timestamp time travel, metadata row lineage, and CHECK-gated appends") {
+    import spark.implicits._
+    val p = freshPath()
+    ManifestTable.commitAppend(df(0, 10), p)  // v1
+    val t1 = fs(p).getFileStatus(
+      new Path(p, "_manifest_v1.json")).getModificationTime
+    Thread.sleep(20)
+    ManifestTable.commitAppend(df(10, 15), p) // v2
+    val t2 = fs(p).getFileStatus(
+      new Path(p, "_manifest_v2.json")).getModificationTime
+    // AS OF the first commit's own time → v1; after the second → v2;
+    // before anything existed → refused
+    assert(ManifestTable.versionAsOf(spark, p, t1) == 1L)
+    assert(ManifestTable.versionAsOf(spark, p, t2 + 1000L) == 2L)
+    intercept[IllegalArgumentException] {
+      ManifestTable.versionAsOf(spark, p, t1 - 1000L)
+    }
+    // row lineage: each row attributed to the append that brought it in
+    val lin = ManifestTable.readVersionLineage(spark, p, 2L)
+    assert(lin.columns.toSeq == Seq("k", "v", "_commit_version"))
+    assert(lin.where(col("_commit_version") === 1L).count() == 10L)
+    assert(lin.where(col("_commit_version") === 2L)
+      .agg(min("k"), max("k")).head match {
+      case r => r.getLong(0) == 10L && r.getLong(1) == 14L
+    })
+    // a delete REWRITES: survivors carry the rewrite's version
+    ManifestTable.extendStats(spark, p, 2L, Seq("k"))
+    val v3 = ManifestTable.deleteWhere(spark, p, "k", 12L, 12L)
+    val lin3 = ManifestTable.readVersionLineage(spark, p, v3)
+    assert(lin3.where(col("k") === 11L).head.getLong(2) == v3)
+    assert(lin3.where(col("k") === 3L).head.getLong(2) == 1L)
+    // CHECK gate: a violating batch refuses WHOLE; nulls pass (SQL CHECK)
+    intercept[IllegalArgumentException] {
+      ManifestTable.commitAppendChecked(
+        Seq((20L, -1L), (21L, 5L)).toDF("k", "v"), p, "v >= 0")
+    }
+    assert(ManifestTable.latestVersion(spark, p) == v3) // nothing landed
+    val vOk = ManifestTable.commitAppendChecked(
+      Seq((20L, Some(1L)), (21L, Option.empty[Long])).toDF("k", "v"),
+      p, "v >= 0")
+    assert(ManifestTable.readVersion(spark, p, vOk).count() == 16L)
+  }
+
   test("crashed commit leaves no readable state; vacuum reclaims its orphans") {
     val p = freshPath()
     ManifestTable.commitAppend(df(0, 50), p)
