@@ -54,7 +54,8 @@ class ManifestStreamProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new ManifestSource(sqlContext, ManifestStreamProvider.pathOf(parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
 }
 
 object ManifestStreamProvider {
@@ -66,22 +67,37 @@ object ManifestStreamProvider {
 /** See [[ManifestStreamProvider]]. `startV` is the version the stream
   * starts AFTER (0 = deliver the whole table as the first batch —
   * Delta's default; `startingVersion` skips history already consumed
-  * elsewhere).
+  * elsewhere). `maxVersions` is Delta's maxFilesPerTrigger-class
+  * admission control at version granularity: without it a fresh
+  * consumer's FIRST trigger plans the entire table — on 100 TB that
+  * is one multi-hour batch with no checkpoint inside it; capped, the
+  * backfill advances (and checkpoints) every `maxVersions` commits.
   */
-class ManifestSource(sqlContext: SQLContext, path: String, startV: Long)
-    extends Source {
+class ManifestSource(sqlContext: SQLContext, path: String, startV: Long,
+    maxVersions: Option[Long] = None) extends Source {
 
   private val spark = sqlContext.sparkSession
 
   override val schema: StructType = ManifestTable.latest(spark, path).schema
 
-  /** Latest committed version, as the available offset — None until
+  // the engine calls getOffset BEFORE getBatch each trigger; under a
+  // cap, the admitted end must advance from the last ADMITTED offset,
+  // which the engine hands back as getBatch's start — tracked here so
+  // getOffset can continue the ladder (restart re-seeds it from the
+  // checkpoint via getBatch's start offset).
+  @volatile private var lastAdmitted: Long = startV
+
+  /** Latest committed version as the available offset, clamped to
+    * `maxVersions` above the last admitted rung — None until
     * something newer than `startV` exists.
     */
   override def getOffset: Option[Offset] = {
     val latest = ManifestTable.committedVersions(spark, path)
       .maxOption.getOrElse(0L)
-    if (latest <= startV) None else Some(LongOffset(latest))
+    val admitted = maxVersions
+      .fold(latest)(m => math.min(latest, lastAdmitted + m))
+    if (admitted <= startV || admitted <= lastAdmitted) None
+    else Some(LongOffset(admitted))
   }
 
   /** The rows committed in versions (start, end] — a manifest diff,
@@ -91,8 +107,12 @@ class ManifestSource(sqlContext: SQLContext, path: String, startV: Long)
     */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startV)
-    PlanBridge.asStreaming(
-      ManifestTable.tailSince(spark, path, from, versionOf(end)))
+    val to = versionOf(end)
+    // re-seed the admission ladder (the engine replays the offset
+    // log's last entry through getBatch on restart, before the first
+    // getOffset, so the cap resumes from the checkpointed rung)
+    lastAdmitted = math.max(lastAdmitted, to)
+    PlanBridge.asStreaming(ManifestTable.tailSince(spark, path, from, to))
   }
 
   // LongOffset.json is the version literal, and a checkpoint-restored

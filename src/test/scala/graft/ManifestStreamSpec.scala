@@ -114,6 +114,47 @@ class ManifestStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerTrigger: a backfill advances one version per batch " +
+      "and the cap survives a checkpoint restart") {
+    val p = freshPath()
+    val ckpt = Files.createTempDirectory("mcap_ckpt").toString
+    ManifestTable.commitAppend(df(0, 4), p)   // v1
+    ManifestTable.commitAppend(df(4, 7), p)   // v2
+    ManifestTable.commitAppend(df(7, 9), p)   // v3
+    val seen = mutable.ArrayBuffer.empty[Seq[Long]]
+    def start() = spark.readStream
+      .format("graft.streaming.ManifestStreamProvider")
+      .option("path", p)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        seen.synchronized {
+          seen += batch.select("k").collect().map(_.getLong(0)).toSeq.sorted
+        }
+        ()
+      }
+      .start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // three versions → three rate-limited batches, in commit order
+      assert(seen.toSeq == Seq(0L until 4L, 4L until 7L, 7L until 9L),
+        s"got $seen")
+    } finally q.stop()
+    // two more commits while down; restart resumes the ladder from the
+    // checkpointed rung, still one version per trigger
+    ManifestTable.commitAppend(df(9, 11), p)  // v4
+    ManifestTable.commitAppend(df(11, 12), p) // v5
+    seen.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.toSeq == Seq(9L until 11L, 11L until 12L), s"got $seen")
+    } finally q2.stop()
+  }
+
   test("startingVersion skips consumed history; a rewrite in the offset " +
       "range fails the batch (append-only contract)") {
     val p = freshPath()
