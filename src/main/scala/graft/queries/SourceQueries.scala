@@ -537,5 +537,40 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("source")
+    },
+
+    // ---- c22: JOIN-TIME dynamic file pruning (Delta's DFP). The dim
+    // side (two narrow doc_id bands with a weight) is broadcast-small;
+    // its key set prunes the range-laid-out manifest FACT to the
+    // files whose stats band admits at least one key BEFORE the scan
+    // is scheduled (the spec counts: 2 of 8 files survive) — the
+    // data-skipping story extended from single-table predicates
+    // (c9–c14) to the join boundary. The exact broadcast join after
+    // the prune keeps correctness pruning-independent; the oracle
+    // runs the same join unpruned, so a false DROP (the only failure
+    // that could corrupt results) breaks the hash.
+    QueryDef("c22_dfp_join",
+      """WITH dim AS (
+        |  SELECT doc_id, doc_id % 7 AS w FROM documents
+        |  WHERE doc_id BETWEEN 100 AND 149 OR doc_id BETWEEN 480 AND 499
+        |)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(d.n_chars * dim.w) AS BIGINT) AS wsum
+        |FROM documents d JOIN dim ON d.doc_id = dim.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      import graft.sources.ManifestTable
+      Warehouse.documentsManifestDfp(s, dir) // build fact once
+      val path = Warehouse.documentsManifestDfpPath(dir)
+      val dim = Tables.documents(s, dir)
+        .where(col("doc_id").between(100, 149)
+          || col("doc_id").between(480, 499))
+        .select(col("doc_id"), (col("doc_id") % 7).as("w"))
+      val keys = dim.select("doc_id").collect().map(_.getLong(0)).toSeq
+      ManifestTable.readVersionPrunedByKeys(s, path, 1L, "doc_id", keys)
+        .join(broadcast(dim), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars") * col("w")).as("wsum"))
+        .orderBy("source")
     })
 }

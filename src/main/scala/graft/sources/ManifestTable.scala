@@ -744,6 +744,48 @@ object ManifestTable {
     * without stats cannot be safely skipped, and silently scanning it
     * would hide a metadata gap — fail loudly instead).
     */
+  /** JOIN-TIME dynamic file pruning (Delta's DFP): schedule only the
+    * files whose [min,max] band on `colName` admits at least one of
+    * the dim side's join keys — the data-skipping story extended from
+    * single-table predicates (c9–c14) to the join boundary, where a
+    * dim-filtered fact scan otherwise reads the whole fact table and
+    * lets the join discard 99% of it. `keys` is collected
+    * driver-side, the same dim-sized contract as a broadcast join's
+    * build side (DFP only ever applies when the dim IS
+    * broadcast-small); per-file admission is a sorted-array binary
+    * search, O(files · log keys). The exact join afterwards keeps
+    * correctness independent of pruning (a false admit costs bytes,
+    * a false drop is impossible: every key inside a file lies inside
+    * its band). Requires stats for every file — fail loudly, as ever.
+    */
+  def readVersionPrunedByKeys(spark: SparkSession, path: String, v: Long,
+      colName: String, keys: Seq[Long]): DataFrame = {
+    val renames = renamesOf(spark, path, v)
+    val phys = physicalFor(renames, colName)
+    val names = files(spark, path, v)
+    val stats = statsFor(spark, path, v).where(col("column") === phys)
+      .select("file", "min_v", "max_v").collect()
+    val statFiles = stats.map(_.getString(0)).toSet
+    require(names.forall(statFiles.contains),
+      s"readVersionPrunedByKeys: files of v$v lack stats for $colName: " +
+        names.filterNot(statFiles.contains).mkString(", "))
+    val sorted = keys.distinct.sorted.toArray
+    def bandHasKey(lo: Long, hi: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(sorted, lo)
+      val at = if (i >= 0) i else -i - 1 // first key >= lo
+      at < sorted.length && sorted(at) <= hi
+    }
+    val kept = stats.toSeq
+      .filter(r => !r.isNullAt(1) && bandHasKey(r.getLong(1), r.getLong(2)))
+      .map(_.getString(0)).sorted
+    val full = readVersionPhysical(spark, path, v)
+    if (kept.isEmpty) readVersion(spark, path, v).where(lit(false))
+    else toLogical(
+      spark.read.schema(full.schema)
+        .parquet(kept.map(n => s"$path/_pool/$n"): _*),
+      renames)
+  }
+
   def readVersionPruned(spark: SparkSession, path: String, v: Long,
       colName: String, lo: Long, hi: Long): DataFrame = {
     val renames = renamesOf(spark, path, v)

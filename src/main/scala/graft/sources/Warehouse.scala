@@ -530,6 +530,29 @@ object Warehouse {
       ManifestTable.latest(s, path)
     }
 
+  /** c22: the range-laid-out manifest fact for join-time dynamic file
+    * pruning — built once, read through [[ManifestTable
+    * .readVersionPrunedByKeys]] with the dim's key set.
+    */
+  def documentsManifestDfpPath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/documents_mdfp$safe"
+  }
+
+  def documentsManifestDfp(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_mdfp:$dir") {
+      val path = documentsManifestDfpPath(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+        .repartitionByRange(8, col("doc_id"))
+      ManifestTable.commitAppend(docs, path)
+      ManifestTable.extendStats(s, path, 1L, Seq("doc_id"))
+      s.emptyDataFrame
+    }
+
   def documentsText(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrElseUpdate(s, s"documents_text:$dir") {
       val path = documentsTextPath(dir)

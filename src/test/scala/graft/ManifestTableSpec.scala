@@ -432,6 +432,33 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.readVersion(spark, p, vOk).count() == 16L)
   }
 
+  test("readVersionPrunedByKeys schedules only band-admitted files; " +
+      "no false drops; gap keys admit nothing") {
+    import spark.implicits._
+    val p = freshPath()
+    val data = (0L until 400L).map(i => (i, i)).toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+    ManifestTable.commitAppend(data, p)
+    ManifestTable.extendStats(spark, p, 1L, Seq("k"))
+    // two scattered keys → at most 2 of 8 files scheduled
+    val pruned = ManifestTable.readVersionPrunedByKeys(
+      spark, p, 1L, "k", Seq(10L, 399L))
+    assert(pruned.inputFiles.length <= 2,
+      s"expected <=2 files, got ${pruned.inputFiles.length}")
+    // no false drops: the pruned read + exact filter equals the truth
+    assert(pruned.where(col("k").isin(10L, 399L))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 399L))
+    // keys outside every band → empty, schema intact
+    val none = ManifestTable.readVersionPrunedByKeys(
+      spark, p, 1L, "k", Seq(5000L))
+    assert(none.count() == 0L && none.columns.toSeq == Seq("k", "v"))
+    // stats-less file refuses
+    ManifestTable.commitAppend(df(400, 410), p)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readVersionPrunedByKeys(spark, p, 2L, "k", Seq(1L))
+    }
+  }
+
   test("crashed commit leaves no readable state; vacuum reclaims its orphans") {
     val p = freshPath()
     ManifestTable.commitAppend(df(0, 50), p)
