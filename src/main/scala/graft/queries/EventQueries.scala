@@ -865,5 +865,67 @@ object EventQueries {
         .select(col("cw").as("cohort_week"), col("off").as("week_offset"),
           col("n_users"), expr("(10000 * n_users) div n0").as("retention_bp"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // ---- e24: interval-overlap join on a time GRID. The inequality
+    // join ("interval overlaps window") that Spark would otherwise
+    // plan as a broadcast nested loop is re-expressed as an
+    // EQUI-join: each per-(user, day) activity interval explodes to
+    // the hour buckets it covers (`sequence` — ≤ 25 rows per
+    // interval, bounded by the day), busy hours join on the bucket
+    // key, and because hourly windows align to the grid, every
+    // covered bucket overlaps exactly — no residual inequality at
+    // all. At 100 TB the fan-out is rows × hours-per-interval and
+    // the join shuffles on a dense integer key; the nested-loop
+    // alternative is rows × windows. "Busy" is a relative threshold
+    // (≥ 1.2× the mean hourly event count; the 1-row global aggregate
+    // is a driver-side control-plane collect, the PageRank-probe
+    // pattern). Output: the distribution of busy-hour exposure per
+    // user-day — user-days overlapping NO busy hour drop out (join
+    // semantics, both engines).
+    QueryDef("e24_interval_join",
+      """WITH hourly AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS h, COUNT(*) AS n
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT SUM(n) AS total, COUNT(*) AS n_hours FROM hourly
+        |), busy AS (
+        |  SELECT h FROM hourly, tot WHERE n * n_hours * 5 >= total * 6
+        |), ui AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    MIN(epoch_ns(ts)) AS lo, MAX(epoch_ns(ts)) AS hi
+        |  FROM events GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT ui.user_id, ui.day FROM ui JOIN busy
+        |  ON busy.h BETWEEN ui.lo // 3600000000000
+        |               AND ui.hi // 3600000000000
+        |), perday AS (
+        |  SELECT user_id, day, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2
+        |)
+        |SELECT CAST(cnt AS BIGINT) AS n_busy_hours,
+        |  CAST(COUNT(*) AS BIGINT) AS n_user_days
+        |FROM perday GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val H = 3600000000000L
+      val D = 86400000000000L
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val hourly = ev.groupBy(expr(s"ts div $H").as("h"))
+        .agg(count(lit(1)).as("n"))
+      // control-plane: one global (total, n_hours) row for the
+      // relative threshold — avoids a 1-row broadcast nested loop
+      val totRow = hourly.agg(sum("n"), count(lit(1))).head
+      val (total, nHours) = (totRow.getLong(0), totRow.getLong(1))
+      val busy = hourly
+        .where(col("n") * lit(nHours) * lit(5L) >= lit(total * 6L))
+        .select("h")
+      val ui = ev.groupBy(col("user_id"), expr(s"ts div $D").as("day"))
+        .agg(min("ts").as("lo"), max("ts").as("hi"))
+      val pairs = ui
+        .withColumn("h",
+          explode(sequence(expr(s"lo div $H"), expr(s"hi div $H"))))
+        .join(busy, Seq("h"))
+      pairs.groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+        .groupBy(col("cnt").as("n_busy_hours"))
+        .agg(count(lit(1)).as("n_user_days"))
+        .orderBy("n_busy_hours")
     })
 }
