@@ -572,5 +572,30 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars") * col("w")).as("wsum"))
         .orderBy("source")
+    },
+
+    // ---- c23: OPTIMIZE ZORDER BY on the manifest table. Documents
+    // committed SCATTERED (hash layout — every file's band spans the
+    // whole domain on both dims, nothing prunes), then z-order
+    // compacted into 8 rectangle files whose per-file stats are tight
+    // on BOTH doc_id and n_chars; the 2-d box read intersects the two
+    // single-column prunes (the spec quantifies the delta: scattered
+    // schedules all 8 files, clustered schedules a strict subset).
+    // The oracle is the honest box aggregate over the raw table —
+    // layout changes results not at all, which is the point.
+    QueryDef("c23_zorder_compact",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 100 AND 180 AND n_chars BETWEEN 200 AND 900
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.sources.ManifestTable
+      Warehouse.documentsManifestZorder(s, dir) // scattered → z-ordered v2
+      ManifestTable.readVersionPrunedMulti(s,
+        Warehouse.documentsManifestZorderPath(dir), 2L,
+        Seq(("doc_id", 100L, 180L), ("n_chars", 200L, 900L)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
     })
 }

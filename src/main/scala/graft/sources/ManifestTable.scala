@@ -439,6 +439,71 @@ object ManifestTable {
     nv
   }
 
+  /** OPTIMIZE … ZORDER BY on the shared-file layout: rewrite the
+    * latest version's rows into `targetFiles` Morton-clustered pool
+    * files — each file a compact (x, y) RECTANGLE, so per-file stats
+    * are tight on BOTH columns and a 2-d box read prunes on both
+    * manifests at once ([[readVersionPrunedMulti]]), where plain
+    * range clustering is tight on one key only. Published as a new
+    * version sharing nothing; older versions read their original
+    * layout until vacuumed; stats for the new files extend
+    * incrementally like any commit. zkey16 interleaves the LOW 16
+    * bits of each dimension — domains beyond 65535 wrap, degrading
+    * cluster quality, never correctness (pruning reads the real
+    * column stats and every read carries the exact residual filter).
+    */
+  def compactZorder(spark: SparkSession, path: String, xCol: String,
+      yCol: String, targetFiles: Int): Long = {
+    val v = latestVersion(spark, path)
+    val renames = renamesOf(spark, path, v)
+    val nv = v + 1
+    val clustered = readVersionPhysical(spark, path, v)
+      .withColumn("__z", graft.operators.ZOrder.zkey16(
+        col(physicalFor(renames, xCol)), col(physicalFor(renames, yCol))))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val names = writeParts(clustered, path, nv)
+    require(publish(spark, path, nv, names, None, renames),
+      s"ManifestTable.compactZorder: version $nv raced a concurrent commit")
+    nv
+  }
+
+  /** Multi-dimensional data skipping: keep only files overlapping
+    * EVERY band — per-column prunes intersect, which is where the
+    * z-ordered layout pays ([[compactZorder]]). Exact residual filter
+    * on all bands; stats required for every file on every band
+    * column, as ever.
+    */
+  def readVersionPrunedMulti(spark: SparkSession, path: String, v: Long,
+      bands: Seq[(String, Long, Long)]): DataFrame = {
+    require(bands.nonEmpty, "readVersionPrunedMulti: no bands given")
+    val renames = renamesOf(spark, path, v)
+    val names = files(spark, path, v)
+    val keptPerBand = bands.map { case (c, lo, hi) =>
+      val phys = physicalFor(renames, c)
+      val stats = statsFor(spark, path, v).where(col("column") === phys)
+        .select("file", "min_v", "max_v").collect()
+      val statFiles = stats.map(_.getString(0)).toSet
+      require(names.forall(statFiles.contains),
+        s"readVersionPrunedMulti: files of v$v lack stats for $c: " +
+          names.filterNot(statFiles.contains).mkString(", "))
+      stats.filter(r => !r.isNullAt(1) && r.getLong(2) >= lo
+        && r.getLong(1) <= hi).map(_.getString(0)).toSet
+    }
+    val kept = keptPerBand.reduce(_ intersect _).toSeq.sorted
+    val residual = bands.map { case (c, lo, hi) =>
+      col(physicalFor(renames, c)) >= lo &&
+        col(physicalFor(renames, c)) <= hi
+    }.reduce(_ && _)
+    if (kept.isEmpty) readVersion(spark, path, v).where(lit(false))
+    else toLogical(
+      spark.read.schema(readVersionPhysical(spark, path, v).schema)
+        .parquet(kept.map(n => s"$path/_pool/$n"): _*)
+        .where(residual),
+      renames)
+  }
+
   /** Retention with REFCOUNTING: drop every version except the newest
     * `keep`, then delete pool files no SURVIVING manifest references —
     * shared files live exactly as long as a reader can reach them.

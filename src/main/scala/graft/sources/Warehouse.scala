@@ -553,6 +553,31 @@ object Warehouse {
       s.emptyDataFrame
     }
 
+  /** c23: documents committed SCATTERED (hash layout — every file's
+    * band spans the whole domain), then OPTIMIZE ZORDER BY (doc_id,
+    * n_chars) into 8 rectangle files; the returned path serves the
+    * 2-d box read. The spec quantifies the prune delta pre/post.
+    */
+  def documentsManifestZorderPath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/documents_mzord$safe"
+  }
+
+  def documentsManifestZorder(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_mzord:$dir") {
+      val path = documentsManifestZorderPath(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+        .repartition(8, col("source")) // scattered on the box dims
+      ManifestTable.commitAppend(docs, path)
+      val v = ManifestTable.compactZorder(s, path, "doc_id", "n_chars", 8)
+      ManifestTable.extendStats(s, path, v, Seq("doc_id", "n_chars"))
+      s.emptyDataFrame
+    }
+
   def documentsText(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrElseUpdate(s, s"documents_text:$dir") {
       val path = documentsTextPath(dir)

@@ -459,6 +459,33 @@ class ManifestTableSpec extends AnyFunSuite {
     }
   }
 
+  test("compactZorder: scattered layout prunes nothing, z-ordered " +
+      "rectangles prune both dims; results identical across layouts") {
+    import spark.implicits._
+    val p = freshPath()
+    // two independent 0..199 dims, hash-scattered: every file's band
+    // spans the whole domain on both columns
+    val data = (0L until 4000L)
+      .map(i => (i % 200, (i * 37) % 200, i)).toDF("x", "y", "payload")
+      .repartition(8, col("payload"))
+    ManifestTable.commitAppend(data, p)
+    ManifestTable.extendStats(spark, p, 1L, Seq("x", "y"))
+    val bands = Seq(("x", 20L, 59L), ("y", 20L, 59L))
+    val scattered = ManifestTable.readVersionPrunedMulti(spark, p, 1L, bands)
+    assert(scattered.inputFiles.length == 8, "hash layout should not prune")
+    val v2 = ManifestTable.compactZorder(spark, p, "x", "y", 8)
+    ManifestTable.extendStats(spark, p, v2, Seq("x", "y"))
+    val clustered = ManifestTable.readVersionPrunedMulti(spark, p, v2, bands)
+    assert(clustered.inputFiles.length < 8,
+      s"z-order should prune the 2-d box, scheduled ${clustered.inputFiles.length}")
+    // layout never changes results
+    val a = scattered.orderBy("payload").collect().toSeq
+    val b = clustered.orderBy("payload").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // old version still reads its original files
+    assert(ManifestTable.readVersion(spark, p, 1L).count() == 4000L)
+  }
+
   test("crashed commit leaves no readable state; vacuum reclaims its orphans") {
     val p = freshPath()
     ManifestTable.commitAppend(df(0, 50), p)
