@@ -155,6 +155,65 @@ class ManifestStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("stateful op over the real source: trendingTokens driven by the " +
+      "manifest table matches the MemoryStream twin batch-for-batch") {
+    import spark.implicits._
+    import graft.streaming.DocStream
+    import graft.streaming.DocStream.{DocRec, TokenSketch}
+    val p = freshPath()
+    val b1 = Seq(
+      DocRec("en", 1L, "alpha beta beta gamma"),
+      DocRec("en", 2L, "beta gamma gamma delta"),
+      DocRec("de", 3L, "eins zwei zwei"))
+    val b2 = Seq(
+      DocRec("en", 4L, "gamma gamma epsilon"),
+      DocRec("de", 5L, "zwei drei drei drei"))
+    ManifestTable.commitAppend(b1.toDF(), p) // v1
+    val got = mutable.Map.empty[String, TokenSketch]
+    val q = spark.readStream
+      .format("graft.streaming.ManifestStreamProvider")
+      .option("path", p).load()
+      .as[DocRec]
+      .transform(DocStream.trendingTokens(_, k = 4))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("mstate_ckpt").toString)
+      .foreachBatch { (batch: Dataset[TokenSketch], _: Long) =>
+        got.synchronized {
+          batch.collect().foreach(s => got(s.lang) = s)
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      ManifestTable.commitAppend(b2.toDF(), p) // v2 → state evolves
+      q.processAllAvailable()
+    } finally q.stop()
+    // the MemoryStream twin over the same two batches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[DocRec]
+    val want = mutable.Map.empty[String, TokenSketch]
+    val q2 = DocStream.trendingTokens(mem.toDS(), k = 4)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: Dataset[TokenSketch], _: Long) =>
+        want.synchronized {
+          batch.collect().foreach(s => want(s.lang) = s)
+        }
+        ()
+      }
+      .start()
+    try {
+      mem.addData(b1: _*); q2.processAllAvailable()
+      mem.addData(b2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(got.keySet == Set("en", "de"))
+    assert(got.toMap.map { case (k, v) => k -> (v.tokens, v.counts) } ==
+      want.toMap.map { case (k, v) => k -> (v.tokens, v.counts) })
+  }
+
   test("startingVersion skips consumed history; a rewrite in the offset " +
       "range fails the batch (append-only contract)") {
     val p = freshPath()
