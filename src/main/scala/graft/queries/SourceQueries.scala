@@ -52,6 +52,26 @@ object SourceQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // ---- c24: XML roundtrip (Spark 4 native xml source) ----
+    // The wiki-dump / sitemap arrival format. One <doc> element per
+    // row; text carries markup-significant characters, so writer
+    // escaping + parser unescaping are inside the hash. md5 over the
+    // round-tripped text pins byte fidelity; the aggregate pins row
+    // fidelity.
+    QueryDef("c24_xml_roundtrip",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+      Warehouse.documentsXml(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min(md5(col("text").cast("binary"))).as("min_md5"),
+          max(md5(col("text").cast("binary"))).as("max_md5"))
+        .orderBy("lang")
+    },
+
     // ---- c5: parquet schema evolution via mergeSchema ----
     // Append-only column add: the merged read surfaces NULL for the
     // pre-evolution batch; the oracle recreates the same view from the

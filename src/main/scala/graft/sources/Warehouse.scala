@@ -143,6 +143,25 @@ object Warehouse {
       s.read.orc(path)
     }
 
+  /** c24: XML roundtrip through Spark 4's NATIVE xml source — the
+    * format a wiki dump / crawl sitemap arrives in. Documents are
+    * written as one `<doc>` row element each (text content carries
+    * markup-significant characters, so the writer's escaping is part
+    * of what the hash verifies), then read back through the XML
+    * parser with an explicit schema (inference would widen types).
+    */
+  def documentsXml(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"documents_xml:$dir") {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"spark-warehouse/documents_xml$safe"
+      val src = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "text", "n_chars")
+      src.write.mode("overwrite")
+        .option("rowTag", "doc").format("xml").save(path)
+      s.read.schema(src.schema)
+        .option("rowTag", "doc").format("xml").load(path)
+    }
+
   /** Absolute path of the trained-IVF-centroid export — same
     * single-process oracle contract as [[simhashExportPath]]: the
     * DuckDB oracle re-reads the identical trained table, so assignment
