@@ -138,4 +138,68 @@ object Images {
        |  CAST(SUM(pv) AS BIGINT) AS pix_sum
        |FROM cells GROUP BY img_id, w, h ORDER BY doc_id""".stripMargin
   }
+
+  /** m9 fixture: images engineered so the 8×8 average-hash groups them
+    * into near-dup clusters. Same (w, h) with a nearby seed shifts
+    * every pixel by a constant mod 256 — the hash (a mean-threshold
+    * bit pattern) is shift-invariant except where values WRAP at 256,
+    * so close seeds land hamming-close, far seeds land far. Chosen so
+    * the hamming ≤ 3 pair set is {1-2, 1-8, 2-8 (exact, distance 0),
+    * 5-6 (distance 1), 9-10 (distance 2)} with 3 sitting at distance 5
+    * from 1/2/8 — just above the threshold, exercising the cut. All
+    * dims ≥ 8 so every 8×8 cell is non-empty.
+    */
+  val neardupSpecs: Seq[(Long, Int, Int, Int)] = Seq(
+    (1L, 16, 16, 10), (2L, 16, 16, 11), (3L, 16, 16, 13), (4L, 16, 16, 200),
+    (5L, 32, 24, 10), (6L, 32, 24, 12), (7L, 32, 24, 150), (8L, 16, 16, 10),
+    (9L, 40, 40, 77), (10L, 40, 40, 80))
+
+  /** The neardup fixture as an executor-encoded PNG payload table. */
+  def neardupPayloads(s: SparkSession): DataFrame = {
+    import s.implicits._
+    neardupSpecs.map(t => SpecRow(t._1, t._2, t._3, t._4))
+      .toDS()
+      .repartition(4)
+      .map(r => PayloadRow(r.doc_id, encodePng(r.w, r.h, r.seed)))
+      .toDF()
+  }
+
+  /** The m9 oracle: the 8×8 average-hash replayed analytically — cell
+    * (ci, cj) = (x·8)//w, (y·8)//h (never empty for dims ≥ 8), bit =
+    * cell mean > image mean via the exact cross-multiplication
+    * `cell_sum · n_pixels > total_sum · cell_count`, hamming = count
+    * of differing bits over an all-pairs bit join (fixture-sized;
+    * the ENGINE side is the one that must scale, via the 16-bit band
+    * pigeonhole join). Pairs at hamming ≤ 3, ordered.
+    */
+  def ahashOracleSql: String = {
+    val values = neardupSpecs
+      .map(t => s"(${t._1}, ${t._2}, ${t._3}, ${t._4})").mkString(", ")
+    val maxW = neardupSpecs.map(_._2).max
+    val maxH = neardupSpecs.map(_._3).max
+    s"""WITH imgs(img_id, w, h, seed) AS (VALUES $values),
+       |xs AS (SELECT i FROM range(0, $maxW) t(i)),
+       |ys AS (SELECT j FROM range(0, $maxH) t(j)),
+       |px AS (
+       |  SELECT img_id, (xs.i * 8) // w AS ci, (ys.j * 8) // h AS cj,
+       |    (xs.i * 31 + ys.j * 17 + seed) % 256 AS v
+       |  FROM imgs, xs, ys WHERE xs.i < w AND ys.j < h
+       |), cells AS (
+       |  SELECT img_id, ci, cj, SUM(v) AS s, COUNT(*) AS c
+       |  FROM px GROUP BY img_id, ci, cj
+       |), tot AS (
+       |  SELECT img_id, SUM(v) AS ts, COUNT(*) AS tc FROM px GROUP BY img_id
+       |), bits AS (
+       |  SELECT c.img_id, c.ci * 8 + c.cj AS k,
+       |    CASE WHEN c.s * t.tc > t.ts * c.c THEN 1 ELSE 0 END AS b
+       |  FROM cells c JOIN tot t ON c.img_id = t.img_id
+       |), pairs AS (
+       |  SELECT a.img_id AS id_a, b.img_id AS id_b,
+       |    SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
+       |  FROM bits a JOIN bits b ON a.k = b.k AND a.img_id < b.img_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
 }

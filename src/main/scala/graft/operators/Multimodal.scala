@@ -98,6 +98,57 @@ object Multimodal {
     }
   }
 
+  /** REAL perceptual-hash decoder: decodes the image (javax.imageio)
+    * and computes the 8×8 average-hash — cell (ci, cj) =
+    * ((x·8)//w, (y·8)//h), bit k = ci·8+cj set iff the cell's mean
+    * exceeds the image mean, compared by exact cross-multiplication
+    * (`cell_sum · n_pixels > total_sum · cell_count` — no float in
+    * the threshold). Requires dims ≥ 8 so every cell is non-empty.
+    * The 64-bit hash is packed as two 32-bit halves in the double-
+    * typed feature contract (each < 2^32, lossless): features =
+    * [width, height, hash_hi, hash_lo]. m9 reassembles the long and
+    * runs the same 16-bit-band pigeonhole pair join SimHash uses.
+    */
+  object AHashDecoder extends Decoder {
+    override def decode(payload: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "AHashDecoder: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w >= 8 && h >= 8,
+        s"AHashDecoder needs dims >= 8, got ${w}x$h")
+      val raster = img.getRaster
+      val cellSum = new Array[Long](64)
+      val cellCnt = new Array[Long](64)
+      var tot = 0L
+      var y = 0
+      while (y < h) {
+        val cj = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val ci = x * 8 / w
+          val v = raster.getSample(x, y, 0).toLong
+          cellSum(ci * 8 + cj) += v
+          cellCnt(ci * 8 + cj) += 1L
+          tot += v
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (cellSum(k) * n > tot * cellCnt(k)) hash |= 1L << k
+        k += 1
+      }
+      Decoded(1L, tot.toDouble / n,
+        Array(w.toDouble, h.toDouble,
+          ((hash >>> 32) & 0xffffffffL).toDouble, (hash & 0xffffffffL).toDouble))
+    }
+  }
+
   /** REAL audio decoder: `javax.sound.sampled` (the JDK-stdlib
     * RIFF/WAVE codec — pure JVM, no native deps). Parses the container
     * header for the sample rate, streams the PCM frames, and packs

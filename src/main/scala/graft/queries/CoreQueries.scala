@@ -545,5 +545,88 @@ object CoreQueries {
             (lit(1) - col("l_discount")).cast(dec4_2)).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("l_year", "l_month")
+    },
+
+    // ---- q48: Pareto frontier (2-d skyline) ----
+    // Parts not dominated on (minimize p_retailprice, maximize
+    // p_size): A dominates B iff price_A <= price_B AND size_A >=
+    // size_B with at least one strict. The naive form is an O(n^2)
+    // NOT-EXISTS self-join; the scalable form used here is the
+    // sort-sweep: ordered by (price ASC, size DESC), a row is
+    // dominated iff the running max of size over STRICTLY PRECEDING
+    // rows exceeds its size (a larger-size predecessor at price <=
+    // mine), or the running max over STRICTLY CHEAPER prices reaches
+    // its size (equal size at a lower price). Both maxima are one
+    // window pass — O(n log n), no self-join.
+    //
+    // 100 TB shape: skyline is ALGEBRAIC — skyline(A ∪ B) =
+    // skyline(skyline(A) ∪ skyline(B)) — so phase 1 runs the sweep
+    // per hash bucket (32 PARALLEL windows, no global sort of the
+    // fact table), and phase 2 re-runs it once on the union of local
+    // skylines, which is frontier-sized (O(log n) expected for
+    // independent dims), not corpus-sized. The single-partition
+    // window exists only in phase 2 over that tiny survivor set.
+    // The oracle replays the sweep as one global window (a different
+    // decomposition); the ScalaTest spec pins both against the
+    // brute-force NOT-EXISTS definition at fixture scale.
+    QueryDef("q48_pareto_frontier",
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_retailprice, p_size FROM part
+        |), o AS (
+        |  SELECT p.*, MAX(p_size) OVER (
+        |    ORDER BY p_retailprice, p_size DESC, p_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+        |  FROM p
+        |), pm AS (
+        |  SELECT p_retailprice AS pr, MAX(p_size) AS ms FROM p GROUP BY 1
+        |), cl AS (
+        |  SELECT pr, MAX(ms) OVER (
+        |    ORDER BY pr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cml
+        |  FROM pm
+        |)
+        |SELECT o.p_partkey, o.p_name, o.p_retailprice,
+        |  CAST(o.p_size AS BIGINT) AS p_size
+        |FROM o JOIN cl ON o.p_retailprice = cl.pr
+        |WHERE (o.cm IS NULL OR o.cm <= o.p_size)
+        |  AND (cl.cml IS NULL OR cl.cml < o.p_size)
+        |ORDER BY o.p_retailprice, o.p_partkey""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir)
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+      CoreQueries.skyline(p, buckets = 32)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+          col("p_size").cast("long").as("p_size"))
+        .orderBy("p_retailprice", "p_partkey")
     })
+
+  /** One sort-sweep dominance pass: rows of `p` (needs p_retailprice,
+    * p_size, p_partkey) surviving within each bucket-group (global
+    * when bucketCol is a constant). See q48's comment for the
+    * dominated-iff derivation.
+    */
+  private def sweep(p: org.apache.spark.sql.DataFrame,
+      bucketCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val b = p.withColumn("bk", bucketCol)
+    val w = Window.partitionBy("bk")
+      .orderBy(col("p_retailprice"), col("p_size").desc, col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // strictly-cheaper running max: per-price group max, then the
+    // same preceding-rows cummax over the (bucket-local) price list
+    val pm = b.groupBy("bk", "p_retailprice").agg(max("p_size").as("ms"))
+    val wl = Window.partitionBy("bk").orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cl = pm.withColumn("cml", max("ms").over(wl))
+      .select(col("bk").as("bk2"), col("p_retailprice").as("pr"), col("cml"))
+    b.withColumn("cm", max("p_size").over(w))
+      .join(cl, col("bk") === col("bk2") && col("p_retailprice") === col("pr"))
+      .where((col("cm").isNull || col("cm") <= col("p_size")) &&
+        (col("cml").isNull || col("cml") < col("p_size")))
+      .drop("bk", "bk2", "pr", "cm", "cml")
+  }
+
+  /** Two-phase distributed skyline: bucketed local sweeps, then one
+    * global sweep over the frontier-sized survivor union.
+    */
+  def skyline(p: org.apache.spark.sql.DataFrame, buckets: Int)
+      : org.apache.spark.sql.DataFrame =
+    sweep(sweep(p, pmod(col("p_partkey"), lit(buckets))), lit(0))
 }

@@ -927,5 +927,51 @@ object EventQueries {
         .groupBy(col("cnt").as("n_busy_hours"))
         .agg(count(lit(1)).as("n_user_days"))
         .orderBy("n_busy_hours")
+    },
+
+    // ---- e25: signup→purchase conversion latency (survival shape) ----
+    // Time-to-convert: each signed-up user's FIRST signup, their FIRST
+    // purchase STRICTLY after it, the latency distribution bucketed by
+    // microsecond digit count (e22's integer-exact bucket discipline —
+    // no log()/double boundary drift), plus the never-converted cohort
+    // as the lat_digits = -1 row. Scale shape: two user-keyed hash
+    // aggregates and one user-keyed left join — the same key end to
+    // end, so AQE coalesces to ONE shuffle lineage; no windows, no
+    // fact-sized sort. The strictly-after predicate rides the join
+    // (p0 > s0 evaluated post-aggregation on user-dim-sized inputs).
+    QueryDef("e25_conversion_latency",
+      """WITH su AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS s0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), pu AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS p0 FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id
+        |), lat AS (
+        |  SELECT su.user_id,
+        |    CASE WHEN pu.p0 > su.s0 THEN pu.p0 - su.s0 END AS lat_us
+        |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+        |)
+        |SELECT
+        |  CAST(CASE WHEN lat_us IS NULL THEN -1
+        |       ELSE length(CAST(lat_us AS VARCHAR)) END AS BIGINT) AS lat_digits,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(COALESCE(MIN(lat_us), 0) AS BIGINT) AS min_lat_us,
+        |  CAST(COALESCE(MAX(lat_us), 0) AS BIGINT) AS max_lat_us
+        |FROM lat GROUP BY 1 ORDER BY lat_digits""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      val su = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("tus").as("s0"))
+      val pu = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("tus").as("p0"))
+      su.join(pu, Seq("user_id"), "left")
+        .withColumn("lat_us", when(col("p0") > col("s0"), col("p0") - col("s0")))
+        .groupBy(when(col("lat_us").isNull, lit(-1L))
+          .otherwise(length(col("lat_us").cast("string")).cast("long"))
+          .as("lat_digits"))
+        .agg(count(lit(1)).as("n_users"),
+          coalesce(min("lat_us"), lit(0L)).cast("long").as("min_lat_us"),
+          coalesce(max("lat_us"), lit(0L)).cast("long").as("max_lat_us"))
+        .orderBy("lat_digits")
     })
 }

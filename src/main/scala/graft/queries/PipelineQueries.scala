@@ -1671,6 +1671,77 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ---- v5: MAD robust outlier gate (median absolute deviation) ----
+    // The outlier detector that survives the outliers it hunts: per
+    // source, med = exact lower median of doc length, mad = exact
+    // lower median of |len − med|, outliers = docs beyond med ± 3·mad.
+    // Unlike v4's winsorized mean this is fully median-based, so a
+    // single pathological shard can't drag the gate. Exactness: both
+    // medians use v4's VALUE-DOMAIN cumulation — per-(source, value)
+    // counts, a cumsum window over the bounded value domain (hundreds
+    // of distinct lengths, never corpus rows), the 1-based
+    // rank-((n−1)//2+1) pick — all integer, hash-identical across
+    // engines. Scale shape: two scans, two bounded-domain histograms,
+    // one broadcast of the per-source (med, mad) dim; no row-rank
+    // window ever touches corpus-sized data.
+    QueryDef("v5_mad_outliers",
+      """WITH per AS (
+        |  SELECT source, n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, SUM(cnt) AS n FROM per GROUP BY source
+        |), med AS (
+        |  SELECT c.source, MIN(CASE WHEN c.cm >= (t.n - 1) // 2 + 1 THEN c.v END) AS med
+        |  FROM (SELECT source, v,
+        |          SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cm
+        |        FROM per) c
+        |  JOIN tot t ON c.source = t.source GROUP BY c.source
+        |), dev AS (
+        |  SELECT d.source, ABS(d.n_chars - m.med) AS v, COUNT(*) AS cnt
+        |  FROM documents d JOIN med m ON d.source = m.source GROUP BY 1, 2
+        |), mad AS (
+        |  SELECT c.source, MIN(CASE WHEN c.cm >= (t.n - 1) // 2 + 1 THEN c.v END) AS mad
+        |  FROM (SELECT source, v,
+        |          SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cm
+        |        FROM dev) c
+        |  JOIN tot t ON c.source = t.source GROUP BY c.source
+        |)
+        |SELECT d.source, CAST(t.n AS BIGINT) AS n_docs,
+        |  CAST(m.med AS BIGINT) AS med, CAST(a.mad AS BIGINT) AS mad,
+        |  CAST(SUM(CASE WHEN ABS(d.n_chars - m.med) > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM documents d
+        |JOIN med m ON d.source = m.source
+        |JOIN mad a ON d.source = a.source
+        |JOIN tot t ON d.source = t.source
+        |GROUP BY d.source, t.n, m.med, a.mad
+        |ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cumW = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("v") // bounded value domain
+      // exact lower median by value-domain cumulation (v4's contract)
+      def medianOf(vals: org.apache.spark.sql.DataFrame, out: String) = {
+        val per = vals.groupBy("source", "v").agg(count(lit(1)).as("cnt"))
+        val tot = per.groupBy("source").agg(sum("cnt").as("n"))
+        per.withColumn("cm", sum("cnt").over(cumW))
+          .join(broadcast(tot), Seq("source"))
+          .groupBy("source")
+          .agg(min(when(col("cm") >= expr("(n - 1) div 2 + 1"), col("v")))
+            .as(out), min("n").as(s"${out}_n"))
+      }
+      val med = medianOf(docs.select(col("source"), col("n_chars").as("v")), "med")
+      val dev = docs.join(broadcast(med), Seq("source"))
+        .select(col("source"), abs(col("n_chars") - col("med")).as("v"))
+      val mad = medianOf(dev, "mad")
+      docs
+        .join(broadcast(med), Seq("source"))
+        .join(broadcast(mad), Seq("source"))
+        .groupBy(col("source"), col("med_n").as("n_docs"), col("med"), col("mad"))
+        .agg(sum(when(abs(col("n_chars") - col("med")) > lit(3) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+        .select(col("source"), col("n_docs"), col("med"), col("mad"),
+          col("n_outliers"))
+        .orderBy("source")
+    },
+
     // ---- isotonic calibration of a quality signal (PAV closed form) ----
     // Calibrates the cheap English-stopword signal (d4's ' the '
     // density, in bp of doc length) into a monotone P(lang='en')
@@ -1756,5 +1827,55 @@ object PipelineQueries {
             .as("raw_ppm"),
           col("fitted_ppm"))
         .orderBy("bucket")
+    },
+
+    // ---- p34: multi-phrase blocklist filter (relational Aho-Corasick) ----
+    // The curation gate every production corpus runs: N banned phrases
+    // matched against every document, with space-boundary substring
+    // semantics (' phrase ' within ' text ' — no mid-word hits). The
+    // naive plan evaluates contains() N×M times across the full
+    // corpus scan; here candidate generation is an ANCHOR-TOKEN
+    // inverted join — explode each doc's DISTINCT tokens, equi-join
+    // the broadcast (anchor → phrase) dim on the phrase's first token
+    // — so the per-candidate locate() verify only ever runs on docs
+    // that contain the anchor token at all (complete by construction:
+    // a space-bounded phrase occurrence makes each of its words a
+    // token of the doc). At 100 TB this is one corpus scan + a
+    // pattern-dim broadcast; candidates scale with anchor-token df,
+    // not corpus × patterns. Zero-hit phrases stay in the report as
+    // explicit zeros (a silently-vanishing pattern row reads as
+    // "clean corpus" when it means "broken pattern").
+    QueryDef("p34_blocklist_filter",
+      """WITH bl(pid, phrase) AS (VALUES
+        |  (1, 'hash join'), (2, 'slow scan'), (3, 'fast merge'),
+        |  (4, 'window agg'), (5, 'stream filter'), (6, 'key value'),
+        |  (7, 'big data'), (8, 'sort merge'), (9, 'the query'),
+        |  (10, 'vector scan nonexistent'))
+        |SELECT CAST(pid AS BIGINT) AS pid, phrase,
+        |  CAST(COUNT(d.doc_id) AS BIGINT) AS n_docs
+        |FROM bl LEFT JOIN documents d
+        |  ON instr(' ' || d.text || ' ', ' ' || phrase || ' ') > 0
+        |GROUP BY pid, phrase ORDER BY pid""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val phrases = Seq((1L, "hash join"), (2L, "slow scan"),
+        (3L, "fast merge"), (4L, "window agg"), (5L, "stream filter"),
+        (6L, "key value"), (7L, "big data"), (8L, "sort merge"),
+        (9L, "the query"), (10L, "vector scan nonexistent"))
+      val bl = phrases.map { case (pid, p) =>
+        (pid, p, p.split(' ').head) // anchor = first token
+      }.toDF("pid", "phrase", "anchor")
+      val cands = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .join(broadcast(bl), col("tok") === col("anchor"))
+      val hits = cands
+        // space-boundary phrase containment: ' phrase ' in ' text '
+        .where(expr("instr(concat(' ', text, ' '), concat(' ', phrase, ' ')) > 0"))
+        .groupBy("pid").agg(count(lit(1)).as("n"))
+      bl.select("pid", "phrase")
+        .join(hits, Seq("pid"), "left")
+        .select(col("pid"), col("phrase"),
+          coalesce(col("n"), lit(0L)).as("n_docs"))
+        .orderBy("pid")
     })
 }

@@ -689,6 +689,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- m9: perceptual near-dup image pairs (average hash) ----
+    // Media dedup joining the two strongest families on the board:
+    // genuine PNG bytes flow through the m4 decoder seam into the 8×8
+    // average-hash (AHashDecoder — mean-threshold bits via exact
+    // cross-multiplication, the 64-bit hash packed lossless as two
+    // 32-bit halves in the double feature contract), then the pair
+    // generation is d8's EXISTING machinery: reassemble the long,
+    // 16-bit band split, pigeonhole band join (hamming ≤ 3 over 64
+    // bits ⇒ some band equal — candidates are provably complete),
+    // exact bit_count(xor) verify. At 100 TB the hash table is
+    // signature-sized (16 bytes/image) and the join is band-bucketed —
+    // never all-pairs. The oracle knows nothing of PNG or bands: it
+    // replays cells → bits analytically from the generation params and
+    // brute-forces all-pairs hamming at fixture scale.
+    QueryDef("m9_image_neardup", graft.fixtures.Images.ahashOracleSql) { (s, dir) =>
+      val sigs = graft.operators.Multimodal.decodeFeatures(
+          graft.fixtures.Images.neardupPayloads(s),
+          decoder = graft.operators.Multimodal.AHashDecoder)
+        .select(col("doc_id"),
+          expr("shiftleft(CAST(features[2] AS BIGINT), 32) | CAST(features[3] AS BIGINT)")
+            .as("simhash"))
+      val banded = graft.operators.TextOps.simhashBands("simhash")
+        .foldLeft(sigs) { case (df, (name, c)) => df.withColumn(name, c) }
+        .localCheckpoint(true) // signature-sized; avoids band re-inlining
+      Dedup.simhashPairsFrom(banded, maxHamming = 3)
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- blocked edit-distance (Levenshtein) near-dup pairs ----
     // The character-level complement to token Jaccard (d6) and
     // hash sketches (d7/d8): catches small in-place edits that shift

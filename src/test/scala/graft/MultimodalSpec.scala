@@ -263,4 +263,34 @@ class MultimodalSpec extends AnyFunSuite {
         .take(2).toSeq == Seq(64.0, 48.0))
     } finally spark.conf.unset(key)
   }
+
+  test("AHashDecoder: bits match a hand-computed reference; identical images hash equal") {
+    // reference replay of the decoder's own contract on one fixture
+    // image, computed independently here from the pixel formula
+    def refHash(w: Int, h: Int, seed: Int): Long = {
+      val cs = new Array[Long](64); val cc = new Array[Long](64); var tot = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 31 + y * 17 + seed) % 256
+        val k = (x * 8 / w) * 8 + (y * 8 / h)
+        cs(k) += v; cc(k) += 1; tot += v
+      }
+      val n = w.toLong * h
+      (0 until 64).foldLeft(0L)((acc, k) =>
+        if (cs(k) * n > tot * cc(k)) acc | (1L << k) else acc)
+    }
+    def decodedHash(w: Int, h: Int, seed: Int): Long = {
+      val d = Multimodal.AHashDecoder.decode(
+        graft.fixtures.Images.encodePng(w, h, seed))
+      (d.features(2).toLong << 32) | d.features(3).toLong
+    }
+    for ((_, w, h, seed) <- graft.fixtures.Images.neardupSpecs)
+      assert(decodedHash(w, h, seed) == refHash(w, h, seed),
+        s"hash mismatch for ${w}x$h seed=$seed")
+    // exact duplicates (same w/h/seed, different ids) must hash equal
+    assert(decodedHash(16, 16, 10) == decodedHash(16, 16, 10))
+    // sub-8x8 images are rejected, not silently mis-hashed
+    intercept[IllegalArgumentException] {
+      Multimodal.AHashDecoder.decode(graft.fixtures.Images.encodePng(7, 9, 1))
+    }
+  }
 }
