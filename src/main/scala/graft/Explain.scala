@@ -405,7 +405,17 @@ object Explain {
         |join with the OR residual as a post-join condition, not a
         |nested-loop over the cross product. Both scans also receive the
         |derived single-column disjunction pushdowns (brand IN (...),
-        |size ≤ 15, quantity ranges).""".stripMargin)
+        |size ≤ 15, quantity ranges).""".stripMargin,
+    "q48_pareto_frontier" ->
+      """Two-phase skyline. The plan to check: phase 1's dominance
+        |window must be hash-PARTITIONED on the bucket key (32 parallel
+        |sorts over corpus slices — no global Exchange SinglePartition
+        |before the first Filter), and the only single-partition
+        |window/sort pair sits AFTER the phase-1 Filter, i.e. over the
+        |frontier-sized survivor union. The per-price cummax side
+        |(groupBy + window + join back) must stay a hash aggregate;
+        |the join back to the sweep is bucket+price equi — no
+        |nested-loop anywhere despite the inequality semantics.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

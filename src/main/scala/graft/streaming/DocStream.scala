@@ -189,6 +189,32 @@ object DocStream {
       .withColumn("text", Curation.redact(col("text")))
       .drop("__grams")
 
+  /** Ingest-time blocklist gate — the streaming twin of p34: each
+    * arriving doc is matched against the phrase blocklist with the
+    * same space-boundary semantics and the same anchor-token candidate
+    * pruning (explode the doc's DISTINCT tokens, stream-static
+    * broadcast equi-join on each phrase's first token, then the
+    * locate() verify runs only on anchor-hit candidates). Completely
+    * STATELESS — the pattern dim re-broadcasts per microbatch, every
+    * other expression is row-local; no watermark, no state store,
+    * restart-safe. Emits one append row per (doc, matched phrase);
+    * the admission feed is the input's left_anti against these
+    * doc_ids, exactly as d16/cleanFeed.
+    */
+  def blocklistMatches(docs: DataFrame,
+      phrases: Seq[(Long, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bl = phrases.map { case (pid, p) => (pid, p, p.split(' ').head) }
+      .toDF("pid", "phrase", "anchor")
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .join(broadcast(bl), col("tok") === col("anchor"))
+      .where(expr("instr(concat(' ', text, ' '), concat(' ', phrase, ' ')) > 0"))
+      .select(col("doc_id"), col("pid"), col("phrase"))
+  }
+
   /** Streaming PPJoin admission gate: each ARRIVING doc is tested for
     * exact Jaccard ≥ `minJaccardBp`/10000 similarity against a STATIC
     * at-rest corpus, emitting one append-mode row per (arriving doc,

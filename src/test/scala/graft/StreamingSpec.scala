@@ -537,6 +537,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming blocklist gate matches batch p34 semantics (stateless stream-static)") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val phrases = Seq((1L, "hash join"), (2L, "slow scan"), (3L, "never appears"))
+    val docs: Seq[(Long, String)] = Seq(
+      (1L, "the hash join beats the slow scan here"), // matches 1 AND 2
+      (2L, "a rehash joint is not a hash join boundary case rehash join"), // only real ' hash join '
+      (3L, "hashjoin as one word must not match"), // boundary: no hit
+      (4L, "slow scan at the start and hash at the end")) // matches 2 only
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream
+      .blocklistMatches(mem.toDF().toDF("doc_id", "text"), phrases)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("blocklist_out").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("blocklist_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pid"))).toSet
+      // batch expectation: space-boundary containment, brute force
+      val expected = (for {
+        (did, text) <- docs
+        (pid, p) <- phrases
+        if s" $text ".contains(s" $p ")
+      } yield (did, pid)).toSet
+      assert(expected == Set((1L, 1L), (1L, 2L), (2L, 1L), (4L, 2L)))
+      assert(got == expected)
+      // zero state: the gate is a stream-static join, restart-safe
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment equals the native batch as-of join") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
