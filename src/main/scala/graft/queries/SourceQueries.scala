@@ -617,5 +617,30 @@ object SourceQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("source")
+    },
+
+    // ---- c25: partition-spec evolution (Iceberg-class, no rewrite).
+    // The table changed its partitioning mid-life: v1 appended events
+    // hash-scattered on event_id (the original spec — every file's
+    // user_id band spans the domain), v2 appended the purchase slice
+    // RANGE-CLUSTERED on user_id (the evolved spec) touching zero v1
+    // bytes. A user_id-band read over the MIXED layout schedules all
+    // pre-evolution files (they cannot prune — honest) plus only the
+    // matching post-evolution files; the spec counts both layouts'
+    // schedules, and the oracle replays the band from raw events —
+    // the layout change must not move a single row.
+    QueryDef("c25_partition_evolution",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE user_id BETWEEN 3 AND 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import graft.sources.ManifestTable
+      Warehouse.eventsPartEvolved(s, dir) // v1 scattered + v2 clustered
+      ManifestTable.readVersionPrunedMulti(s,
+        Warehouse.eventsPartEvolvedPath(dir), 2L,
+        Seq(("user_id", 3L, 7L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+        .orderBy("event_type")
     })
 }

@@ -475,9 +475,14 @@ object ManifestTable {
     * on all bands; stats required for every file on every band
     * column, as ever.
     */
-  def readVersionPrunedMulti(spark: SparkSession, path: String, v: Long,
-      bands: Seq[(String, Long, Long)]): DataFrame = {
-    require(bands.nonEmpty, "readVersionPrunedMulti: no bands given")
+  /** The files of version `v` whose per-column stats bands intersect
+    * EVERY probe band — the scan schedule [[readVersionPrunedMulti]]
+    * reads. Public so specs can audit layout effects (z-order, the
+    * c25 partition evolution) at the file level.
+    */
+  def prunedFilesMulti(spark: SparkSession, path: String, v: Long,
+      bands: Seq[(String, Long, Long)]): Seq[String] = {
+    require(bands.nonEmpty, "prunedFilesMulti: no bands given")
     val renames = renamesOf(spark, path, v)
     val names = files(spark, path, v)
     val keptPerBand = bands.map { case (c, lo, hi) =>
@@ -486,12 +491,18 @@ object ManifestTable {
         .select("file", "min_v", "max_v").collect()
       val statFiles = stats.map(_.getString(0)).toSet
       require(names.forall(statFiles.contains),
-        s"readVersionPrunedMulti: files of v$v lack stats for $c: " +
+        s"prunedFilesMulti: files of v$v lack stats for $c: " +
           names.filterNot(statFiles.contains).mkString(", "))
       stats.filter(r => !r.isNullAt(1) && r.getLong(2) >= lo
         && r.getLong(1) <= hi).map(_.getString(0)).toSet
     }
-    val kept = keptPerBand.reduce(_ intersect _).toSeq.sorted
+    keptPerBand.reduce(_ intersect _).toSeq.sorted
+  }
+
+  def readVersionPrunedMulti(spark: SparkSession, path: String, v: Long,
+      bands: Seq[(String, Long, Long)]): DataFrame = {
+    val renames = renamesOf(spark, path, v)
+    val kept = prunedFilesMulti(spark, path, v, bands)
     val residual = bands.map { case (c, lo, hi) =>
       col(physicalFor(renames, c)) >= lo &&
         col(physicalFor(renames, c)) <= hi

@@ -383,6 +383,40 @@ object Warehouse {
       ManifestTable.readVersion(s, path, v2)
     }
 
+  /** c25's partition-spec evolution table: the Iceberg-class "change
+    * the partitioning WITHOUT rewriting history" shape. v1 appends the
+    * non-purchase events hash-scattered on event_id (the original,
+    * unpartitioned spec — every file's user_id band spans the domain);
+    * v2 appends the purchase events RANGE-CLUSTERED on user_id (the
+    * evolved spec — tight disjoint bands), touching zero v1 bytes.
+    * Stats cover both layouts, so a user_id-band read schedules all
+    * pre-evolution files (they cannot prune — honest) plus only the
+    * matching post-evolution files; results are layout-independent.
+    * Returns the table path (the query does the pruned read).
+    */
+  def eventsPartEvolvedPath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"spark-warehouse/events_pevo$safe"
+  }
+
+  def eventsPartEvolved(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"events_pevo:$dir") {
+      val path = eventsPartEvolvedPath(dir)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      ManifestTable.commitAppend(
+        ev.where(col("event_type") =!= "purchase")
+          .repartition(4, col("event_id")), path)
+      val v2 = ManifestTable.commitAppend(
+        ev.where(col("event_type") === "purchase")
+          .repartitionByRange(8, col("user_id")), path)
+      ManifestTable.extendStats(s, path, v2, Seq("user_id"))
+      ManifestTable.readVersion(s, path, v2)
+    }
+
   /** A second, independent manifest table for c16: range layout on
     * doc_id (so the delete band provably skips most files), then a
     * predicate-pruned DELETE of doc_id ∈ [100, 199] — returns the

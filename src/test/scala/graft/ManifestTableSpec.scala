@@ -486,6 +486,41 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.readVersion(spark, p, 1L).count() == 4000L)
   }
 
+  test("partition evolution: old-spec files never prune, new-spec files do, " +
+      "zero bytes rewritten, results layout-independent (c25)") {
+    import spark.implicits._
+    val p = freshPath()
+    // v1: the ORIGINAL spec — 4 files hash-scattered on payload, every
+    // file's k band spans the 0..199 domain
+    val old = (0L until 2000L).map(i => (i % 200, i)).toDF("k", "payload")
+      .repartition(4, col("payload"))
+    ManifestTable.commitAppend(old, p)
+    val v1Files = ManifestTable.files(spark, p, 1L).toSet
+    // v2: the EVOLVED spec — new rows range-clustered on k, old bytes
+    // untouched (v2's manifest must reference v1's files)
+    val fresh = (2000L until 4000L).map(i => (i % 200, i)).toDF("k", "payload")
+      .repartitionByRange(8, col("k"))
+    val v2 = ManifestTable.commitAppend(fresh, p)
+    val v2Files = ManifestTable.files(spark, p, v2).toSet
+    assert(v1Files.subsetOf(v2Files), "evolution must not rewrite history")
+    ManifestTable.extendStats(spark, p, v2, Seq("k"))
+    // the band read over the mixed layout: ALL old files (they cannot
+    // prune), a strict subset of the new ones
+    val kept = ManifestTable.prunedFilesMulti(spark, p, v2,
+      Seq(("k", 30L, 49L))).toSet
+    val newFiles = v2Files -- v1Files
+    assert(v1Files.subsetOf(kept), "pre-evolution files must all schedule")
+    val keptNew = kept intersect newFiles
+    assert(keptNew.nonEmpty && keptNew.size < newFiles.size,
+      s"evolved layout should prune: kept ${keptNew.size}/${newFiles.size}")
+    // schedule changes, results don't
+    val pruned = ManifestTable.readVersionPrunedMulti(spark, p, v2,
+      Seq(("k", 30L, 49L))).orderBy("payload").collect().toSeq
+    val full = ManifestTable.readVersion(spark, p, v2)
+      .where(col("k").between(30, 49)).orderBy("payload").collect().toSeq
+    assert(pruned == full && pruned.nonEmpty)
+  }
+
   test("crashed commit leaves no readable state; vacuum reclaims its orphans") {
     val p = freshPath()
     ManifestTable.commitAppend(df(0, 50), p)
