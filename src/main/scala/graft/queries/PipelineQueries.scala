@@ -1829,6 +1829,60 @@ object PipelineQueries {
         .orderBy("bucket")
     },
 
+    // ---- v6: functional-dependency discovery (schema profiling) ----
+    // The data-quality check that finds MODELING errors, not row
+    // errors: for each declared candidate FD lhs → rhs over the
+    // denormalized order view, count lhs groups, groups where the
+    // dependency is VIOLATED (more than one distinct rhs), and the
+    // worst group's rhs cardinality. nation→region and
+    // custkey→mktsegment must hold (join-derived); priority→segment is
+    // the deliberately-violated control — a profiler that can't find
+    // violations proves nothing. Scale shape: one broadcast-dim join
+    // builds the view, then per-FD one hash aggregate keyed by lhs
+    // with a COUNT(DISTINCT rhs) (Expand-based, partial-aggregated);
+    // nothing wider than the lhs key set ever shuffles.
+    QueryDef("v6_fd_discovery",
+      """WITH denorm AS (
+        |  SELECT o.o_orderpriority, c.c_custkey, c.c_mktsegment, n.n_name, r.r_name
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |), fd AS (
+        |  SELECT 'n_name->r_name' AS fd, n_name AS lhs, r_name AS rhs FROM denorm
+        |  UNION ALL
+        |  SELECT 'c_custkey->c_mktsegment', CAST(c_custkey AS VARCHAR), c_mktsegment FROM denorm
+        |  UNION ALL
+        |  SELECT 'o_orderpriority->c_mktsegment', o_orderpriority, c_mktsegment FROM denorm
+        |), per AS (
+        |  SELECT fd, lhs, COUNT(DISTINCT rhs) AS n_rhs FROM fd GROUP BY fd, lhs
+        |)
+        |SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+        |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(MAX(n_rhs) AS BIGINT) AS max_rhs
+        |FROM per GROUP BY fd ORDER BY fd""".stripMargin) { (s, dir) =>
+      val denorm = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("o_orderpriority", "c_custkey", "c_mktsegment", "n_name", "r_name")
+      val fd = denorm.select(lit("n_name->r_name").as("fd"),
+          col("n_name").as("lhs"), col("r_name").as("rhs"))
+        .unionByName(denorm.select(lit("c_custkey->c_mktsegment").as("fd"),
+          col("c_custkey").cast("string").as("lhs"), col("c_mktsegment").as("rhs")))
+        .unionByName(denorm.select(lit("o_orderpriority->c_mktsegment").as("fd"),
+          col("o_orderpriority").as("lhs"), col("c_mktsegment").as("rhs")))
+      fd.groupBy("fd", "lhs").agg(countDistinct("rhs").as("n_rhs"))
+        .groupBy("fd")
+        .agg(count(lit(1)).as("n_lhs_groups"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("n_rhs").as("max_rhs"))
+        .orderBy("fd")
+    },
+
     // ---- p34: multi-phrase blocklist filter (relational Aho-Corasick) ----
     // The curation gate every production corpus runs: N banned phrases
     // matched against every document, with space-boundary substring

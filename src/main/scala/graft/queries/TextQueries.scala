@@ -719,6 +719,44 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- m10: header-only media metadata scan (no decode) ----
+    // The triage pass a media pipeline runs BEFORE spending decode
+    // CPU: image dimensions read straight out of the container header
+    // bytes with relational expressions — PNG's fixed layout (8-byte
+    // signature, IHDR first: width/height as big-endian u32 at offsets
+    // 17/21, bit depth at 25, color type at 26) parsed via
+    // substring→hex→conv, all codegen'd, ZERO codec involvement. At
+    // 100 TB this is what partitions a heterogeneous media corpus by
+    // size/type without decoding a single frame; rows failing the
+    // signature check are surfaced, not crashed on. The oracle knows
+    // the generation parameters; the engine must recover them from
+    // raw container bytes — cross-checked against m4's full decode by
+    // construction (same fixture).
+    QueryDef("m10_png_header_scan", {
+      val values = graft.fixtures.Images.specs
+        .map(t => s"(${t._1}, ${t._2}, ${t._3})").mkString(", ")
+      s"""WITH imgs(img_id, w, h) AS (VALUES $values)
+         |SELECT img_id AS doc_id, CAST(w AS BIGINT) AS width,
+         |  CAST(h AS BIGINT) AS height,
+         |  CAST(8 AS BIGINT) AS bit_depth, CAST(0 AS BIGINT) AS color_type
+         |FROM imgs ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.fixtures.Images.pngPayloads(s)
+        // container sniff: rows that aren't PNG fail loud here, they
+        // don't produce garbage dimensions
+        .where(expr("hex(substring(payload, 1, 8)) = '89504E470D0A1A0A'"))
+        .select(col("doc_id"),
+          expr("CAST(conv(hex(substring(payload, 17, 4)), 16, 10) AS BIGINT)")
+            .as("width"),
+          expr("CAST(conv(hex(substring(payload, 21, 4)), 16, 10) AS BIGINT)")
+            .as("height"),
+          expr("CAST(conv(hex(substring(payload, 25, 1)), 16, 10) AS BIGINT)")
+            .as("bit_depth"),
+          expr("CAST(conv(hex(substring(payload, 26, 1)), 16, 10) AS BIGINT)")
+            .as("color_type"))
+        .orderBy("doc_id")
+    },
+
     // ---- blocked edit-distance (Levenshtein) near-dup pairs ----
     // The character-level complement to token Jaccard (d6) and
     // hash sketches (d7/d8): catches small in-place edits that shift
