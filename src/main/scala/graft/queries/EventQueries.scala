@@ -929,6 +929,69 @@ object EventQueries {
         .orderBy("n_busy_hours")
     },
 
+    // ---- e26: gap-bounded strict-sequence funnel (windowed) ----
+    // The funnel e10's first-touch form cannot express: a user
+    // completes iff ANY ordered view < click < purchase exists with
+    // each gap ≤ 3 days — first-touch misses a later qualifying click
+    // when the earliest click precedes the earliest view, and an
+    // unbounded funnel can't ask "within the window". Two RANGE-frame
+    // window passes over the per-user event stream solve existence
+    // exactly: vprev = latest view in [t−W, t−1] marks qualifying
+    // clicks, qcprev = latest qualifying click in the same frame marks
+    // completing purchases; existence aggregates per user. Both
+    // windows share one (user-partitioned) exchange+sort — per-user
+    // partitions, never a global window, the e5/e22 partitioning
+    // contract. Integer microsecond frames, no timestamp arithmetic
+    // drift.
+    QueryDef("e26_windowed_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        |), e1 AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'view' THEN tus END) OVER (
+        |    PARTITION BY user_id ORDER BY tus
+        |    RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING) AS vprev
+        |  FROM e
+        |), e2 AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'click' AND vprev IS NOT NULL
+        |                     THEN tus END) OVER (
+        |    PARTITION BY user_id ORDER BY tus
+        |    RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING) AS qcprev
+        |  FROM e1
+        |), u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+        |    MAX(CASE WHEN event_type = 'click' AND vprev IS NOT NULL THEN 1 ELSE 0 END) AS has_qc,
+        |    MAX(CASE WHEN event_type = 'purchase' AND qcprev IS NOT NULL THEN 1 ELSE 0 END) AS has_funnel
+        |  FROM e2 GROUP BY user_id
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(has_view) AS BIGINT) AS view_users,
+        |  CAST(SUM(has_qc) AS BIGINT) AS qualified_click_users,
+        |  CAST(SUM(has_funnel) AS BIGINT) AS funnel_users
+        |FROM u""".stripMargin) { (s, dir) =>
+      val W = 259200000000L // 3 days in microseconds
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      val w = Window.partitionBy("user_id").orderBy("tus").rangeBetween(-W, -1)
+      val e2 = ev
+        .withColumn("vprev",
+          max(when(col("event_type") === "view", col("tus"))).over(w))
+        .withColumn("qcprev",
+          max(when(col("event_type") === "click" && col("vprev").isNotNull,
+            col("tus"))).over(w))
+      e2.groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("has_view"),
+          max(when(col("event_type") === "click" && col("vprev").isNotNull, 1)
+            .otherwise(0)).as("has_qc"),
+          max(when(col("event_type") === "purchase" && col("qcprev").isNotNull, 1)
+            .otherwise(0)).as("has_funnel"))
+        .agg(count(lit(1)).as("n_users"),
+          sum("has_view").cast("long").as("view_users"),
+          sum("has_qc").cast("long").as("qualified_click_users"),
+          sum("has_funnel").cast("long").as("funnel_users"))
+    },
+
     // ---- e25: signup→purchase conversion latency (survival shape) ----
     // Time-to-convert: each signed-up user's FIRST signup, their FIRST
     // purchase STRICTLY after it, the latency distribution bucketed by

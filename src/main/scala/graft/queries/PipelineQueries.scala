@@ -1829,6 +1829,45 @@ object PipelineQueries {
         .orderBy("bucket")
     },
 
+    // ---- v7: snapshot distribution drift (exact total variation) ----
+    // The monitoring question p30's row-diff can't answer: the two
+    // snapshots may share almost no rows and still be DISTRIBUTIONALLY
+    // identical (fine) — or share most rows while the tail shifts
+    // (drift). Per source: 16-bin doc-length histograms of the old
+    // snapshot (p30's convention: doc_id % 11 != 0) vs the new (all
+    // docs), total-variation distance in EXACT basis points via
+    // cross-multiplication — tv_bp = 10000·Σ|cA·nB − cB·nA| //
+    // (2·nA·nB), no float division anywhere. ONE corpus scan computes
+    // both histograms (the old-snapshot membership is a flag, not a
+    // second read); everything after is bin-domain-sized (16 rows per
+    // source) plus a source-dim broadcast.
+    QueryDef("v7_snapshot_drift",
+      """WITH per AS (
+        |  SELECT source, LEAST(n_chars // 40, 15) AS b,
+        |    SUM(CASE WHEN doc_id % 11 != 0 THEN 1 ELSE 0 END) AS ca,
+        |    COUNT(*) AS cb
+        |  FROM documents GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, SUM(ca) AS na, SUM(cb) AS nb FROM per GROUP BY source
+        |)
+        |SELECT p.source, CAST(t.na AS BIGINT) AS n_old,
+        |  CAST(t.nb AS BIGINT) AS n_new,
+        |  CAST((10000 * SUM(ABS(p.ca * t.nb - p.cb * t.na))) // (2 * t.na * t.nb) AS BIGINT) AS tv_bp
+        |FROM per p JOIN tot t ON p.source = t.source
+        |GROUP BY p.source, t.na, t.nb ORDER BY p.source""".stripMargin) { (s, dir) =>
+      val per = Tables.documents(s, dir)
+        .groupBy(col("source"), least(expr("n_chars div 40"), lit(15)).as("b"))
+        .agg(sum(when(col("doc_id") % 11 =!= 0, 1L).otherwise(0L)).as("ca"),
+          count(lit(1)).as("cb"))
+      val tot = per.groupBy("source").agg(sum("ca").as("na"), sum("cb").as("nb"))
+      per.join(broadcast(tot), Seq("source"))
+        .groupBy(col("source"), col("na"), col("nb"))
+        .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("l1"))
+        .select(col("source"), col("na").as("n_old"), col("nb").as("n_new"),
+          expr("(10000 * l1) div (2 * na * nb)").as("tv_bp"))
+        .orderBy("source")
+    },
+
     // ---- v6: functional-dependency discovery (schema profiling) ----
     // The data-quality check that finds MODELING errors, not row
     // errors: for each declared candidate FD lhs → rhs over the

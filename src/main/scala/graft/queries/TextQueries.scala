@@ -229,6 +229,69 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- d26: soft dedup — duplicate-aware sampling weights ----
+    // The DataComp/DCLM-style ALTERNATIVE to dropping duplicates:
+    // every doc stays in the corpus but carries weight 1/cluster_size
+    // (exact basis points, 10000 div size), so a cluster contributes
+    // one doc's worth of probability mass to sampling no matter how
+    // many copies crawled in. Clusters are d10's (same pair set, same
+    // CC), unclustered docs are their own cluster of one. Per-source
+    // report: raw docs, clustered docs, and the effective corpus size
+    // the weights imply. Scale shape: the cluster assignment join is
+    // doc-keyed, the size join cluster-keyed — two shuffles on keys
+    // that only shrink; nothing quadratic beyond the d10 pair
+    // machinery already dispositioned.
+    QueryDef("d26_softdedup_weights",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh) t WHERE df <= 50
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+        |), cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT p.a_id, p.b_id
+        |  FROM cand p JOIN sizes sa ON p.a_id = sa.doc_id JOIN sizes sb ON p.b_id = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.6
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id, a_id FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), cl AS (
+        |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+        |), asg AS (
+        |  SELECT d.doc_id, d.source, COALESCE(cl.cluster_id, d.doc_id) AS cid
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |), szs AS (
+        |  SELECT cid, COUNT(*) AS sz FROM asg GROUP BY cid
+        |)
+        |SELECT a.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN s.sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+        |  CAST(SUM(10000 // s.sz) AS BIGINT) AS eff_bp
+        |FROM asg a JOIN szs s ON a.cid = s.cid
+        |GROUP BY a.source ORDER BY a.source""".stripMargin) { (s, dir) =>
+      val cl = Dedup.duplicateClusters(jaccardPairs(s, dir))
+      val asg = Tables.documents(s, dir).select("doc_id", "source")
+        .join(cl, Seq("doc_id"), "left")
+        .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+      val szs = asg.groupBy("cid").agg(count(lit(1)).as("sz"))
+      asg.join(szs, Seq("cid"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_clustered"),
+          sum(expr("10000 div sz")).as("eff_bp"))
+        .orderBy("source")
+    },
+
     // ---- O(log n)-round clustering (large-star/small-star) ----
     // Same contract as d10 over the same pair set, computed by the
     // CC-MR contraction instead of min-label propagation — the form
