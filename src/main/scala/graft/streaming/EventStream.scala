@@ -310,6 +310,56 @@ object EventStream {
       }
   }
 
+  case class FunnelEv(user_id: Long, event_type: String, tus: Long,
+      event_id: Long)
+  case class FunnelState(lastView: Long, lastQc: Long, lastQcView: Long)
+  case class FunnelOut(user_id: Long, event_id: Long, purchase_tus: Long,
+      click_tus: Long, view_tus: Long)
+
+  /** Streaming CEP twin of e26's gap-bounded strict-sequence funnel:
+    * detect view → click → purchase per user with each gap ≤ `wUs`
+    * and emit one append row per COMPLETING purchase, carrying the
+    * witness chain. State is O(1) per user — three longs (latest view,
+    * latest qualifying click, and that click's witness view) — because
+    * existence only ever needs the LATEST qualifying predecessor:
+    * "some view within the window" ⟺ "the latest view is within the
+    * window", so the unbounded event history compresses losslessly to
+    * the frontier. Same in-order-feed caveat as [[anomalies]]
+    * (micro-batches sort internally; cross-batch order is the feed's
+    * contract); parity vs the batch e26 window form is spec-pinned on
+    * an ordered feed, including a chain whose steps SPAN batches.
+    */
+  def funnelDetect(events: Dataset[FunnelEv],
+      wUs: Long = 259200000000L): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelOut]()
+          rows.toSeq.sortBy(r => (r.tus, r.event_id)).foreach { r =>
+            r.event_type match {
+              case "view" =>
+                st = st.copy(lastView = r.tus)
+              case "click" =>
+                if (st.lastView >= 0 && st.lastView < r.tus &&
+                    st.lastView >= r.tus - wUs)
+                  st = st.copy(lastQc = r.tus, lastQcView = st.lastView)
+              case "purchase" =>
+                if (st.lastQc >= 0 && st.lastQc < r.tus &&
+                    st.lastQc >= r.tus - wUs)
+                  out += FunnelOut(user, r.event_id, r.tus, st.lastQc,
+                    st.lastQcView)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class SketchIn(event_type: String, h: Long)
   case class SketchOut(event_type: String, n_distinct_le_k: Boolean,
       est: Double, sig: Seq[Long])

@@ -250,4 +250,56 @@ class ManifestStreamSpec extends AnyFunSuite {
         Option(ex.getCause).exists(_.getMessage.contains("not an append")))
     } finally q.stop()
   }
+
+  test("OPTIMIZE mid-stream: the compaction rewrite refuses loudly, and a " +
+      "consumer resumes past the boundary without re-emitting history") {
+    val p = freshPath()
+    ManifestTable.commitAppend(df(0, 10), p)  // v1
+    ManifestTable.commitAppend(df(10, 20), p) // v2
+    val seen = mutable.ArrayBuffer.empty[Long]
+    def sink(buf: mutable.ArrayBuffer[Long]) =
+      (batch: Dataset[Row], _: Long) => {
+        buf.synchronized { buf ++= batch.select("k").collect().map(_.getLong(0)) }
+        ()
+      }
+    val q = readTail(p).writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("mstream_ckpt3").toString)
+      .foreachBatch(sink(seen)).start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sorted == (0L until 20L))
+      // OPTIMIZE is a rewrite: the running consumer must fail the
+      // batch (double-emitting the compacted files would duplicate
+      // every row it already processed)
+      val v3 = ManifestTable.compact(spark, p, targetFiles = 1)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      assert(ex.getMessage.contains("not an append") ||
+        Option(ex.getCause).exists(_.getMessage.contains("not an append")))
+      q.stop()
+      // the runbook: restart pinned AT the compacted version — history
+      // (now living in the compacted files) is skipped, only future
+      // appends emit
+      val resumed = mutable.ArrayBuffer.empty[Long]
+      val q2 = spark.readStream
+        .format("graft.streaming.ManifestStreamProvider")
+        .option("path", p)
+        .option("startingVersion", v3.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("mstream_ckpt4").toString)
+        .foreachBatch(sink(resumed)).start()
+      try {
+        q2.processAllAvailable()
+        assert(resumed.isEmpty, s"compacted history must not re-emit: $resumed")
+        ManifestTable.commitAppend(df(20, 25), p) // v4: a real new append
+        q2.processAllAvailable()
+        assert(resumed.sorted == (20L until 25L), s"only the append: $resumed")
+      } finally q2.stop()
+    } finally if (q.isActive) q.stop()
+  }
 }

@@ -537,6 +537,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel CEP matches the batch e26 window form; chains span batches; O(1) state") {
+    import org.apache.spark.sql.functions._
+
+    import graft.streaming.EventStream.{FunnelEv, FunnelOut}
+    implicit val sqlCtx = spark.sqlContext
+    val W = 100L // tiny window so boundary cases are concrete
+    // per-user scripted feeds (tus, type, event_id)
+    val batch1 = Seq(
+      FunnelEv(1L, "view", 10L, 1L),      // chain start for u1
+      FunnelEv(2L, "click", 10L, 2L),     // u2: click with NO prior view
+      FunnelEv(3L, "view", 10L, 3L),      // u3: view, click arrives too late
+      FunnelEv(4L, "view", 10L, 4L), FunnelEv(4L, "click", 20L, 5L))
+    val batch2 = Seq(
+      FunnelEv(1L, "click", 50L, 6L),     // within W of the batch-1 view
+      FunnelEv(1L, "purchase", 120L, 7L), // within W of the click → EMIT
+      FunnelEv(2L, "purchase", 30L, 8L),  // no qualifying click → silent
+      FunnelEv(3L, "click", 200L, 9L),    // view was 190 ago > W → not qualified
+      FunnelEv(3L, "purchase", 210L, 10L),
+      FunnelEv(4L, "purchase", 121L, 11L)) // click at 20, gap 101 > W → silent
+    val mem = MemoryStream[FunnelEv]
+    val q = graft.streaming.EventStream
+      .funnelDetect(mem.toDS(), wUs = W)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_cep_out").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("funnel_cep_out").as[FunnelOut].collect().toSet
+      assert(got == Set(FunnelOut(1L, 7L, 120L, 50L, 10L)),
+        s"only u1's cross-batch chain completes: $got")
+      // batch replay with e26's window logic over the same rows agrees
+      import org.apache.spark.sql.expressions.Window
+      val all = (batch1 ++ batch2).toDF()
+      val w = Window.partitionBy("user_id").orderBy("tus").rangeBetween(-W, -1)
+      val completing = all
+        .withColumn("vprev", max(when($"event_type" === "view", $"tus")).over(w))
+        .withColumn("qcprev", max(when($"event_type" === "click" &&
+          $"vprev".isNotNull, $"tus")).over(w))
+        .where($"event_type" === "purchase" && $"qcprev".isNotNull)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(completing == got.map(_.event_id))
+      // O(1) state: exactly one state row per user seen
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 4L)
+    } finally q.stop()
+  }
+
   test("streaming blocklist gate matches batch p34 semantics (stateless stream-static)") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
