@@ -642,5 +642,56 @@ object SourceQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
         .orderBy("event_type")
+    },
+
+    // ---- c26: corrupt-record-tolerant ingestion (PERMISSIVE JSON) ----
+    // Crawl feeds always carry malformed rows; the pipeline contract
+    // is ROUTE, never crash and never silently drop. A JSON-lines
+    // corpus is materialized with every doc_id % 17 == 0 line
+    // TRUNCATED mid-string (real syntactic corruption on disk), read
+    // back through Spark's PERMISSIVE parser with an explicit schema +
+    // _corrupt_record column, and the report balances: good rows
+    // parse to their exact fields, bad rows land intact in the
+    // corrupt column, n_good + n_bad == n_rows. The oracle knows the
+    // corruption rule analytically (m4's pattern) — a parser that
+    // accepted a truncated row, or dropped one, breaks the hash. At
+    // 100 TB this is one text scan with per-row failure-safe parsing;
+    // the corrupt stream is the quarantine feed.
+    QueryDef("c26_bad_records",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id % 17 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |  CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(SUM(CASE WHEN doc_id % 17 != 0 THEN doc_id END) AS BIGINT) AS sum_id,
+        |  CAST(SUM(CASE WHEN doc_id % 17 != 0 THEN n_chars END) AS BIGINT) AS sum_n
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val path = "spark-warehouse/bad_records" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val line = expr(
+        """concat('{"id": ', doc_id, ', "n": ', n_chars,
+          |', "source": "', source, '"}')""".stripMargin.replace("\n", ""))
+      Tables.documents(s, dir)
+        .withColumn("line", line)
+        .select(when(col("doc_id") % 17 === 0,
+            expr("substring(line, 1, length(line) - 2)"))
+          .otherwise(col("line")).as("value"))
+        .write.mode("overwrite").text(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(col("id")).as("sum_id"),
+          sum(col("n")).as("sum_n"))
     })
 }
