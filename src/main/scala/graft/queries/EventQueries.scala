@@ -219,6 +219,49 @@ object EventQueries {
         .orderBy("purchase_id")
     },
 
+    // ---- e27: as-of join with a TOLERANCE (merge_asof semantics) ----
+    // e14's backward as-of with the missing production knob: a match
+    // only counts if the matched row is RECENT ENOUGH (here ≤ 1 h) —
+    // an hours-old "latest view" attributing a purchase is worse than
+    // no attribution. Tolerance composes as a post-join projection
+    // over the same merge-join pass (the as-of already found the
+    // single latest candidate; staleness is row-local arithmetic), so
+    // the scale shape is exactly e14's: one (key, time)-sorted merge,
+    // no fan-out, no second pass. NULL view/gap on out-of-tolerance
+    // rows keeps the left cardinality — the merge_asof contract.
+    QueryDef("e27_asof_tolerance",
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS v_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |  CASE WHEN p.ts_us - v.ts_us <= 3600000000 THEN v.v_id END AS view_id,
+        |  CASE WHEN p.ts_us - v.ts_us <= 3600000000
+        |       THEN (p.ts_us - v.ts_us) // 1000000 END AS gap_s
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val tolUs = 3600000000L
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("v_id"))
+        .select(col("user_id").as("v_user"), col("ts_us").as("v_ts_us"),
+          col("v_id"))
+      graft.plans.AsofMergeJoin.asofJoin(purchases, views,
+          keys = Seq("user_id"), leftTs = "ts_us", rightTs = "v_ts_us",
+          rightKeys = Seq("v_user"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("ts_us") - col("v_ts_us") <= tolUs, col("v_id"))
+            .as("view_id"),
+          when(col("ts_us") - col("v_ts_us") <= tolUs,
+            expr("CAST((ts_us - v_ts_us) div 1000000 AS BIGINT)"))
+            .as("gap_s"))
+        .orderBy("purchase_id")
+    },
+
     // ---- approx_count_distinct with a hash-checked error contract ----
     // HLL sketches differ between engines, so the approximate VALUE
     // can't be oracle-compared — but its accuracy contract can: the
