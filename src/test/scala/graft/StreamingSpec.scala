@@ -537,6 +537,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful state survives a query RESTART from checkpoint (MG sketch continuity)") {
+    import graft.streaming.DocStream.{DocRec, TokenSketch}
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("mg_ckpt").toString
+    val mem = MemoryStream[DocRec]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[TokenSketch]
+    def start() = graft.streaming.DocStream.trendingTokens(mem.toDS(), k = 4)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[TokenSketch], _: Long) =>
+          emitted.synchronized { emitted ++= batch.collect() }
+          ()
+      }.start()
+    val q1 = start()
+    try {
+      mem.addData(DocRec("en", 1L, "alpha alpha beta"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart against the SAME checkpoint: the sketch must resume
+    // from the stored state, not reset — batch-2 counts include
+    // batch-1 history a fresh query could not know
+    val q2 = start()
+    try {
+      mem.addData(DocRec("en", 2L, "alpha gamma"))
+      q2.processAllAvailable()
+      val last = emitted.synchronized {
+        emitted.filter(_.lang == "en").last
+      }
+      val counts = last.tokens.zip(last.counts).toMap
+      assert(counts("alpha") == 3L,
+        s"state lost on restart: alpha should be 2 (pre-restart) + 1, got $counts")
+      assert(counts("beta") == 1L && counts("gamma") == 1L, s"$counts")
+    } finally q2.stop()
+  }
+
   test("streaming funnel CEP matches the batch e26 window form; chains span batches; O(1) state") {
     import org.apache.spark.sql.functions._
 
