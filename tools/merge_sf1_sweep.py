@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Refresh SF1_SWEEP_r12.json to the current board: Spark medians from a
+full-board bench_out.json run at /tmp/sf1_graft, DuckDB minima merged
+from (a) the existing sweep entries, (b) the committed per-addition
+DUCKDB_r12_*_sf1.json artifacts, (c) the BENCHNOTES-recorded values for
+the c17-c24/e24 batch (whose /tmp artifact predates a host restart).
+Recomputes the sf1 weak set (>= 3 s AND >= 3x) and writes the summary.
+
+Usage: merge_sf1_sweep.py <bench_out.json>
+"""
+import glob
+import json
+import sys
+
+bench = json.load(open(sys.argv[1]))
+assert "sf1" in bench.get("sf", ""), f"bench run is not sf1: {bench.get('sf')}"
+sweep = json.load(open("SF1_SWEEP_r12.json"))
+
+duck = {q: v["duck"] for q, v in sweep["queries"].items()}
+for f in glob.glob("DUCKDB_r12_*_sf1.json"):
+    for q, t in json.load(open(f))["queries"].items():
+        duck[q] = t
+# BENCHNOTES "sf1 scoreboard extended to the 216 board" table (the
+# /tmp artifact for this batch predates a host restart; values are the
+# committed prose record)
+duck.update({
+    "c17_merge_scan": 0.012, "c18_tail_scan": 0.008,
+    "c19_rename_scan": 0.007, "c20_lineage_scan": 0.003,
+    "c21_checked_scan": 0.007, "c22_dfp_join": 0.008,
+    "c23_zorder_compact": 0.005, "e24_interval_join": 0.069,
+    "c24_xml_roundtrip": 0.063,
+})
+
+queries = {}
+weak = []
+missing_duck = []
+for q, t in sorted(bench["queries"].items()):
+    d = duck.get(q)
+    if d is None:
+        missing_duck.append(q)
+        continue
+    queries[q] = {"spark": round(t, 3), "duck": d}
+    # '>N' strings are recorded kill floors for runaway oracles — a
+    # floor can only make DuckDB slower, never Spark weak
+    dn = float(str(d).lstrip(">")) if isinstance(d, str) else d
+    if t >= 3.0 and t >= 3 * dn:
+        weak.append({"q": q, "spark_s": round(t, 2), "duck_s": d,
+                     "ratio": round(t / d, 1)})
+
+out = {
+    "metric": "sf1_weak_set_sweep",
+    "round": 12,
+    "sf_dir": "/tmp/sf1_graft",
+    "board": len(bench["queries"]),
+    "methodology": (
+        "Spark: full board, one local[32] JVM, bench medians with the "
+        "stall re-measure protocol (same as official sf0.1 runs). "
+        "DuckDB: min-of-N of every oracle SQL at 32 threads, merged "
+        "from the committed per-addition artifacts and the prior sweep "
+        "(heavy dedup oracles under the documented 120 s budget; d13's "
+        "oracle recorded as its kill floor)."),
+    "weak_rule": ">= 3 s AND >= 3x DuckDB, evaluated at sf1",
+    "weak_set": weak,
+    "spark_total_s": round(sum(bench["queries"].values()), 1),
+    "duck_total_s": round(sum(
+        float(str(v["duck"]).lstrip(">")) for v in queries.values()), 1),
+    "errors": bench.get("errors", []),
+    "missing_duck": missing_duck,
+    "queries": queries,
+}
+json.dump(out, open("SF1_SWEEP_r12.json", "w"), indent=1)
+print(f"board {out['board']}, spark {out['spark_total_s']} s, "
+      f"duck {out['duck_total_s']} s, weak {len(weak)}, "
+      f"missing_duck {missing_duck}")
+for w in weak:
+    print("WEAK", w)
