@@ -51,6 +51,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched RADIUS search (range query): every corpus vector within
+    * cosine ≥ minCosBp/10000 of each query vector — the unbounded-
+    * result complement of top-k (dedup admission, recall harvesting,
+    * "everything this similar" audits want a threshold, not a count,
+    * so there is no heap and no per-query LIMIT). Scale shape: the
+    * query set is a broadcast dim fanned onto ONE corpus scan (s13's
+    * shape), the cosine is the exact quantized-integer dot with the
+    * s5 bp formula (IEEE-identical across engines), and the filter
+    * runs scan-side — output is result-sized, never corpus × queries.
+    */
+  def radiusSearch(emb: DataFrame, nQueries: Long, minCosBp: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val reg = registered(emb)
+    val withN2 = reg.withColumn("n2", qnorm2(vecCol))
+    val queries = withN2.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("n2").as("qn2"))
+    withN2.filter(col(idCol) >= nQueries)
+      .crossJoin(broadcast(queries))
+      .withColumn("dot", expr(s"qdot($vecCol, qv)"))
+      .withColumn("cos_bp", expr(
+        "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / " +
+          "(sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))) AS BIGINT)"))
+      .where(col("cos_bp") >= minCosBp)
+      .select(col("query_id"), col(idCol), col("cos_bp"))
+  }
+
   /** k-NN majority-vote classifier: label each query vector
     * (vec_id < nQueries, labels treated as unknown) by the majority
     * label of its k nearest corpus neighbors (vec_id >= nQueries)

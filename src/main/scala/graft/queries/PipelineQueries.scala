@@ -1829,6 +1829,52 @@ object PipelineQueries {
         .orderBy("bucket")
     },
 
+    // ---- p35: temperature-scaled mixture weights (T = 2) ----
+    // The mT5/PaLM mixing policy next to p31's DoReMi-lite: sampling
+    // weight ∝ n^(1/T), flattening the source distribution so
+    // low-resource sources are over-sampled relative to their share.
+    // T = 2 keeps everything EXACT: floor(sqrt(n)) is integer-correct
+    // in IEEE double for n < 2^52 (perfect squares are exactly
+    // representable), and normalization to parts-per-million uses
+    // p31's largest-remainder allocation, so the ppm column sums to
+    // exactly 1,000,000 by construction. One source-keyed aggregate;
+    // everything after is source-dim-sized.
+    QueryDef("p35_temperature_mix",
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS wr FROM per
+        |), wt AS (
+        |  SELECT SUM(wr) AS tw FROM w
+        |), based AS (
+        |  SELECT w.*, (1000000 * w.wr) // wt.tw AS base_ppm,
+        |         (1000000 * w.wr) % wt.tw AS rem
+        |  FROM w, wt
+        |), lo AS (
+        |  SELECT 1000000 - SUM(base_ppm) AS leftover FROM based
+        |)
+        |SELECT b.source, CAST(b.n AS BIGINT) AS n_docs,
+        |  CAST(b.wr AS BIGINT) AS w_sqrt,
+        |  CAST(b.base_ppm + CASE WHEN ROW_NUMBER() OVER (ORDER BY b.rem DESC, b.source) <= l.leftover
+        |       THEN 1 ELSE 0 END AS BIGINT) AS weight_ppm
+        |FROM based b, lo l ORDER BY b.source""".stripMargin) { (s, dir) =>
+      val w = Tables.documents(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("wr", expr("CAST(floor(sqrt(n)) AS BIGINT)"))
+      val wt = w.agg(sum("wr").as("tw"))
+      val based = w.crossJoin(broadcast(wt))
+        .withColumn("base_ppm", expr("(1000000 * wr) div tw"))
+        .withColumn("rem", expr("(1000000 * wr) % tw"))
+      val lo = based.agg((lit(1000000L) - sum("base_ppm")).as("leftover"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("source")) // source-dim-sized
+      based.crossJoin(broadcast(lo))
+        .select(col("source"), col("n").as("n_docs"), col("wr").as("w_sqrt"),
+          (col("base_ppm") + when(row_number().over(rw) <= col("leftover"), 1L)
+            .otherwise(0L)).as("weight_ppm"))
+        .orderBy("source")
+    },
+
     // ---- v7: snapshot distribution drift (exact total variation) ----
     // The monitoring question p30's row-diff can't answer: the two
     // snapshots may share almost no rows and still be DISTRIBUTIONALLY

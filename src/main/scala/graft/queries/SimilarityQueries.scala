@@ -615,5 +615,36 @@ object SimilarityQueries {
         |  FROM scored) t
         |WHERE rk <= 5 ORDER BY qid, neg_rank""".stripMargin) { (s, dir) =>
       Similarity.hardNegatives(Tables.embeddings(s, dir), nQueries = 20L, k = 5)
+    },
+
+    // ---- s15: batched RADIUS search (range query, no heap) ----
+    // "Everything within cosine ≥ 0.25 of these 5 queries" — the
+    // threshold form dedup admission and recall harvesting need
+    // (top-k caps the count; a radius caps the SIMILARITY, and the
+    // result size is whatever the data says). One corpus scan with
+    // the 5-row query dim broadcast onto it; the exact quantized
+    // cosine (s5's bp formula, IEEE-identical) filters scan-side, so
+    // the output — not corpus × queries — is what flows on. No heap,
+    // no per-query LIMIT, no second pass.
+    QueryDef("s15_radius_search",
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS n2
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2 FROM e WHERE vec_id < 5
+        |)
+        |SELECT q.query_id, e.vec_id,
+        |  CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(e.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE)))) AS BIGINT) AS cos_bp
+        |FROM e JOIN q ON e.vec_id >= 5
+        |WHERE CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(e.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE)))) AS BIGINT) >= 2500
+        |ORDER BY query_id, vec_id""".stripMargin) { (s, dir) =>
+      Similarity.radiusSearch(Tables.embeddings(s, dir), nQueries = 5L,
+          minCosBp = 2500L)
+        .orderBy("query_id", "vec_id")
     })
 }
