@@ -219,6 +219,47 @@ object EventQueries {
         .orderBy("purchase_id")
     },
 
+    // ---- e28: top event-path trigrams (behavioral path analysis) ----
+    // e15's first-order transitions extended to PATHS: the most common
+    // length-3 event sequences (consecutive in each user's stream) and
+    // how many distinct users walk each. Two LEADs over ONE
+    // user-partitioned window sort (Spark plans a single exchange; the
+    // second lead rides the first's sort), then a path-keyed count —
+    // the "what do users actually do" sankey input. Path cardinality
+    // is |types|³ = 125, so everything after the window is
+    // control-plane sized. Top 20 by walk count, deterministic
+    // tiebreak on the path string.
+    QueryDef("e28_path_trigrams",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type, 1) OVER w AS e2,
+        |    LEAD(event_type, 2) OVER w AS e3
+        |  FROM (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |), paths AS (
+        |  SELECT user_id, event_type || '>' || e2 || '>' || e3 AS path
+        |  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_walks,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM paths GROUP BY path
+        |ORDER BY n_walks DESC, path LIMIT 20""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"), col("event_id"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .select(col("user_id"),
+          concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_walks"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy(col("n_walks").desc, col("path"))
+        .limit(20)
+    },
+
     // ---- e27: as-of join with a TOLERANCE (merge_asof semantics) ----
     // e14's backward as-of with the missing production knob: a match
     // only counts if the matched row is RECENT ENOUGH (here ≤ 1 h) —
