@@ -1172,15 +1172,23 @@ object PipelineQueries {
     // ---- referential-integrity audit (FK orphan sweep) ----
     // Completes the data-quality trio (v1 value constraints, v2
     // column profile): every declared FK edge of the star schema gets
-    // an orphan count. Shape per edge: aggregate the child side to
-    // DISTINCT keys FIRST (the 100 TB discipline — the join input
-    // shrinks from fact rows to distinct keys, and the orphan count
-    // is recovered exactly from the carried per-key counts), then one
-    // LEFT join against the parent's key set — dim-sized parents
-    // broadcast, fact-sized parents (orders) stay a shuffle join.
-    // NULL child keys count as orphans on both engines (LEFT JOIN
-    // semantics, deliberately NOT the NOT-IN formulation whose NULL
-    // behavior silently drops rows).
+    // an orphan count. Scale discipline (the r12 fix — the per-edge
+    // form scanned lineitem once per outgoing edge, 34x DuckDB at
+    // sf1): every table is scanned EXACTLY ONCE per side. A child
+    // table with k outgoing edges emits its k FK columns through one
+    // stack() Expand — partial aggregation collapses the expanded
+    // rows to distinct (edge, key) pairs BEFORE the single exchange,
+    // so the shuffle is bounded by distinct keys, not fact rows.
+    // Parents contribute (edge, key) sets the same way (nation backs
+    // two edges through one stack), and ONE left join on (fk, k)
+    // resolves all six edges at once; the per-key counts carried
+    // through the join recover exact row/orphan totals in a final
+    // edge-count-sized aggregate. At 100 TB this is one pass over
+    // each fact, one key-bounded shuffle, one join — adding an FK
+    // edge to an already-scanned table costs an Expand row, not a
+    // scan. NULL child keys count as orphans on both engines (LEFT
+    // JOIN semantics, deliberately NOT the NOT-IN formulation whose
+    // NULL behavior silently drops rows).
     QueryDef("v3_fk_orphans", {
       def edge(fk: String, child: String, ck: String,
           parent: String, pk: String): String =
@@ -1197,32 +1205,54 @@ object PipelineQueries {
         edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
     }) { (s, dir) =>
-      def edge(fk: String, child: org.apache.spark.sql.DataFrame, ck: String,
-          parent: org.apache.spark.sql.DataFrame, pk: String) = {
-        val keys = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("cnt"))
-        keys.join(
-            parent.select(col(pk).as("k")).distinct().withColumn("hit", lit(1)),
-            Seq("k"), "left")
-          .agg(sum(col("cnt")).as("n_rows"),
-            coalesce(sum(when(col("hit").isNull, col("cnt"))), lit(0L))
-              .as("n_orphans"))
-          .select(lit(fk).as("fk"), col("n_rows").cast("long").as("n_rows"),
-            col("n_orphans").cast("long").as("n_orphans"))
+      import org.apache.spark.sql.DataFrame
+      // One scan per child table; k edges ride one stack() Expand.
+      def childSide(df: DataFrame, edges: Seq[(String, String)]): DataFrame = {
+        val stackArgs = edges
+          .map { case (fk, ck) => s"'$fk', CAST($ck AS BIGINT)" }
+          .mkString(", ")
+        df.selectExpr(s"stack(${edges.size}, $stackArgs) AS (fk, k)")
       }
-      Seq(
-        edge("customer.c_nationkey->nation", Tables.customer(s, dir),
-          "c_nationkey", Tables.nation(s, dir), "n_nationkey"),
-        edge("lineitem.l_orderkey->orders", Tables.lineitem(s, dir),
-          "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
-        edge("lineitem.l_suppkey->supplier", Tables.lineitem(s, dir),
-          "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
-        edge("nation.n_regionkey->region", Tables.nation(s, dir),
-          "n_regionkey", Tables.region(s, dir), "r_regionkey"),
-        edge("orders.o_custkey->customer", Tables.orders(s, dir),
-          "o_custkey", Tables.customer(s, dir), "c_custkey"),
-        edge("supplier.s_nationkey->nation", Tables.supplier(s, dir),
-          "s_nationkey", Tables.nation(s, dir), "n_nationkey"))
-        .reduce(_ union _)
+      def parentSide(df: DataFrame, edges: Seq[(String, String)]): DataFrame = {
+        val stackArgs = edges
+          .map { case (fk, pk) => s"'$fk', CAST($pk AS BIGINT)" }
+          .mkString(", ")
+        df.selectExpr(s"stack(${edges.size}, $stackArgs) AS (fk, k)")
+      }
+      val childKeys = Seq(
+        childSide(Tables.lineitem(s, dir), Seq(
+          "lineitem.l_orderkey->orders" -> "l_orderkey",
+          "lineitem.l_suppkey->supplier" -> "l_suppkey")),
+        childSide(Tables.customer(s, dir),
+          Seq("customer.c_nationkey->nation" -> "c_nationkey")),
+        childSide(Tables.nation(s, dir),
+          Seq("nation.n_regionkey->region" -> "n_regionkey")),
+        childSide(Tables.orders(s, dir),
+          Seq("orders.o_custkey->customer" -> "o_custkey")),
+        childSide(Tables.supplier(s, dir),
+          Seq("supplier.s_nationkey->nation" -> "s_nationkey")))
+        .reduce(_ unionAll _)
+        .groupBy("fk", "k").agg(count(lit(1)).as("cnt"))
+      val parentKeys = Seq(
+        parentSide(Tables.orders(s, dir),
+          Seq("lineitem.l_orderkey->orders" -> "o_orderkey")),
+        parentSide(Tables.supplier(s, dir),
+          Seq("lineitem.l_suppkey->supplier" -> "s_suppkey")),
+        parentSide(Tables.nation(s, dir), Seq(
+          "customer.c_nationkey->nation" -> "n_nationkey",
+          "supplier.s_nationkey->nation" -> "n_nationkey")),
+        parentSide(Tables.region(s, dir),
+          Seq("nation.n_regionkey->region" -> "r_regionkey")),
+        parentSide(Tables.customer(s, dir),
+          Seq("orders.o_custkey->customer" -> "c_custkey")))
+        .reduce(_ unionAll _)
+        .distinct()
+        .withColumn("hit", lit(1))
+      childKeys.join(parentKeys, Seq("fk", "k"), "left")
+        .groupBy("fk")
+        .agg(sum(col("cnt")).cast("long").as("n_rows"),
+          coalesce(sum(when(col("hit").isNull, col("cnt"))), lit(0L))
+            .cast("long").as("n_orphans"))
         .orderBy("fk")
     },
 
