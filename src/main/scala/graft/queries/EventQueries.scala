@@ -687,10 +687,15 @@ object EventQueries {
     // product far under 2⁶³), so no float sqrt/mean ever enters the
     // comparison and the flag is bit-identical across engines and
     // partitionings. A minimum of 20 trailing samples gates the
-    // cold start. Plan shape: ONE exchange on event_type (bounded
-    // cardinality — at production scale the partition key would be
-    // (event_type, shard) with per-shard windows), running-sum frames
-    // inside, then a flag filter; output is anomaly-sized.
+    // cold start. Plan shape (r13): the naive PARTITION BY event_type
+    // window caps parallelism at the series count (5 sequential
+    // sorted streams — a 100x scale-up is a 100x wall-clock), so the
+    // trailing stats come from ChunkedWindow.trailingStats: 4-hour
+    // time buckets give ~180 chunks per series computed in parallel,
+    // with the <=50-row chunk boundaries patched exactly from
+    // bucket-tail arrays (see operators/ChunkedWindow.scala for the
+    // contiguity proof). Still ONE fact-sized exchange; the flag
+    // filter runs scan-side; output is anomaly-sized.
     QueryDef("e18_anomaly_zscore",
       """WITH seq AS (
         |  SELECT event_id, event_type, epoch_us(ts) AS tus,
@@ -711,14 +716,13 @@ object EventQueries {
         |FROM win
         |WHERE n >= 20 AND (n * v - s) * (n * v - s) > 9 * (n * s2 - s * s)
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("event_type").orderBy(col("tus"), col("event_id"))
-        .rowsBetween(-50, -1)
-      Tables.events(s, dir)
-        .withColumn("tus", expr("ts div 1000"))
-        .withColumn("v", expr("CAST(floor(value * 100) AS BIGINT)"))
-        .withColumn("n", count(lit(1)).over(w))
-        .withColumn("s", coalesce(sum(col("v")).over(w), lit(0L)))
-        .withColumn("s2", coalesce(sum(col("v") * col("v")).over(w), lit(0L)))
+      val seq = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("ts div 1000").as("tus"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      graft.operators.ChunkedWindow
+        .trailingStats(seq, "event_type", "tus", "event_id", "v",
+          frame = 50, bucketWidth = 4L * 3600L * 1000000L)
         .where(col("n") >= 20 &&
           (col("n") * col("v") - col("s")) * (col("n") * col("v") - col("s")) >
             lit(9L) * (col("n") * col("s2") - col("s") * col("s")))

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ChunkedWindow
+
+/** ChunkedWindow must equal the naive single-stream window on every
+  * input shape — the decomposition's whole claim is exactness. The
+  * randomized generator deliberately produces the adversarial bucket
+  * shapes the contiguity proof covers: buckets thinner than the frame
+  * (patch spans many predecessor tails), empty buckets (ord gaps),
+  * dense buckets (truncated tails), frame-sized boundaries, and
+  * same-ord ties broken by the tie column.
+  */
+class ChunkedWindowSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def naive(df: org.apache.spark.sql.DataFrame, frame: Int) = {
+    val w = Window.partitionBy("series").orderBy(col("ord"), col("tie"))
+      .rowsBetween(-frame, -1)
+    df.withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", coalesce(sum(col("v")).over(w), lit(0L)))
+      .withColumn("s2",
+        coalesce(sum(col("v") * col("v")).over(w), lit(0L)))
+      .select("series", "ord", "tie", "v", "n", "s", "s2")
+  }
+
+  private def check(rows: Seq[(String, Long, Long, Long)], frame: Int,
+      bucketWidth: Long): Unit = {
+    val df = rows.toDF("series", "ord", "tie", "v")
+    val got = ChunkedWindow
+      .trailingStats(df, "series", "ord", "tie", "v", frame, bucketWidth)
+      .select("series", "ord", "tie", "v", "n", "s", "s2")
+      .collect().map(_.toSeq).toSet
+    val want = naive(df, frame).collect().map(_.toSeq).toSet
+    assert(got === want,
+      s"chunked != naive for frame=$frame width=$bucketWidth")
+  }
+
+  test("thin buckets: every bucket smaller than the frame") {
+    // width 10 with ~3 rows per bucket, frame 50 -> every row is a
+    // head and the patch must walk many predecessor tails.
+    val rnd = new scala.util.Random(13)
+    val rows = for {
+      s <- Seq("a", "b"); i <- 0 until 300
+    } yield (s, i.toLong * 3 + rnd.nextInt(2), i.toLong, rnd.nextInt(100).toLong)
+    check(rows, frame = 50, bucketWidth = 10L)
+  }
+
+  test("dense buckets: tails truncate to the frame") {
+    // one bucket holds hundreds of rows; only its last 50 may matter.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 1000).map { i =>
+      ("x", (i / 400).toLong * 1000 + rnd.nextInt(400), i.toLong,
+        rnd.nextInt(50).toLong)
+    }
+    check(rows, frame = 50, bucketWidth = 1000L)
+  }
+
+  test("empty buckets: ord gaps spanning many widths") {
+    val rows = (0 until 120).map { i =>
+      ("g", i.toLong * 97 % 31 + (i / 10).toLong * 5000, i.toLong,
+        (i % 13).toLong)
+    }
+    check(rows, frame = 8, bucketWidth = 100L)
+  }
+
+  test("same-ord ties broken by the tie column") {
+    val rows = (0 until 200).map { i =>
+      ("t", (i / 4).toLong * 7, i.toLong, (i % 17).toLong)
+    }
+    check(rows, frame = 10, bucketWidth = 20L)
+  }
+
+  test("randomized shapes x frames x widths") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 6) {
+      val n = 50 + rnd.nextInt(400)
+      val maxOrd = 1 + rnd.nextInt(5000)
+      val rows = (0 until n).map { i =>
+        (s"s${rnd.nextInt(3)}", rnd.nextInt(maxOrd).toLong, i.toLong,
+          (rnd.nextInt(200) - 100).toLong)
+      }
+      val frame = 1 + rnd.nextInt(60)
+      val width = 1L + rnd.nextInt(1000)
+      check(rows, frame, width)
+    }
+  }
+
+  test("single row and frame-boundary exact sizes") {
+    check(Seq(("one", 5L, 0L, 9L)), frame = 3, bucketWidth = 2L)
+    // exactly frame rows per bucket: idx == frame is still a head.
+    val rows = (0 until 40).map { i =>
+      ("e", (i / 4).toLong * 10 + (i % 4), i.toLong, i.toLong)
+    }
+    check(rows, frame = 4, bucketWidth = 10L)
+  }
+}
