@@ -316,6 +316,12 @@ object AnalyticsQueries {
         .where(col("prev").isNull || col("o_orderpriority") =!= col("prev"))
         .select(col("o_custkey").as("custkey"),
           col("o_orderpriority").as("priority"),
+          // seq = the change row's o_orderkey: same-DATE priority
+          // changes are ordered within the dim by (valid_from,
+          // o_orderkey), so the later change (non-empty interval in
+          // the oracle's join — the earlier gets [d, d) = empty) must
+          // deterministically win the as-of window too.
+          col("o_orderkey").as("seq"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
           coalesce(date_format(lead("o_orderdate", 1).over(w), "yyyy-MM-dd"),
             lit("9999-12-31")).as("valid_to"))
@@ -327,14 +333,19 @@ object AnalyticsQueries {
         .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
       // as-of union-window: dim rows (kind 0) sort before same-date
-      // probes (kind 1), last(priority) is the version in effect
+      // probes (kind 1), and same-date dim ties break on seq so the
+      // LATER change wins deterministically (matching the oracle,
+      // where the earlier same-date version's interval is empty);
+      // last(priority) is the version in effect. Probes take seq = 0 —
+      // their relative order is immaterial (they contribute only NULL
+      // priority to the frame).
       val unioned = dim
         .select(col("custkey"), col("valid_from").as("d"), lit(0).as("kind"),
-          col("priority"), lit(null).cast(dec17_4).as("rev"))
+          col("seq"), col("priority"), lit(null).cast(dec17_4).as("rev"))
         .unionByName(fact.select(col("o_custkey").as("custkey"),
-          col("ship_d").as("d"), lit(1).as("kind"),
+          col("ship_d").as("d"), lit(1).as("kind"), lit(0L).as("seq"),
           lit(null).cast("string").as("priority"), col("rev").cast(dec17_4)))
-      val wAsof = Window.partitionBy("custkey").orderBy("d", "kind")
+      val wAsof = Window.partitionBy("custkey").orderBy("d", "kind", "seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       unioned
         .withColumn("eff", last("priority", ignoreNulls = true).over(wAsof))

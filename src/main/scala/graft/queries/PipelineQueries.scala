@@ -1913,10 +1913,16 @@ object PipelineQueries {
     // snapshot (p30's convention: doc_id % 11 != 0) vs the new (all
     // docs), total-variation distance in EXACT basis points via
     // cross-multiplication — tv_bp = 10000·Σ|cA·nB − cB·nA| //
-    // (2·nA·nB), no float division anywhere. ONE corpus scan computes
-    // both histograms (the old-snapshot membership is a flag, not a
-    // second read); everything after is bin-domain-sized (16 rows per
-    // source) plus a source-dim broadcast.
+    // (2·nA·nB), no float division anywhere. The cross-products are
+    // 128-bit on both engines (Spark DECIMAL(38,0), DuckDB HUGEINT):
+    // in BIGINT the claimed exactness silently breaks past ~3e9 rows
+    // per source (cA·nB > 2⁶³), i.e. exactly the scale this targets.
+    // With 38-digit intermediates the math is exact up to ~9.2e16
+    // rows per source (10000·Σ must fit 38 digits) — beyond any
+    // single-source corpus this engine will meet. ONE corpus scan
+    // computes both histograms (the old-snapshot membership is a
+    // flag, not a second read); everything after is bin-domain-sized
+    // (16 rows per source) plus a source-dim broadcast.
     QueryDef("v7_snapshot_drift",
       """WITH per AS (
         |  SELECT source, LEAST(n_chars // 40, 15) AS b,
@@ -1928,9 +1934,10 @@ object PipelineQueries {
         |)
         |SELECT p.source, CAST(t.na AS BIGINT) AS n_old,
         |  CAST(t.nb AS BIGINT) AS n_new,
-        |  CAST((10000 * SUM(ABS(p.ca * t.nb - p.cb * t.na))) // (2 * t.na * t.nb) AS BIGINT) AS tv_bp
+        |  CAST((10000 * SUM(ABS(CAST(p.ca AS HUGEINT) * t.nb - CAST(p.cb AS HUGEINT) * t.na))) // (2 * CAST(t.na AS HUGEINT) * t.nb) AS BIGINT) AS tv_bp
         |FROM per p JOIN tot t ON p.source = t.source
         |GROUP BY p.source, t.na, t.nb ORDER BY p.source""".stripMargin) { (s, dir) =>
+      val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val per = Tables.documents(s, dir)
         .groupBy(col("source"), least(expr("n_chars div 40"), lit(15)).as("b"))
         .agg(sum(when(col("doc_id") % 11 =!= 0, 1L).otherwise(0L)).as("ca"),
@@ -1938,9 +1945,13 @@ object PipelineQueries {
       val tot = per.groupBy("source").agg(sum("ca").as("na"), sum("cb").as("nb"))
       per.join(broadcast(tot), Seq("source"))
         .groupBy(col("source"), col("na"), col("nb"))
-        .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("l1"))
+        // (19,0)x(19,0) products promote to DECIMAL(38,0): exact to
+        // 10^38, vs the 2^63 ceiling the BIGINT form silently hit
+        .agg(sum(abs(col("ca").cast(d19) * col("nb").cast(d19) -
+          col("cb").cast(d19) * col("na").cast(d19))).as("l1"))
         .select(col("source"), col("na").as("n_old"), col("nb").as("n_new"),
-          expr("(10000 * l1) div (2 * na * nb)").as("tv_bp"))
+          expr("(CAST(10000 AS DECIMAL(5,0)) * l1) div (2 * CAST(na AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0)))")
+            .cast("long").as("tv_bp"))
         .orderBy("source")
     },
 

@@ -312,22 +312,32 @@ object EventStream {
 
   case class FunnelEv(user_id: Long, event_type: String, tus: Long,
       event_id: Long)
-  case class FunnelState(lastView: Long, lastQc: Long, lastQcView: Long)
+  case class FunnelState(lastView: Long, prevView: Long,
+      lastQc: Long, lastQcView: Long, prevQc: Long, prevQcView: Long)
   case class FunnelOut(user_id: Long, event_id: Long, purchase_tus: Long,
       click_tus: Long, view_tus: Long)
 
   /** Streaming CEP twin of e26's gap-bounded strict-sequence funnel:
     * detect view → click → purchase per user with each gap ≤ `wUs`
     * and emit one append row per COMPLETING purchase, carrying the
-    * witness chain. State is O(1) per user — three longs (latest view,
-    * latest qualifying click, and that click's witness view) — because
-    * existence only ever needs the LATEST qualifying predecessor:
-    * "some view within the window" ⟺ "the latest view is within the
-    * window", so the unbounded event history compresses losslessly to
-    * the frontier. Same in-order-feed caveat as [[anomalies]]
+    * witness chain. State is O(1) per user — a TWO-DEEP frontier per
+    * stage: the latest view plus the latest view at a STRICTLY earlier
+    * tus, and likewise for qualifying clicks (each with its witness
+    * view). One-deep is not enough: the sequence is strict (`<` on
+    * tus), so a successor arriving at the SAME tus as the frontier
+    * must fall back to the strictly-earlier witness — e.g. view@50,
+    * view@100, click@100 qualifies via view@50, which a latest-only
+    * state would have overwritten before the strict check ran (the
+    * events fixture does contain same-(user, tus) duplicates). With
+    * equal-tus ties the two-deep frontier is exact: the strictly-
+    * earlier slot only ever needs the single latest earlier-tus entry,
+    * because "some predecessor strictly before t and within the
+    * window" ⟺ "the LATEST strictly-earlier predecessor is within the
+    * window". Same in-order-feed caveat as [[anomalies]]
     * (micro-batches sort internally; cross-batch order is the feed's
     * contract); parity vs the batch e26 window form is spec-pinned on
-    * an ordered feed, including a chain whose steps SPAN batches.
+    * an ordered feed, including a chain whose steps SPAN batches and
+    * same-tus collisions at every stage.
     */
   def funnelDetect(events: Dataset[FunnelEv],
       wUs: Long = 259200000000L): Dataset[FunnelOut] = {
@@ -337,21 +347,34 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          var st = state.getOption.getOrElse(
+            FunnelState(-1L, -1L, -1L, -1L, -1L, -1L))
           val out = scala.collection.mutable.ArrayBuffer[FunnelOut]()
           rows.toSeq.sortBy(r => (r.tus, r.event_id)).foreach { r =>
             r.event_type match {
               case "view" =>
-                st = st.copy(lastView = r.tus)
+                if (r.tus > st.lastView)
+                  st = st.copy(lastView = r.tus, prevView = st.lastView)
+                // r.tus == lastView: frontier unchanged (same tus)
               case "click" =>
-                if (st.lastView >= 0 && st.lastView < r.tus &&
-                    st.lastView >= r.tus - wUs)
-                  st = st.copy(lastQc = r.tus, lastQcView = st.lastView)
+                // witness = latest view strictly before this click
+                val w = if (st.lastView >= 0 && st.lastView < r.tus)
+                  st.lastView else st.prevView
+                if (w >= 0 && w >= r.tus - wUs) {
+                  if (r.tus > st.lastQc)
+                    st = st.copy(lastQc = r.tus, lastQcView = w,
+                      prevQc = st.lastQc, prevQcView = st.lastQcView)
+                  else if (r.tus == st.lastQc)
+                    // equal tus: refresh the frontier witness only
+                    st = st.copy(lastQcView = w)
+                }
               case "purchase" =>
-                if (st.lastQc >= 0 && st.lastQc < r.tus &&
-                    st.lastQc >= r.tus - wUs)
-                  out += FunnelOut(user, r.event_id, r.tus, st.lastQc,
-                    st.lastQcView)
+                val (qc, qcv) =
+                  if (st.lastQc >= 0 && st.lastQc < r.tus)
+                    (st.lastQc, st.lastQcView)
+                  else (st.prevQc, st.prevQcView)
+                if (qc >= 0 && qc >= r.tus - wUs)
+                  out += FunnelOut(user, r.event_id, r.tus, qc, qcv)
               case _ => ()
             }
           }

@@ -619,6 +619,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel CEP same-tus collisions: strict precedence falls back to the two-deep frontier") {
+    import org.apache.spark.sql.functions._
+
+    import graft.streaming.EventStream.{FunnelEv, FunnelOut}
+    implicit val sqlCtx = spark.sqlContext
+    val W = 100L
+    // Every stage collides on tus somewhere; the latest-only state of
+    // r12 dropped the strictly-earlier witnesses these chains need.
+    val batch1 = Seq(
+      // u5: view@100 arrives BEFORE the same-tus click in sort order —
+      // the click must still qualify via view@50 (the advice case)
+      FunnelEv(5L, "view", 50L, 12L), FunnelEv(5L, "view", 100L, 13L),
+      FunnelEv(5L, "click", 100L, 14L), FunnelEv(5L, "purchase", 150L, 15L),
+      // u6: all three stages at one tus and nothing earlier → silent
+      FunnelEv(6L, "view", 100L, 16L), FunnelEv(6L, "click", 100L, 17L),
+      FunnelEv(6L, "purchase", 100L, 18L),
+      // u7: purchase tied with its only qualifying click → silent,
+      // then a later purchase completes via that click
+      FunnelEv(7L, "view", 10L, 19L), FunnelEv(7L, "click", 60L, 20L),
+      FunnelEv(7L, "purchase", 60L, 21L), FunnelEv(7L, "purchase", 70L, 22L),
+      // u8 chain start: the same-tus view pair SPANS batches
+      FunnelEv(8L, "view", 50L, 23L), FunnelEv(8L, "view", 100L, 24L))
+    val batch2 = Seq(
+      FunnelEv(8L, "click", 100L, 25L), // cross-batch: needs prevView=50
+      FunnelEv(8L, "purchase", 160L, 26L))
+    val mem = MemoryStream[FunnelEv]
+    val q = graft.streaming.EventStream
+      .funnelDetect(mem.toDS(), wUs = W)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_cep_tie_out").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("funnel_cep_tie_out").as[FunnelOut].collect().toSet
+      assert(got == Set(
+        FunnelOut(5L, 15L, 150L, 100L, 50L),
+        FunnelOut(7L, 22L, 70L, 60L, 10L),
+        FunnelOut(8L, 26L, 160L, 100L, 50L)), s"got $got")
+      // batch replay with e26's strict RANGE-to-(t-1) window agrees
+      import org.apache.spark.sql.expressions.Window
+      val all = (batch1 ++ batch2).toDF()
+      val w = Window.partitionBy("user_id").orderBy("tus").rangeBetween(-W, -1)
+      val completing = all
+        .withColumn("vprev", max(when($"event_type" === "view", $"tus")).over(w))
+        .withColumn("qcprev", max(when($"event_type" === "click" &&
+          $"vprev".isNotNull, $"tus")).over(w))
+        .where($"event_type" === "purchase" && $"qcprev".isNotNull)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(completing == got.map(_.event_id))
+    } finally q.stop()
+  }
+
   test("streaming blocklist gate matches batch p34 semantics (stateless stream-static)") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
