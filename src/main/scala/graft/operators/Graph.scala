@@ -573,26 +573,38 @@ object Graph {
     * would make the two sides coincide, which is why this runs on the
     * directed pre-symmetrization edges.
     *
-    * Plan shape: the authority/hub tables are node-sized; each round
-    * is two hash aggregates fed by an edge-table equi-join — one
-    * exchange pair per round over the same src/dst keys every time
-    * (a bucketed edge table makes them exchange-free), no driver
-    * state, no scalar jobs. Lazy plan end-to-end: at fixed small
-    * `iters` the chained plan stays shallow enough that no checkpoint
-    * barrier is needed.
+    * Plan shape (r13, the g1 bucketed-edge discipline doubled): HITS
+    * alternates join-key sides every half-round, so the loop-invariant
+    * edge table is materialized TWICE — once hash-partitioned by dst
+    * (auth→hub) and once by src (hub→auth), via checkpointPartitioned
+    * so the partitioning survives the lineage cut. Each half-round's
+    * rank side emerges from its aggregate already partitioned on the
+    * matching key (alias-aware output partitioning), so the edge join
+    * is exchange-free on BOTH sides, and the only per-round wire
+    * traffic is the aggregate exchange, which map-side combine has
+    * already shrunk to node-sized. Without the materialization the
+    * lazily chained plan re-derives the edge input (here a
+    * fact-join + distinct) once per half-round — the measured 3x at
+    * sf1. On a real cluster the two artifacts are the src- and
+    * dst-bucketed copies of the edge table.
     */
   def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    var auth = e.groupBy("dst").agg(count(lit(1)).cast("long").as("s"))
-    var round = 1
-    while (round < iters) {
-      val hub = e.join(auth.select(col("dst"), col("s")), Seq("dst"))
-        .groupBy("src").agg(sum("s").as("hs"))
-      auth = e.join(hub, Seq("src"))
-        .groupBy("dst").agg(sum("hs").as("s"))
-      round += 1
+    withStablePartitioning(e.sparkSession) {
+      val eByDst = ckpt(e.repartition(col("dst")))
+      // src copy re-shuffles the MATERIALIZED rows, not the derivation
+      val eBySrc = ckpt(eByDst.repartition(col("src")))
+      var auth = eByDst.groupBy("dst").agg(count(lit(1)).cast("long").as("s"))
+      var round = 1
+      while (round < iters) {
+        val hub = eByDst.join(auth.select(col("dst"), col("s")), Seq("dst"))
+          .groupBy("src").agg(sum("s").as("hs"))
+        auth = eBySrc.join(hub, Seq("src"))
+          .groupBy("dst").agg(sum("hs").as("s"))
+        round += 1
+      }
+      auth.select(col("dst").as("node"), col("s").as("auth_score"))
     }
-    auth.select(col("dst").as("node"), col("s").as("auth_score"))
   }
 
   /** Personalized PageRank (Jeh & Widom 2003 / Page et al. 1999 with a
