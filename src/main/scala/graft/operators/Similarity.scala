@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Hard ceiling on [[mmrDiverseTopK]]'s rerank pool: pool² pairwise
+    * sims are collected to the driver (1024² ≈ 1M longs ≈ tens of MB —
+    * the upper edge of control-plane), so anything larger is a misuse
+    * of the operator, not a tuning choice.
+    */
+  val MaxMmrPool: Int = 1024
+
   /** Quantized dot product of two array<float> columns — the native
     * codegen expression (graft.functions.QuantizedDot). Callers must
     * route DataFrames through an operator below (which registers the
@@ -797,6 +804,18 @@ object Similarity {
   def mmrDiverseTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
       pool: Int = 50, lambda10: Int = 7,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // The driver-side greedy collects pool + pool² rows — that is the
+    // operator's CONTRACT (a constant-size rerank window over a
+    // distributed recall stage), and this guard is what keeps it one:
+    // a caller passing a corpus-sized pool must fail loudly here, not
+    // OOM the driver collecting an n² similarity matrix.
+    require(pool >= 1 && pool <= MaxMmrPool,
+      s"mmrDiverseTopK pool=$pool out of range [1, $MaxMmrPool]: the " +
+        "greedy rerank collects pool^2 pairwise sims to the driver, so " +
+        "the pool must stay a bounded rerank window — raise the recall " +
+        "stage's selectivity, not the pool")
+    require(lambda10 >= 0 && lambda10 <= 10,
+      s"lambda10=$lambda10 must be an integer tenth in [0, 10]")
     val spark = emb.sparkSession
     val reg = registered(emb)
     val q = reg.filter(col(idCol) === queryId)

@@ -379,6 +379,58 @@ object CoreQueries {
         .orderBy("sort_order")
     },
 
+    // ---- q20: correlated scalar-aggregate subquery (TPC-H Q17) ----
+    // Backfills the q-board's numbering hole with the one core
+    // subquery shape the board lacked: a scalar aggregate CORRELATED
+    // to the outer row (q11's scalar subquery is uncorrelated, q06's
+    // IN is a semi-join). TPC-H Q17: revenue from small-quantity
+    // orders, where "small" for each row means "below 1/5 of that
+    // PART's average quantity". Spark-first decorrelation: filter
+    // part to the brand (tiny → broadcast), semi-reduce lineitem to
+    // the surviving parts with that one broadcast join, then compute
+    // the per-part aggregate AND apply the per-row test on the same
+    // exchange with a partkey-partitioned window — the classic
+    // decorrelated form's second fact scan and self-join never
+    // happen. Float discipline: l_quantity is integral, so
+    //   qty < 0.2 * avg(qty)  ⟺  5 * qty * cnt < sum_qty
+    // — every comparison BIGINT-exact on both engines (no 0.2 double
+    // product whose last ulp could flip a row); the only division is
+    // the final display /7.0, one double op on an exact decimal sum.
+    QueryDef("q20_small_qty_revenue",
+      """WITH sel AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#4'
+        |), stats AS (
+        |  SELECT l_partkey, qty, price,
+        |    SUM(qty) OVER (PARTITION BY l_partkey) AS sum_qty,
+        |    COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+        |  FROM sel
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(COALESCE(SUM(price), 0) AS DOUBLE) AS revenue,
+        |  CAST(COALESCE(SUM(price), 0) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM stats WHERE 5 * qty * cnt < sum_qty""".stripMargin) { (s, dir) =>
+      val selParts = Tables.part(s, dir)
+        .where(col("p_brand") === "Brand#4")
+        .select(col("p_partkey"))
+      val sel = Tables.lineitem(s, dir)
+        .join(broadcast(selParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          col("l_extendedprice").cast(dec12_2).as("price"))
+      val wp = Window.partitionBy("l_partkey")
+      sel
+        .withColumn("sum_qty", sum("qty").over(wp))
+        .withColumn("cnt", count(lit(1)).over(wp))
+        .where(lit(5L) * col("qty") * col("cnt") < col("sum_qty"))
+        .agg(count(lit(1)).as("n_items"),
+          coalesce(sum("price"), lit(0).cast(dec12_2)).cast("double")
+            .as("revenue"))
+        .select(col("n_items"), col("revenue"),
+          (col("revenue") / lit(7.0)).as("avg_yearly"))
+    },
+
     // ---- q40: FULL OUTER join of two aggregates ----
     // Nations with high-balance customers vs high-balance suppliers:
     // the supplier side is sparse (most nations lack one), so genuine

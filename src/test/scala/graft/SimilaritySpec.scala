@@ -282,6 +282,31 @@ class SimilaritySpec extends AnyFunSuite {
       (3L, 2L, 9589L, 37126L)), s"got ${got.mkString(",")}")
   }
 
+  test("MMR pool contract: a corpus-sized pool is rejected before anything is collected") {
+    // the greedy rerank collects pool^2 sims to the driver — the
+    // MaxMmrPool require is the only thing standing between a caller
+    // typo and an n^2 driver collect, so pin it.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrDiverseTopK(vecs, queryId = 0L, k = 3,
+        pool = Similarity.MaxMmrPool + 1)
+    }
+    assert(e.getMessage.contains("bounded rerank window"), e.getMessage)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.mmrDiverseTopK(vecs, queryId = 0L, k = 3, pool = 0)
+    }.getMessage.contains("out of range"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.mmrDiverseTopK(vecs, queryId = 0L, k = 1, pool = 1,
+        lambda10 = 11)
+    }.getMessage.contains("integer tenth"))
+    // the boundary pool itself is legal (tiny data, k capped by pool)
+    val ok = Similarity.mmrDiverseTopK(vecs, queryId = 0L, k = 1,
+      pool = Similarity.MaxMmrPool)
+    assert(ok.count() == 1L)
+  }
+
   test("knnClassify: separated clusters classify perfectly; majority beats single near neighbor") {
     // queries 0,1 (ids < 2); corpus: three axis-aligned cluster members
     // per class plus one label-1 outlier sitting closest to query 0 —
