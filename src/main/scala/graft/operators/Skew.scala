@@ -24,9 +24,7 @@ object Skew {
       saltBuckets: Int = 16, sumDecimal: DecimalType = DecimalType(12, 2))
       : DataFrame = {
     val keyCols = keys.map(col)
-    val salted = df.withColumn("_salt",
-      pmod(spark_partition_id() + crc32(concat_ws("\u0000", keyCols: _*)),
-        lit(saltBuckets)))
+    val salted = df.withColumn("_salt", saltColumn(saltBuckets, keyCols: _*))
     val partial = salted
       .groupBy(keyCols :+ col("_salt"): _*)
       .agg(
@@ -79,7 +77,18 @@ object Skew {
     * the big side, so one hot key spreads over `saltBuckets` reducers.
     */
   def saltColumn(saltBuckets: Int, keyCols: Column*): Column =
-    pmod(spark_partition_id() + crc32(concat_ws("\u0000", keyCols: _*)),
+    // r13 fix, measured on the Zipf-skew harness: the previous salt
+    // (spark_partition_id + crc32(key)) is CONSTANT per (key, input
+    // partition), so with a handful of parquet splits a mega-hot key
+    // collapsed onto 2-3 salt values (max reducer held 2.4M of 3M hot
+    // rows). monotonically_increasing_id is a per-partition counter —
+    // consecutive rows of the hot key cycle through ALL buckets, so
+    // per-reducer load is ~hot/saltBuckets regardless of how few input
+    // splits carry the key. Determinism note: the salt value assigned
+    // to a row may differ across task retries (like the old partition-
+    // id form), which is safe BECAUSE every consumer re-aggregates or
+    // joins it away — results never depend on the assignment.
+    pmod(monotonically_increasing_id() + crc32(concat_ws("\u0000", keyCols: _*)),
       lit(saltBuckets)).cast("int")
 
   /** Skew-resilient equi-join: salt the fact side, replicate the dim
