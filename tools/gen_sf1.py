@@ -19,7 +19,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_graft"
-SCALE = 10
+SCALE = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # 100 -> sf10
 SEED = 421
 
 con = duckdb.connect()

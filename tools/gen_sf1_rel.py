@@ -17,7 +17,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_graft"
-R = 10
+R = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # 100 -> sf10
 
 con = duckdb.connect()
 
