@@ -339,6 +339,26 @@ object ProfileMain {
           }
         }
 
+      case "paircount" =>
+        // output-volume growth check for the embedding pair family
+        // (s4/d12/d17 super-linear wall-clock at sf10 — is it the
+        // PLAN or the DATA?): count the true above-threshold pair
+        // volume per decade. Dirs via SPARK_GRAFT_CURVE_SFS.
+        val sfs = sys.env.get("SPARK_GRAFT_CURVE_SFS")
+          .map(_.split(",").toSeq)
+          .getOrElse(Seq("/root/testdata/sf0.1", "/tmp/sf1_graft"))
+        for (sf <- sfs) {
+          graft.sources.SessionCache.clear()
+          val n = Tables.embeddings(spark, sf).count()
+          val pairs = graft.operators.Similarity
+            .lshCosinePairsMulti(Tables.embeddings(spark, sf),
+              minCosBp = 2000, planes = 2, tables = 32).count()
+          val edges3k = graft.operators.Similarity
+            .lshCosinePairsMulti(Tables.embeddings(spark, sf),
+              minCosBp = 3000, planes = 2, tables = 32).count()
+          println(s"""[paircount] {"sf":"${sf.split('/').last}","vecs":$n,"pairs_2000bp":$pairs,"pairs_3000bp":$edges3k}""")
+        }
+
       case "curve" =>
         // sf-scaling curve for selected queries: min-of-N per (query,
         // sf) — the minimum is the principled statistic on a host with
