@@ -258,13 +258,17 @@ object Explain {
         |data, statistics flip the same join to its shuffled-hash form.
         |The suffix array this replaces is single-node by construction.""".stripMargin,
     "g4_hits_authorities" ->
-      """Three HITS rounds compile into a chain of hash-aggregate pairs over
-        |the same two join keys (src, dst) — each round is a shuffled hash
-        |equi-join of the node-sized score table onto the edge table plus
-        |one exchange for its groupBy; the integer scores need no
-        |normalization job, so there is no scalar broadcast and no
-        |single-partition funnel anywhere. On a bucketed edge table every
-        |per-round exchange on the edge side disappears.""".stripMargin,
+      """Three HITS rounds over a TWICE-materialized loop-invariant edge
+        |table (r13): the edge derivation (fact join + distinct) runs
+        |once, is checkpointed hash-partitioned by dst, and the src copy
+        |re-shuffles those materialized rows — the lazy chain that
+        |re-derived the edges once per half-round is gone. Each
+        |half-round's score table emerges from its aggregate already
+        |partitioned on the matching key, so the edge joins are
+        |exchange-free on both sides and only node-sized aggregate
+        |exchanges (map-side combined) flow per round; integer scores
+        |need no normalization job, so no scalar broadcast and no
+        |single-partition funnel anywhere.""".stripMargin,
     "g5_personalized_pagerank" ->
       """Sparse-frontier PPR: r⁰ is a LocalTableScan of the seed set (the
         |teleport support is control-plane — collected once, no cluster
