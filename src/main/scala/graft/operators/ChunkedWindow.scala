@@ -50,10 +50,20 @@ object ChunkedWindow {
     * PRECEDING` of `PARTITION BY seriesCol ORDER BY ordCol, tieCol`,
     * computed with #series x #buckets parallelism. Input columns are
     * preserved.
+    *
+    * `maxBroadcastCells` bounds the head-patch broadcast (same
+    * discipline as Similarity's MaxMmrPool guard): `prevs` holds up to
+    * one `frame`-element array per (series, bucket), so a caller
+    * passing a small bucketWidth over a large ord domain would
+    * otherwise drive an unbounded driver-side broadcast. The group
+    * count is measured on the already-checkpointed partials (a cheap
+    * summary aggregate, no recompute); past the bound the head patch
+    * falls back to a shuffle hash join on (series, bucket) — same
+    * result, no driver materialization.
     */
   def trailingStats(df: DataFrame, seriesCol: String, ordCol: String,
       tieCol: String, vCol: String, frame: Int,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, maxBroadcastCells: Long = 4L << 20): DataFrame = {
     require(frame >= 1, s"frame must be >= 1, got $frame")
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val inCols = df.columns.toSeq
@@ -95,7 +105,12 @@ object ChunkedWindow {
           .as("gw_prev"))
     // Patch the head rows (idx <= frame) from the <=frame-element
     // prev array; body rows take need = 0 and pass through unchanged.
-    part.join(broadcast(prevs), Seq(seriesCol, "gw_bucket"), "left")
+    // Broadcast only under the cell budget; see scaladoc.
+    val groups = part.select(col(seriesCol), col("gw_bucket"))
+      .distinct().count()
+    val probe = if (groups * frame.toLong <= maxBroadcastCells)
+      broadcast(prevs) else prevs
+    part.join(probe, Seq(seriesCol, "gw_bucket"), "left")
       .withColumn("gw_pa",
         coalesce(col("gw_prev"), expr("CAST(array() AS ARRAY<BIGINT>)")))
       .withColumn("gw_need",

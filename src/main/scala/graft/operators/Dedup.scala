@@ -22,6 +22,31 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Budget guard for DECLARED-quadratic block joins (d13's dense
+    * edit-distance block contract is the canonical case): computes
+    * Σ_blocks n·(n-1)/2 — the exact candidate-pair count the block
+    * equi-join will materialize — and refuses to build the plan past
+    * `maxBlockPairs`. The audit is one summary aggregate over the
+    * block keys (a scan + key-bounded shuffle; control-plane cost next
+    * to the DP stage it guards), so a 100 TB caller gets a loud
+    * contract error naming the declared scale path instead of a
+    * silently quadratic stage. Same promotion-to-code discipline as
+    * Similarity's MaxMmrPool and ChunkedWindow's broadcast-cell budget.
+    */
+  def requireBlockPairBudget(blocked: DataFrame, blockCols: Seq[String],
+      maxBlockPairs: Long, scalePath: String): Unit = {
+    val row = blocked.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).cast("long"))
+      .collect()(0)
+    val total = row.getLong(0)
+    require(total <= maxBlockPairs,
+      s"blocked join over (${blockCols.mkString(", ")}) would " +
+        s"materialize $total candidate pairs — past the declared " +
+        s"quadratic-in-block budget of $maxBlockPairs. This operator " +
+        s"is the exact-audit form; at scale use $scalePath.")
+  }
+
   /** Per-doc MinHash signature + LSH band keys.
     *
     * Shape: explode shingles → `perms` codegen'd xxhash64 projections →

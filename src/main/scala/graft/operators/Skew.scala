@@ -21,10 +21,11 @@ import org.apache.spark.sql.types.DecimalType
 object Skew {
 
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
-      saltBuckets: Int = 16, sumDecimal: DecimalType = DecimalType(12, 2))
-      : DataFrame = {
+      saltBuckets: Int = 16, sumDecimal: DecimalType = DecimalType(12, 2),
+      entropyCols: Seq[String] = Nil): DataFrame = {
     val keyCols = keys.map(col)
-    val salted = df.withColumn("_salt", saltColumn(saltBuckets, keyCols: _*))
+    val ent = (if (entropyCols.nonEmpty) entropyCols else Seq(valueCol)).map(col)
+    val salted = df.withColumn("_salt", saltColumn(saltBuckets, ent, keyCols: _*))
     val partial = salted
       .groupBy(keyCols :+ col("_salt"): _*)
       .agg(
@@ -76,19 +77,27 @@ object Skew {
     * skew-join salting): explode the small side `saltBuckets`× and salt
     * the big side, so one hot key spreads over `saltBuckets` reducers.
     */
-  def saltColumn(saltBuckets: Int, keyCols: Column*): Column =
-    // r13 fix, measured on the Zipf-skew harness: the previous salt
-    // (spark_partition_id + crc32(key)) is CONSTANT per (key, input
-    // partition), so with a handful of parquet splits a mega-hot key
-    // collapsed onto 2-3 salt values (max reducer held 2.4M of 3M hot
-    // rows). monotonically_increasing_id is a per-partition counter —
-    // consecutive rows of the hot key cycle through ALL buckets, so
-    // per-reducer load is ~hot/saltBuckets regardless of how few input
-    // splits carry the key. Determinism note: the salt value assigned
-    // to a row may differ across task retries (like the old partition-
-    // id form), which is safe BECAUSE every consumer re-aggregates or
-    // joins it away — results never depend on the assignment.
-    pmod(monotonically_increasing_id() + crc32(concat_ws("\u0000", keyCols: _*)),
+  def saltColumn(saltBuckets: Int, entropyCols: Seq[Column],
+      keyCols: Column*): Column =
+    // The salt is a pure function of ROW CONTENT: crc32 over the key
+    // columns plus caller-named entropy columns. Two earlier forms
+    // were rejected by measurement and review:
+    //  - spark_partition_id + crc32(key) is CONSTANT per (key, input
+    //    split): with few parquet splits a mega-hot key collapsed onto
+    //    2-3 salt values (r13 Zipf harness — max reducer held 2.4M of
+    //    3M hot rows);
+    //  - monotonically_increasing_id spreads perfectly but is row-
+    //    ORDER-dependent: if the salted input sits downstream of a
+    //    shuffle, a retried map task can assign different salts than
+    //    the outputs some reducers already fetched, duplicating or
+    //    losing rows under partial-stage retry (the SPARK-23207 class;
+    //    Spark SQL does not mark such stages indeterminate).
+    // The content salt is retry-deterministic by construction AND
+    // input-split-independent. Contract: entropyCols must vary within
+    // a hot key (a row id, a measure, a timestamp); rows identical on
+    // keys+entropy land in one bucket, so full-row exact duplicates do
+    // not spread — pass a unique id column when duplicates dominate.
+    pmod(crc32(concat_ws("\u0000", (keyCols ++ entropyCols): _*)),
       lit(saltBuckets)).cast("int")
 
   /** Skew-resilient equi-join: salt the fact side, replicate the dim
@@ -105,11 +114,17 @@ object Skew {
     * hash-partitioned aggregations stacked on the join.
     *
     * `keys` must exist on both sides (rename the dim's key first).
+    * `entropyCols` feed the content salt (see saltColumn's contract);
+    * empty means every non-key fact column — maximal spread, at the
+    * cost of hashing the full row (all those columns are in the
+    * shuffle anyway).
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
-      saltBuckets: Int = 8): DataFrame = {
+      saltBuckets: Int = 8, entropyCols: Seq[String] = Nil): DataFrame = {
+    val ent = (if (entropyCols.nonEmpty) entropyCols
+               else fact.columns.toSeq.filterNot(keys.contains)).map(col)
     val fSalted = fact.withColumn("_salt",
-      saltColumn(saltBuckets, keys.map(col): _*))
+      saltColumn(saltBuckets, ent, keys.map(col): _*))
     val dSalted = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     fSalted.join(dSalted.hint("merge"), keys :+ "_salt").drop("_salt")

@@ -1248,11 +1248,24 @@ object PipelineQueries {
         .reduce(_ unionAll _)
         .distinct()
         .withColumn("hit", lit(1))
-      childKeys.join(parentKeys, Seq("fk", "k"), "left")
+      val agg = childKeys.join(parentKeys, Seq("fk", "k"), "left")
         .groupBy("fk")
         .agg(sum(col("cnt")).cast("long").as("n_rows"),
           coalesce(sum(when(col("hit").isNull, col("cnt"))), lit(0L))
             .cast("long").as("n_orphans"))
+      // Edge-complete output: the oracle's per-edge UNGROUPED aggregate
+      // emits a row even when the child table is empty (n_rows NULL,
+      // n_orphans 0), but a bare groupBy("fk") would drop the edge —
+      // so anchor the aggregate on the declared 6-edge frame. Control-
+      // plane sized (6 literal rows), no extra exchange at any scale.
+      import s.implicits._
+      Seq("customer.c_nationkey->nation", "lineitem.l_orderkey->orders",
+        "lineitem.l_suppkey->supplier", "nation.n_regionkey->region",
+        "orders.o_custkey->customer", "supplier.s_nationkey->nation")
+        .toDF("fk")
+        .join(agg, Seq("fk"), "left")
+        .select(col("fk"), col("n_rows"),
+          coalesce(col("n_orphans"), lit(0L)).as("n_orphans"))
         .orderBy("fk")
     },
 

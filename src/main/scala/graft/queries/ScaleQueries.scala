@@ -202,7 +202,7 @@ object ScaleQueries {
 
     // ---- salted skew join (proactive hot-key spreading) ----
     // lineitem⋈supplier through Skew.saltedJoin: the fact side salts
-    // on (key, map-partition), the dim side replicates ×8, the join
+    // on row content (key + entropy cols), the dim side replicates ×8, the join
     // runs as a sort-merge on (l_suppkey, _salt) — a hot supplier's
     // rows land on 8 reducers instead of 1. The oracle is the PLAIN
     // join + aggregate: salting must be invisible in the result.

@@ -871,6 +871,13 @@ object TextQueries {
       // broadcast the other side — the DP now lives in the join stage
       // and cannot sink below its own input. 12× wall-clock.
       graft.functions.EditDist.register(s)
+      // Declared-quadratic contract, now enforced in code (r13 verdict
+      // item 5): the block-pair budget passes the sf1 decade and
+      // refuses the sf10 one, pointing the caller at d25's PPJoin-gated
+      // composition instead of silently running the quadratic form.
+      Dedup.requireBlockPairBudget(d.select("lang", "bkt"),
+        Seq("lang", "bkt"), maxBlockPairs = 200000000L,
+        scalePath = "Dedup.ppjoinPairs-gated verification (d25_editdist_verified)")
       val par = s.conf.get("spark.sql.shuffle.partitions").toInt
       a.repartition(par, col("a_id"))
         .join(broadcast(b), Seq("lang", "bkt"))

@@ -90,6 +90,35 @@ class ChunkedWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast guard: past the cell budget the head patch falls back to a shuffle join, same result") {
+    val rnd = new scala.util.Random(99)
+    val rows = for {
+      s <- Seq("a", "b"); i <- 0 until 200
+    } yield (s, i.toLong * 2 + rnd.nextInt(2), i.toLong, rnd.nextInt(40).toLong)
+    val df = rows.toDF("series", "ord", "tie", "v")
+    val frame = 12
+    // budget 1 forces the non-broadcast path on any non-trivial input
+    val guarded = ChunkedWindow
+      .trailingStats(df, "series", "ord", "tie", "v", frame,
+        bucketWidth = 10L, maxBroadcastCells = 1L)
+      .select("series", "ord", "tie", "v", "n", "s", "s2")
+      .collect().map(_.toSeq).toSet
+    val want = naive(df, frame).collect().map(_.toSeq).toSet
+    assert(guarded === want, "fallback join path diverges from naive window")
+    // and the FORCED broadcast hint is really gone under the budget
+    // (the planner may still auto-broadcast a provably small side —
+    // that path is bounded by autoBroadcastJoinThreshold, which is
+    // exactly the discipline the guard restores)
+    def analyzed(budget: Long): String = ChunkedWindow
+      .trailingStats(df, "series", "ord", "tie", "v", frame,
+        bucketWidth = 10L, maxBroadcastCells = budget)
+      .queryExecution.analyzed.toString
+    assert(analyzed(budget = 4L << 20).contains("broadcast"),
+      "expected the broadcast hint under a generous budget")
+    assert(!analyzed(budget = 1L).contains("broadcast"),
+      "expected no broadcast hint under a 1-cell budget")
+  }
+
   test("single row and frame-boundary exact sizes") {
     check(Seq(("one", 5L, 0L, 9L)), frame = 3, bucketWidth = 2L)
     // exactly frame rows per bucket: idx == frame is still a head.

@@ -215,4 +215,23 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.lshCollisionProb(0.4, b, r) < 0.01)
     assert(Dedup.lshCollisionProb(0.95, b, r) > 0.95)
   }
+  test("requireBlockPairBudget: exact pair count, loud contract error past the budget") {
+    // 2 blocks of 50 rows each -> 2 * (50*49/2) = 2450 candidate pairs
+    val blocked = Seq.tabulate(100)(i => ("en", i % 2)).toDF("lang", "bkt")
+    // boundary passes: budget == exact count
+    Dedup.requireBlockPairBudget(blocked, Seq("lang", "bkt"),
+      maxBlockPairs = 2450L, scalePath = "d25")
+    // one below refuses, and the error carries the count AND the
+    // declared scale path (the 100 TB caller reads the fix, not a hang)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.requireBlockPairBudget(blocked, Seq("lang", "bkt"),
+        maxBlockPairs = 2449L,
+        scalePath = "Dedup.ppjoinPairs-gated verification (d25)")
+    }
+    assert(e.getMessage.contains("2450"), e.getMessage)
+    assert(e.getMessage.contains("d25"), e.getMessage)
+    // empty input: zero pairs, any budget passes
+    Dedup.requireBlockPairBudget(blocked.where(lit(false)),
+      Seq("lang", "bkt"), maxBlockPairs = 0L, scalePath = "d25")
+  }
 }

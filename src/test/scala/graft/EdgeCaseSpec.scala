@@ -85,4 +85,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     // null text must yield zero (via the coalesce contract), not throw
     assert(st(4L) == 0L, s"$st")
   }
+  test("v3_fk_orphans stays edge-complete when a child table is empty") {
+    // the oracle's per-edge UNGROUPED aggregate emits (fk, NULL, 0)
+    // even for an empty child table; the Spark plan must too (r13
+    // ADVICE: a bare groupBy would silently drop the edge)
+    val src = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet").where(lit(false))
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+    val rows = SparkEntry.queries("v3_fk_orphans")(spark, dir)
+      .orderBy("fk").collect()
+    assert(rows.length == 6, s"all 6 declared edges must report: ${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r.isNullAt(1), s"n_rows must be NULL (SUM over empty): $r")
+      assert(r.getLong(2) == 0L, s"n_orphans must be 0: $r")
+    }
+  }
 }

@@ -52,7 +52,7 @@ class SkewStressSpec extends AnyFunSuite {
 
   test("saltColumn splits a hot key into all buckets, near-evenly, within few input partitions") {
     val groups = skewed
-      .withColumn("_salt", Skew.saltColumn(buckets, col("k")))
+      .withColumn("_salt", Skew.saltColumn(buckets, Seq(col("uid")), col("k")))
       .groupBy("k", "_salt").count()
       .where(col("k") === 0L)
       .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
