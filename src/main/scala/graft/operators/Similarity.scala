@@ -775,6 +775,78 @@ object Similarity {
       .select(col(blockCol), col("a_id"), col("b_id"), col("cos_bp"))
   }
 
+  /** Scale-safe sibling of the unbounded pair contract
+    * (lshCosinePairsMulti / s4): per-vector CAPPED top-k neighbors.
+    * The r13 sf10 decade measured why the cap is the 100 TB contract:
+    * at the driver's fixed d=64, spherical measure concentration puts
+    * P(cos ≥ t) ≈ Φ̄(t·√d) on ANY generic direction pair (measured
+    * 5.6% at t=0.20 on the bounded-cluster generator — the geometry,
+    * not the clusters), so "emit every pair ≥ t" has quadratic OUTPUT
+    * on any realistic 64-d corpus. This form bounds output at n·k and
+    * never shuffles the quadratic candidate stream:
+    *
+    *  1. vectors ride the ×`tables` posexplode (linear bytes, one
+    *     exchange on (block, tbl, bkt));
+    *  2. the bucket self-join's quadratic candidate stream flows
+    *     STRAIGHT into TopKAgg's partial aggregation — each map task
+    *     forwards ≤ k rows per (a_id, tbl), so the agg shuffle carries
+    *     O(n · tables · k), never O(candidates) (this is the exact
+    *     shuffle-shape difference from the dedup-then-filter form,
+    *     whose dropDuplicates reshuffles every candidate pair);
+    *  3. per-vector merge of the ≤ tables·k survivors: dedup the
+    *     cross-table copies, sort (cos DESC, id ASC), take k.
+    *
+    * Exactness containment (why per-bucket capping loses nothing): a
+    * true global i-th best neighbor (i ≤ k) of `a` collides with `a`
+    * in ≥1 table w.p. 1-(1-p)^tables (the s4/s5 amplification bound);
+    * in any bucket holding it, the candidates strictly better under
+    * (cos DESC, id ASC) number < i ≤ k globally, so it always survives
+    * that bucket's k-heap. The oracle therefore replays the EXACT
+    * per-label computation (window rank over all within-label pairs).
+    */
+  def lshTopKNeighbors(emb: DataFrame, k: Int, minCosBp: Int,
+      planes: Int = 2, tables: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding", blockCol: String = "label"): DataFrame = {
+    val reg = registered(emb)
+    val buckets = (0 until tables)
+      .map(t => bucketCol(planes, 64, t.toLong, vecCol))
+    val withNorm = reg
+      .withColumn("n2", qnorm2(vecCol))
+      .withColumn("bks", array(buckets: _*))
+      .localCheckpoint(true)
+    val keyed = withNorm
+      .select(col(blockCol), col(idCol), col(vecCol), col("n2"),
+        posexplode(col("bks")).as(Seq("tbl", "bkt")))
+    val a = keyed.select(col(blockCol), col("tbl"), col("bkt"),
+      col(idCol).as("a_id"), col(vecCol).as("a_vec"), col("n2").as("a_n2"))
+    val b = keyed.select(col(blockCol), col("tbl"), col("bkt"),
+      col(idCol).as("b_id"), col(vecCol).as("b_vec"), col("n2").as("b_n2"))
+    val topkF = graft.functions.TopKAgg.topK(k)
+    val perTable = a.join(b, Seq(blockCol, "tbl", "bkt"))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("dot", qdot("a_vec", "b_vec"))
+      .withColumn("cos_bp", expr(
+        "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(b_n2 AS DOUBLE)))) AS BIGINT)"))
+      .where(col("cos_bp") >= minCosBp)
+      .groupBy(col(blockCol), col("a_id"), col("tbl"))
+      .agg(topkF(col("cos_bp"), col("b_id")).getField("rows").as("tk"))
+    perTable
+      .groupBy(col(blockCol), col("a_id"))
+      .agg(flatten(collect_list(col("tk"))).as("cand"))
+      .select(col(blockCol), col("a_id"),
+        posexplode(expr(
+          s"""slice(array_sort(array_distinct(cand),
+             |  (l, r) -> CASE WHEN l.score > r.score THEN -1
+             |                 WHEN l.score < r.score THEN 1
+             |                 WHEN l.id < r.id THEN -1
+             |                 WHEN l.id > r.id THEN 1 ELSE 0 END),
+             |  1, $k)""".stripMargin)))
+      .select(col(blockCol), col("a_id"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("b_id"),
+        col("col").getField("score").as("cos_bp"))
+  }
+
   /** Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
     * 1998): greedily pick `k` results that balance relevance to the
     * query against redundancy with what is already picked —

@@ -96,9 +96,48 @@ object SimilarityQueries {
         |      p -> CAST(floor(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS DOUBLE)
         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT) >= 2000
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      // Declared-quadratic contract, enforced in code (same d13→d25
+      // discipline): at d=64 the spherical floor P(cos≥0.2)≈5.6%
+      // (measured, r14) makes the OUTPUT quadratic on any realistic
+      // corpus, so past the block budget this exact-audit form refuses
+      // and names the capped sibling. sf1 ≈ 2.0e7 label pairs passes;
+      // sf10 ≈ 2.0e9 refuses.
+      graft.operators.Dedup.requireBlockPairBudget(
+        Tables.embeddings(s, dir).select("label"), Seq("label"),
+        maxBlockPairs = 200000000L,
+        scalePath = "Similarity.lshTopKNeighbors (s16_ann_topk_neighbors)")
       Similarity.lshCosinePairsMulti(Tables.embeddings(s, dir),
         minCosBp = 2000, planes = 2, tables = 32)
         .orderBy("a_id", "b_id")
+    },
+
+    // ---- per-vector capped top-k neighbors (s4's 100 TB contract) ----
+    // Output is n·k BY CONTRACT and the quadratic candidate stream
+    // never crosses the network (TopKAgg partial aggregation — see
+    // Similarity.lshTopKNeighbors scaladoc for the containment proof
+    // that per-bucket capping is exact). The oracle replays the exact
+    // within-label computation with a window rank, so LSH recall and
+    // the cap logic are both hash-checked.
+    QueryDef("s16_ann_topk_neighbors",
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS n2
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        q -> CAST(floor(CAST(q[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(q[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT) AS cos_bp
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_bp DESC, b_id) AS rk
+        |  FROM p WHERE cos_bp >= 2000
+        |)
+        |SELECT label, a_id, CAST(rk AS BIGINT) AS rk, b_id, cos_bp
+        |FROM r WHERE rk <= 3 ORDER BY a_id, rk""".stripMargin) { (s, dir) =>
+      Similarity.lshTopKNeighbors(Tables.embeddings(s, dir),
+        k = 3, minCosBp = 2000, planes = 2, tables = 32)
+        .orderBy("a_id", "rk")
     },
 
     // ---- IVF ANN: deterministic stride centroids, probe-all oracle ----

@@ -72,6 +72,45 @@ class SimilaritySpec extends AnyFunSuite {
       s"multi-table candidates must be bucket equi-joins:\n$plan")
   }
 
+  test("lshTopKNeighbors equals the exact per-vector window rank on random vectors") {
+    // randomized equivalence over many labels/clusters: the capped
+    // per-bucket heaps + cross-table merge must reproduce the exact
+    // top-k (cos DESC, id ASC) among within-label neighbors >= the
+    // threshold — the containment argument in the scaladoc, executed
+    val rnd = new scala.util.Random(4242)
+    val vecs = (0L until 120L).map { i =>
+      val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+      (i, base, (i % 3).toInt)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val k = 3
+    val got = Similarity.lshTopKNeighbors(df, k = k, minCosBp = 1000,
+      planes = 2, tables = 24).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("rk")) ->
+        (r.getAs[Long]("b_id"), r.getAs[Long]("cos_bp"))).toMap
+    // exact reference: all within-label pairs, window rank
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.blockedCosinePairs(df, minCosBp = -10001)
+    val directed = e.select(col("a_id"), col("b_id"), col("cos_bp"))
+      .union(e.select(col("b_id"), col("a_id"), col("cos_bp")))
+      .where(col("cos_bp") >= 1000)
+    val want = directed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a_id").orderBy(col("cos_bp").desc, col("b_id"))))
+      .where(col("rk") <= k).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Int]("rk").toLong) ->
+        (r.getAs[Long]("b_id"), r.getAs[Long]("cos_bp"))).toMap
+    assert(got == want,
+      s"capped neighbors diverge: extra=${got.toSet -- want.toSet} missing=${want.toSet -- got.toSet}")
+    // and the shuffle-shape claim: no corpus-wide window, the heap agg
+    // is an ObjectHashAggregate, and no cartesian product anywhere
+    val plan = Similarity.lshTopKNeighbors(df, k = k, minCosBp = 1000,
+      planes = 2, tables = 24).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the bounded-heap TopKAgg in the plan:\n$plan")
+  }
+
   test("native signbits matches the interpreted HOF fold bit-for-bit") {
     graft.functions.SignBits.register(spark)
     val planes = Seq(Array(1.0, -0.5, 0.25), Array(-1.0, 2.0, 0.0))

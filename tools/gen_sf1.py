@@ -1,13 +1,39 @@
 #!/usr/bin/env python3
-"""Deterministic sf1 extrapolation of the driver's documents/embeddings
-tables (10x sf0.1), distribution-FITTED from /root/testdata/sf0.1 —
-unigram token frequencies, lang/source mixes, doc-length empirical
-distribution, near-dup/exact-dup rates, and per-label embedding
-means/stds all measured from the real generator's output rather than
-guessed. Seeded; byte-identical across runs. Other tables are symlinked
-from sf0.1 (the curve set touches only documents/embeddings).
+"""Deterministic sf1/sf10 extrapolation of the driver's documents and
+embeddings tables, distribution-FITTED from /root/testdata/sf0.1 for
+everything a decade-up benchmark should inherit (lang/source mixes,
+doc-length empirical distribution, exact/near-dup rates, embedding
+dims + per-label scale) — but with the two r13-verdict realism fixes
+so the sf10 decade measures PLANS, not generator artifacts:
 
-Usage: gen_sf1.py [outdir=/tmp/sf1_graft]
+1. HEAPS-LAW VOCABULARY. The driver's tiny fitted vocabulary (31
+   types at sf0.1) saturates the shingle space: every 3-gram is a
+   stop-shingle, so near-dup candidate volume grew ×99/decade — a
+   generator law, not a data law. Here the type inventory grows as
+   V(T) = |core| + ceil(4·T^0.52) (Heaps exponent ~0.5) with a
+   Zipf-Mandelbrot rank-frequency law (s=1.05, q=3) whose top ranks
+   are the fitted core words. Real-text texture follows: a bounded
+   set of stop-shingles keeps linear df growth (what df-cuts and
+   prefix filters exist for) while the long tail makes unrelated
+   documents shingle-disjoint.
+
+2. BOUNDED-CLUSTER EMBEDDINGS. The old per-label IID gaussians made
+   every same-label pair a near-dup (true pair volume ×111/decade).
+   Here vectors form clusters of bounded size (6..24 uniform,
+   scale-invariant) around well-separated random centers plus a small
+   label tilt: within-cluster cosine ~0.85-0.95, cross-cluster cosine
+   ~N(tilt², 1/d). True-near-dup pair volume is therefore linear in
+   corpus size BY CONSTRUCTION. NOTE the measured residual law: at
+   the driver's fixed d=64, ANY generic generator leaves cross-pair
+   mass P(cos ≥ t) ≈ Φ̄(t·√d) (≈5.5% at t=0.2, ≈0.8% at t=0.3) —
+   spherical measure concentration, not a generator choice — so
+   low-threshold unbounded-pair contracts (s4) remain inherently
+   quadratic at d=64 no matter the data; see BENCHNOTES r14.
+
+Seeded; byte-identical across runs. Other tables are symlinked from
+sf0.1 (gen_sf1_rel.py rescales the relational side afterwards).
+
+Usage: gen_sf1.py [outdir=/tmp/sf1_graft] [scale=10]   # 100 -> sf10
 """
 import os
 import sys
@@ -29,18 +55,17 @@ emb = f"read_parquet('{SRC}/embeddings.parquet')"
 # ---- fit document distributions ----
 vocab_rows = con.execute(
     f"SELECT w, COUNT(*) c FROM (SELECT unnest(regexp_extract_all(lower(text),"
-    f"'[a-z0-9]+')) w FROM {doc}) GROUP BY w ORDER BY w").fetchall()
-vocab = [r[0] for r in vocab_rows]
-wprob = np.array([r[1] for r in vocab_rows], dtype=float)
-wprob /= wprob.sum()
+    f"'[a-z0-9]+')) w FROM {doc}) GROUP BY w ORDER BY c DESC, w").fetchall()
+core = [r[0] for r in vocab_rows]          # fitted words, hottest first
 langs = con.execute(f"SELECT lang, COUNT(*) FROM {doc} GROUP BY lang ORDER BY lang").fetchall()
 lnames = [r[0] for r in langs]
 lprob = np.array([r[1] for r in langs], dtype=float); lprob /= lprob.sum()
 sources = con.execute(f"SELECT source, COUNT(*) FROM {doc} GROUP BY source ORDER BY source").fetchall()
 snames = [r[0] for r in sources]
 sprob = np.array([r[1] for r in sources], dtype=float); sprob /= sprob.sum()
-lens = [r[0] for r in con.execute(
-    f"SELECT len(regexp_extract_all(lower(text),'[a-z0-9]+')) FROM {doc}").fetchall()]
+lens = np.array([r[0] for r in con.execute(
+    f"SELECT len(regexp_extract_all(lower(text),'[a-z0-9]+')) FROM {doc}").fetchall()],
+    dtype=np.int64)
 n_docs_src, = con.execute(f"SELECT COUNT(*) FROM {doc}").fetchone()
 n_exact, = con.execute(
     f"SELECT COUNT(*) - COUNT(DISTINCT text) FROM {doc}").fetchone()
@@ -52,6 +77,19 @@ p_near = n_near / n_docs_src
 
 rng = np.random.default_rng(SEED)
 N = n_docs_src * SCALE
+
+# ---- Heaps-law vocabulary + Zipf-Mandelbrot frequencies ----
+T_est = int(lens.mean() * N)                      # expected corpus tokens
+V = len(core) + int(np.ceil(4.0 * T_est ** 0.52))
+vocab = np.array(core + [f"w{i:06d}" for i in range(V - len(core))])
+ranks = np.arange(1, V + 1, dtype=float)
+wprob = 1.0 / (ranks + 3.0) ** 1.05
+wprob /= wprob.sum()
+wcum = np.cumsum(wprob)
+
+def draw_tokens(n):
+    return vocab[np.searchsorted(wcum, rng.random(n))]
+
 texts, dlangs, dsrcs = [], [], []
 for i in range(N):
     r = rng.random()
@@ -63,13 +101,13 @@ for i in range(N):
         j = int(rng.integers(0, i))           # resample the tail tokens
         toks = texts[j].split(" ")
         cut = max(1, int(len(toks) * (0.6 + 0.3 * rng.random())))
-        tail = list(rng.choice(vocab, size=max(0, len(toks) - cut), p=wprob))
+        tail = draw_tokens(max(0, len(toks) - cut)).tolist()
         texts.append(" ".join(toks[:cut] + tail))
         dlangs.append(dlangs[j])
         dsrcs.append(snames[int(rng.choice(len(snames), p=sprob))])
     else:
-        n = lens[int(rng.integers(0, len(lens)))]
-        texts.append(" ".join(rng.choice(vocab, size=n, p=wprob)))
+        n = int(lens[int(rng.integers(0, len(lens)))])
+        texts.append(" ".join(draw_tokens(n).tolist()))
         dlangs.append(lnames[int(rng.choice(len(lnames), p=lprob))])
         dsrcs.append(snames[int(rng.choice(len(snames), p=sprob))])
 
@@ -81,8 +119,11 @@ pq.write_table(pa.table({
     "source": pa.array(dsrcs, pa.string()),
     "n_chars": pa.array([len(t) for t in texts], pa.int64()),
 }), f"{OUT}/documents.parquet")
+n_types = len(set(w for t in texts[: min(N, 200000)] for w in t.split(" ")))
+print(f"documents: {N} docs, vocab target {V}, observed types "
+      f"(first 200k docs) {n_types}, p_exact={p_exact:.4f} p_near={p_near:.4f}")
 
-# ---- fit embedding distributions: per-label mean + per-dim std ----
+# ---- embeddings: bounded clusters around separated centers ----
 lab_rows = con.execute(
     f"SELECT label, COUNT(*) FROM {emb} GROUP BY label ORDER BY label").fetchall()
 labels = [r[0] for r in lab_rows]
@@ -90,28 +131,68 @@ labp = np.array([r[1] for r in lab_rows], dtype=float); labp /= labp.sum()
 M, = con.execute(f"SELECT COUNT(*) FROM {emb}").fetchone()
 M *= SCALE
 dims, = con.execute(f"SELECT MAX(len(embedding)) FROM {emb}").fetchone()
-means, stds = {}, {}
+means, sbar = {}, {}
 for lab in labels:
     vecs = np.array([r[0] for r in con.execute(
         f"SELECT embedding FROM {emb} WHERE label = {lab}").fetchall()],
         dtype=np.float64)
     means[lab] = vecs.mean(axis=0)
-    stds[lab] = vecs.std(axis=0)
-elabs = rng.choice(labels, size=M, p=labp)
+    sbar[lab] = float(vecs.std(axis=0).mean())   # per-label scale
+
+elabs = np.sort(rng.choice(labels, size=M, p=labp))  # grouped by label
 vecs = np.empty((M, dims), dtype=np.float32)
-for i, lab in enumerate(elabs):
-    vecs[i] = (means[lab] + rng.standard_normal(dims) * stds[lab]).astype(np.float32)
+out_lab = np.empty(M, dtype=np.int64)
+row = 0
+for lab in labels:
+    m = int((elabs == lab).sum())
+    if m == 0:
+        continue
+    s = sbar[lab]
+    mu = means[lab]
+    # label tilt sized so tilt² ≈ 0.01 of center energy: keeps the
+    # label signal for the classify queries without re-inflating the
+    # cross-cluster cosine mean
+    tilt = 0.1 * (s * np.sqrt(dims) / max(np.linalg.norm(mu), 1e-9)) * mu
+    done = 0
+    while done < m:
+        csize = min(int(rng.integers(6, 25)), m - done)
+        center = tilt + rng.standard_normal(dims) * s
+        noise = rng.standard_normal((csize, dims)) * (0.35 * s)
+        block = (center + noise).astype(np.float32)
+        vecs[row:row + csize] = block
+        out_lab[row:row + csize] = lab
+        row += csize
+        done += csize
+assert row == M
+
+# shuffle so vec_id carries no cluster structure (the bounded-slice
+# queries like s3's vec_id<2000 must see a representative sample)
+perm = rng.permutation(M)
+vecs = vecs[perm]
+out_lab = out_lab[perm]
+
 pq.write_table(pa.table({
     "vec_id": pa.array(range(M), pa.int64()),
     "embedding": pa.array([v for v in vecs.tolist()],
                           pa.list_(pa.float32())),
-    "label": pa.array([int(l) for l in elabs], pa.int32()),
+    "label": pa.array([int(l) for l in out_lab], pa.int32()),
 }), f"{OUT}/embeddings.parquet")
+
+# quick geometry audit: within-cluster vs random-pair cosine
+sample = vecs[:4000].astype(np.float64)
+norms = np.linalg.norm(sample, axis=1, keepdims=True)
+unit = sample / np.maximum(norms, 1e-12)
+cosm = unit @ unit.T
+iu = np.triu_indices(len(unit), k=1)
+cs = cosm[iu]
+print(f"embeddings: {M} vecs ({dims}d), random-pair cos p50/p99/p999 = "
+      f"{np.percentile(cs, 50):.3f}/{np.percentile(cs, 99):.3f}/"
+      f"{np.percentile(cs, 99.9):.3f}, frac>=0.2 {np.mean(cs >= 0.2):.4f}, "
+      f"frac>=0.3 {np.mean(cs >= 0.3):.4f}")
 
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events"]:
     dst = f"{OUT}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{SRC}/{t}.parquet", dst)
-print(f"wrote {OUT}: {N} docs, {M} embeddings ({dims}d), "
-      f"p_exact={p_exact:.4f} p_near={p_near:.4f}")
+print(f"wrote {OUT}: {N} docs, {M} embeddings ({dims}d)")
