@@ -360,14 +360,30 @@ object Dedup {
     * measured on the round-11 sf1 extrapolation, a fixed df ≤ 50 keeps
     * 0.37% of shingle instances at sf0.1 and exactly ZERO at 10× that,
     * silently turning the clustering into a scan — while the relative
-    * cut keeps the survivor semantics stable at every corpus size,
-    * which is how production dedup pipelines parameterize it. N enters
-    * as a 1-row count aggregate broadcast into the df filter (the
-    * dispositioned 1-row-funnel pattern), never a driver-side action.
+    * cut keeps the survivor semantics stable at every corpus size.
+    * N enters as a 1-row count aggregate broadcast into the df filter
+    * (the dispositioned 1-row-funnel pattern), never a driver action.
+    *
+    * r14 scale finding (measured on the Heaps-law generator, where the
+    * gram df distribution is realistic): stability of SEMANTICS is not
+    * stability of COST. A kept gram may hold up to N/divisor documents
+    * → (N/divisor)²/2 candidate pairs per gram, so the downstream pair
+    * join's candidate volume is quadratic — ×122.7/decade measured
+    * (2.27e8 at sf1 → 2.79e10 at sf10; the sf10 run OOM-killed the
+    * 32-core JVM before this guard existed). The absolute and relative
+    * cuts therefore fail at scale in OPPOSITE directions (zero
+    * survivors vs quadratic candidates); the production-scale paths
+    * are the sketch family (minhashPairs → duplicateClustersLogN,
+    * d7/d11) and the prefix-filtered PPJoin (d24). This form is the
+    * exact-audit sibling and — like d13's DP block and s4's label
+    * block — now refuses past an explicit candidate budget. The audit
+    * rides the df aggregate the cut already computes (checkpointed:
+    * the gram domain is alphabet-bounded, always control-plane sized).
     */
   def keptShinglesRelative(docs: DataFrame, divisor: Long = 100,
       minCut: Long = 50, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxBlockPairs: Long = 500000000L): DataFrame = {
     val sh = docs
       .withColumn("g", explode(TextOps.shingles(textCol)))
       .select(col(idCol), col("g"))
@@ -375,8 +391,18 @@ object Dedup {
     val dfMap = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .where(col("df") <= expr(s"greatest(${minCut}L, n_docs div $divisor)"))
-      .select("g")
-    sh.join(dfMap, Seq("g"), "left_semi")
+      .select("g", "df")
+      .localCheckpoint()
+    val blockPairs = dfMap
+      .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    require(blockPairs <= maxBlockPairs,
+      s"relative df-cut (df <= max($minCut, N div $divisor)) keeps " +
+        s"$blockPairs candidate pairs — past the declared budget of " +
+        s"$maxBlockPairs. The relative cut's candidate volume is " +
+        "quadratic in corpus size; at scale use minhashPairs → " +
+        "duplicateClustersLogN (d7/d11) or ppjoinPairs (d24).")
+    sh.join(dfMap.select("g"), Seq("g"), "left_semi")
       .select(col(idCol), col("g"))
   }
 

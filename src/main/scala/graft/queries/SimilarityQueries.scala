@@ -420,7 +420,16 @@ object SimilarityQueries {
     // clustering assumes a trustworthy block key; SemDeDup
     // (Similarity.semanticDedup) derives the blocks from the embedding
     // space itself via the s6 IVF cells, so pair volume is O(n²/K)
-    // with NO reliance on metadata. The keep rule (drop iff a
+    // with NO reliance on metadata. K SCALES WITH THE CORPUS
+    // (max(8, n/2500) — the SemDeDup paper's constant-cell-size
+    // regime): a fixed K leaves within-cell work quadratic with a 1/K
+    // constant, which r14's sf10 decade measured as α 1.42 before this
+    // fix. At sf0.01/sf1 the formula still yields K=8, so the plan and
+    // the oracle rows are unchanged where the hash gate runs; at sf10
+    // K=80 keeps cells ~2500 vectors. Assignment cost is n·K
+    // (broadcast argmax) — at extreme scale swap in the hierarchical/
+    // k-means-tree assignment, which changes cell QUALITY, not the
+    // dedup shape. The keep rule (drop iff a
     // lower-id same-cell vector has cos ≥ 0.30) is greedy-by-id —
     // fully deterministic, so the oracle replays the ENTIRE pipeline:
     // the integer argmax cell assignment (skey = sign-mirrored
@@ -430,8 +439,8 @@ object SimilarityQueries {
     // but every dividend here is ≥ 0, so it coincides with Spark's
     // truncating DIV.
     QueryDef("d17_semantic_dedup",
-      """WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
-        |cids AS (SELECT unnest(range(0, 8)) * (SELECT n // 8 FROM nn) AS cid),
+      """WITH nn AS (SELECT COUNT(*) AS n, GREATEST(8, COUNT(*) // 2500) AS k FROM embeddings),
+        |cids AS (SELECT unnest(range(0, (SELECT k FROM nn))) * (SELECT n // k FROM nn) AS cid),
         |eq AS (
         |  SELECT vec_id, list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vq
@@ -474,7 +483,8 @@ object SimilarityQueries {
         |FROM v LEFT JOIN dup ON v.vec_id = dup.vec_id
         |ORDER BY v.vec_id""".stripMargin) { (s, dir) =>
       val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
-      val cents = (0 until 8).map(i => i * (n / 8))
+      val k = math.max(8L, n / 2500L).toInt
+      val cents = (0 until k).map(i => i * (n / k))
       Similarity.semanticDedup(Tables.embeddings(s, dir),
           centroidIds = cents, minCosBp = 3000)
         .orderBy("vec_id")

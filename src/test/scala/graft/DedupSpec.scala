@@ -234,4 +234,17 @@ class DedupSpec extends AnyFunSuite {
     Dedup.requireBlockPairBudget(blocked.where(lit(false)),
       Seq("lang", "bkt"), maxBlockPairs = 0L, scalePath = "d25")
   }
+  test("keptShinglesRelative refuses past its candidate-pair budget, naming the sketch paths") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, "shared shingle text body " + (i % 3))).toDF("doc_id", "text")
+    // default budget: runs fine on a tiny corpus
+    assert(Dedup.keptShinglesRelative(docs).count() > 0)
+    // budget 0: the cut's kept grams carry >0 candidate pairs -> refuse
+    val e = intercept[IllegalArgumentException] {
+      Dedup.keptShinglesRelative(docs, maxBlockPairs = 0L).count()
+    }
+    assert(e.getMessage.contains("quadratic"), e.getMessage)
+    assert(e.getMessage.contains("d7/d11"), e.getMessage)
+    assert(e.getMessage.contains("d24"), e.getMessage)
+  }
 }

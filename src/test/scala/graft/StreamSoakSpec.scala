@@ -17,6 +17,12 @@ class StreamSoakSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // Decade knob (r13 verdict item 8): GRAFT_SOAK_SCALE=10 drives ~1M
+  // rows through the same assertions — the BOUNDS are scale-invariant
+  // claims, so only the ingested volume changes. Default 1 keeps the
+  // suite fast; the 10x run is recorded in BENCHNOTES r14.
+  private val soakScale = sys.env.getOrElse("GRAFT_SOAK_SCALE", "1").toInt
+
   private val H = 3600L * 1000 * 1000 * 1000 // 1h in ns
 
   private def stateOps(q: StreamingQuery) =
@@ -30,7 +36,7 @@ class StreamSoakSpec extends AnyFunSuite {
       .writeStream.outputMode("update").format("noop").start()
     try {
       var id = 0L
-      for (_ <- 0 until 5) {
+      for (_ <- 0 until 5 * soakScale) {
         val rows = (0 until 20000).map { _ =>
           id += 1
           DocStream.DocRec(langs((id % 4).toInt), id,
@@ -60,7 +66,7 @@ class StreamSoakSpec extends AnyFunSuite {
     try {
       var id = 0L
       var firstPassBytes = 0L
-      for (batch <- 0 until 5) {
+      for (batch <- 0 until 5 * soakScale) {
         val rows = (0 until 20000).map { _ =>
           id += 1
           EventStream.Rec(id % 1000, types((id % 5).toInt), id,
@@ -96,7 +102,7 @@ class StreamSoakSpec extends AnyFunSuite {
       val perHour = 1000
       var id = 0L
       var midRows = 0L
-      val hours = 12
+      val hours = 12 * soakScale
       for (hour <- 0 until hours) {
         val imps = (0 until perHour).map { i =>
           id += 1
@@ -136,7 +142,7 @@ class StreamSoakSpec extends AnyFunSuite {
       .format("memory").queryName("soak_ppjoin_out").start()
     try {
       var id = 10000L
-      for (batch <- 0 until 4) {
+      for (batch <- 0 until 4 * soakScale) {
         val rows = (0 until 2500).map { i =>
           id += 1
           val text =
