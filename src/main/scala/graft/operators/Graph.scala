@@ -740,6 +740,63 @@ object Graph {
     visited
   }
 
+  /** Bounded-hop WEIGHTED shortest path from a seed set — min-plus
+    * Bellman–Ford over at most `maxHops` relaxation rounds. Input
+    * `edges` carries (src, dst, cost) with non-negative integer costs
+    * (exact min-plus arithmetic, no float drift); returns (node, dist)
+    * where dist = the cheapest ≤`maxHops`-edge path cost from any seed
+    * (seeds themselves at 0). The bounded-hop contract makes the
+    * result exactly SQL-expressible (an unrolled level-CTE oracle)
+    * AND is the honest cluster contract: an unbounded fixpoint on a
+    * 100 TB graph is as many shuffle rounds as the graph's weighted
+    * diameter, which no one schedules blind.
+    *
+    * Frontier discipline of [[bfsHops]] applied to relaxation: each
+    * round joins ONLY the nodes whose tentative distance improved last
+    * round (exchange-free on the src-partitioned edge side), takes the
+    * node-keyed min of (carried, candidate), and keeps as the next
+    * frontier the strict improvements — per-round state is O(reached),
+    * and the loop exits early once no node improves (then rounds
+    * `h..maxHops` are identities, so the bounded result is already
+    * final). Early exit checks `isEmpty` on the materialized frontier
+    * checkpoint — a metadata probe, not a recompute.
+    */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "ssspBounded needs maxHops >= 0")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("cost").cast("long"))
+    var dist = ckpt(seeds.select(col("node").cast("long")).distinct()
+      .withColumn("dist", lit(0L)))
+    var frontier = dist
+    var hop = 1
+    var done = maxHops == 0
+    while (!done) {
+      val cand = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("cost")).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      // strict improvements only: new nodes, or a cheaper path
+      val improved = ckpt(
+        cand.join(dist, Seq("node"), "left_outer")
+          .where(col("dist").isNull || col("nd") < col("dist"))
+          .select(col("node"), col("nd").as("dist")))
+      if (frontier ne dist) release(frontier)
+      frontier = improved
+      if (improved.isEmpty) done = true
+      else {
+        val next = ckpt(
+          dist.join(improved.select(col("node")), Seq("node"), "left_anti")
+            .union(improved))
+        release(dist)
+        dist = next
+        hop += 1
+        if (hop > maxHops) done = true
+      }
+    }
+    if (frontier ne dist) release(frontier)
+    dist
+  }
+
   /** @param edgesDistinct caller-certified "this is already a simple
     *   edge list" — skips the boundary dedup exchange. Only pass true
     *   with a structural proof (e.g. a distinct directed set unioned

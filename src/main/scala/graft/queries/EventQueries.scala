@@ -1124,5 +1124,44 @@ object EventQueries {
           coalesce(min("lat_us"), lit(0L)).cast("long").as("min_lat_us"),
           coalesce(max("lat_us"), lit(0L)).cast("long").as("max_lat_us"))
         .orderBy("lat_digits")
+    },
+
+    // ---- per-user trailing MEDIAN (robust rolling statistic) ----
+    // e18's z-score flags spikes against a trailing MEAN — one wild
+    // value poisons the baseline. The robust twin: the trailing
+    // 5-event MEDIAN of spend per user, discrete (quantile_disc picks
+    // an ELEMENT — a bit-identical double on both engines, no
+    // interpolated average to drift). Spark has no windowed
+    // percentile, so the bounded frame is reified scan-side:
+    // collect_list over ROWS 4 PRECEDING, array_sort, pick element
+    // (n+1) div 2 — O(frame) per row, O(frame·log frame) compare
+    // cost, state bounded by the 5-row frame. Scale shape: ONE
+    // user-keyed window sort (parallelism = #users, frame bounded) +
+    // a user-keyed reaggregate on the same key — AQE sees one
+    // exchange lineage. Output is the per-user robust profile.
+    QueryDef("e29_rolling_median",
+      """WITH rm AS (
+        |  SELECT user_id, event_id,
+        |    quantile_disc(value, 0.5) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med
+        |  FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  arg_max(roll_med, event_id) AS last_med,
+        |  MAX(roll_med) AS max_med
+        |FROM rm GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("frame", array_sort(collect_list(col("value")).over(w)))
+        .withColumn("roll_med",
+          expr("element_at(frame, CAST((size(frame) + 1) / 2 AS INT))"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max_by(col("roll_med"), col("event_id")).as("last_med"),
+          max(col("roll_med")).as("max_med"))
+        .orderBy("user_id")
     })
 }

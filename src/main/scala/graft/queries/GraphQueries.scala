@@ -456,5 +456,58 @@ object GraphQueries {
           count(lit(1)).as("n_common"))
         .orderBy(col("ra_q").desc, col("seed"), col("cand"))
         .limit(100)
+    },
+
+    // ---- bounded-hop weighted shortest path (min-plus Bellman–Ford) ----
+    // "Cheapest trade chain from these accounts": edge cost =
+    // 1e6 div (shared-order count), so strong trade ties are cheap and
+    // the shortest path follows the strongest relationship chain. All
+    // arithmetic is exact BIGINT min-plus — no float anywhere — and
+    // the ≤4-hop bound makes the oracle an unrolled level-CTE replay
+    // of the identical recurrence (the same bounded-contract honesty
+    // as g7's BFS: unbounded fixpoints don't get scheduled blind at
+    // 100 TB). Scale shape: per round one src-keyed edge join (bucket
+    // the weighted edge table by src once) + a node-keyed min; state
+    // is O(reached), frontier = strict improvements only.
+    QueryDef("g9_sssp_bounded", {
+      def level(k: Int): String =
+        s""", l$k AS MATERIALIZED (
+           |  SELECT node, MIN(dist) AS dist FROM (
+           |    SELECT node, dist FROM l${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, l${k - 1}.dist + e.cost AS dist
+           |    FROM l${k - 1} JOIN e ON e.src = l${k - 1}.node
+           |  ) GROUP BY node
+           |)""".stripMargin
+      """WITH w0 AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |    CAST(1000000 // COUNT(*) AS BIGINT) AS cost
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), e AS MATERIALIZED (
+        |  SELECT src, dst, cost FROM w0
+        |  UNION ALL SELECT dst AS src, src AS dst, cost FROM w0
+        |), l0 AS (
+        |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM e
+        |  WHERE src % 2 = 0 AND src <= 10
+        |)""".stripMargin +
+        level(1) + level(2) + level(3) + level(4) +
+        """
+          |SELECT node, dist FROM l4 ORDER BY node""".stripMargin
+    }) { (s, dir) =>
+      val w0 = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("src"), col("dst"),
+          expr("CAST(1000000 AS BIGINT) div cnt").as("cost"))
+      val e = w0.union(
+        w0.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
+      val seeds = e.where(col("src") % 2 === 0 && col("src") <= 10)
+        .select(col("src").as("node")).distinct()
+      Graph.ssspBounded(e, seeds, maxHops = 4).orderBy("node")
     })
 }

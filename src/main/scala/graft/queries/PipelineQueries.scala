@@ -2070,5 +2070,42 @@ object PipelineQueries {
         .select(col("pid"), col("phrase"),
           coalesce(col("n"), lit(0L)).as("n_docs"))
         .orderBy("pid")
+    },
+
+    // ---- weighted sampling without replacement (Efraimidis–Spirakis) ----
+    // Per-language top-5 draw where P(doc) ∝ n_chars — the A-ES
+    // one-pass reservoir reformulated relationally: key = u^(1/w)
+    // with u a DETERMINISTIC uniform from md5(text) (the p2 trick, so
+    // both engines draw the identical sample), ranked via the
+    // monotone-equivalent ln(u)/w and QUANTIZED to integer micro-units
+    // (p10's ULP discipline: floor(1e6·ln(u)/w) as BIGINT, doc_id
+    // tiebreak) so cross-engine libm drift cannot flip a rank. Scale
+    // shape: one scan + one per-stratum top-k — the same partial
+    // TopK/window shape as p3, state O(strata·k), shuffle O(survivors);
+    // this is THE sampler for quality-weighted training mixes (weight
+    // = quality score instead of n_chars, zero plan change).
+    QueryDef("p36_weighted_sample",
+      """SELECT lang, doc_id, n_chars, key_q, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT lang, doc_id, n_chars, key_q,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key_q DESC, doc_id) AS rk
+        |  FROM (
+        |    SELECT lang, doc_id, n_chars,
+        |      CAST(floor(1e6 * ln((CAST('0x' || substr(md5(text), 1, 6) AS BIGINT) + 1)
+        |        / 16777217.0) / n_chars) AS BIGINT) AS key_q
+        |    FROM documents))
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val keyQ = floor(lit(1e6) *
+        log((conv(substring(md5(col("text")), 1, 6), 16, 10)
+          .cast("double") + lit(1.0)) / lit(16777217.0)) /
+        col("n_chars")).cast("long")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("key_q").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          keyQ.as("key_q"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5)
+        .orderBy("lang", "rk")
     })
 }

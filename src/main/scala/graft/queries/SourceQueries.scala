@@ -693,5 +693,70 @@ object SourceQueries {
           sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
           sum(col("id")).as("sum_id"),
           sum(col("n")).as("sum_n"))
+    },
+
+    // ---- incremental maintenance of an enrichment-JOIN view ----
+    // c8 maintains an AGGREGATE under a change feed; this is the other
+    // standing materialization: a fact-side view enriched by a dim
+    // join (user summary ⋈ customer), maintained as
+    //   V_new = (V_old ∖ touched pks) ∪ enrich(inserted/postimage rows)
+    // so the delta-sized feed — not the base — pays the dim join. The
+    // result joins the DIRECT recompute at the latest version and
+    // asserts row-for-row equality inside the output (the c8/q46
+    // contract pattern: the oracle recomputes everything from raw
+    // events ⋈ customer and expects the flag TRUE, so a broken feed,
+    // a missed delete, or a double-applied postimage breaks the hash).
+    // At 100 TB: the anti-join is pk-keyed (bucket the view by pk);
+    // enrich runs over the delta with the dim broadcast.
+    QueryDef("c27_ivm_join",
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), v2 AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(cents) AS BIGINT) AS total_cents
+        |  FROM ev GROUP BY user_id
+        |), j AS (
+        |  SELECT v2.*, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM v2 JOIN customer ON c_custkey = user_id
+        |)
+        |SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n_events) AS BIGINT) AS sum_events,
+        |  CAST(SUM(total_cents) AS BIGINT) AS sum_cents,
+        |  CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents,
+        |  TRUE AS match_direct
+        |FROM j GROUP BY c_mktsegment ORDER BY segment""".stripMargin) { (s, dir) =>
+      import graft.sources.VersionedTable
+      Warehouse.userSummaryVersioned(s, dir) // build v1/v2/v3
+      val path = Warehouse.userSummaryVersionedPath(dir)
+      val latestV = VersionedTable.latestVersion(s, path)
+      val dim = Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      def enrich(base: org.apache.spark.sql.DataFrame) = base
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("n_events"), col("total_cents"),
+          col("c_mktsegment"), col("bal_cents"))
+      val feed = VersionedTable.changeFeed(s, path, 1L, latestV,
+        Seq("user_id"))
+      val maintained = VersionedTable.incrementalView(
+        enrich(VersionedTable.readVersion(s, path, 1L)), feed,
+        Seq("user_id"), enrich)
+      val direct = enrich(VersionedTable.readVersion(s, path, latestV))
+        .select(col("user_id"), col("n_events").as("d_ne"),
+          col("total_cents").as("d_tc"), col("c_mktsegment").as("d_seg"),
+          col("bal_cents").as("d_bc"))
+      maintained.join(direct, Seq("user_id"), "full_outer")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          sum("n_events").cast("long").as("sum_events"),
+          sum("total_cents").cast("long").as("sum_cents"),
+          sum("bal_cents").cast("long").as("sum_bal_cents"),
+          min(col("n_events") <=> col("d_ne") &&
+            col("total_cents") <=> col("d_tc") &&
+            col("c_mktsegment") <=> col("d_seg") &&
+            col("bal_cents") <=> col("d_bc")).as("match_direct"))
+        .orderBy("segment")
     })
 }

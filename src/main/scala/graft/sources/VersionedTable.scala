@@ -624,4 +624,45 @@ object VersionedTable {
       }: _*)
     merged.where(col(countCol) > 0)
   }
+
+  /** Incremental maintenance of a ROW-LOCAL VIEW (the enrichment-join
+    * complement to [[incrementalAgg]]): given the view materialized at
+    * an old version, a [[changeFeed]] old→new, and the view definition
+    * `enrich` (any deterministic per-row transform of the base — a
+    * dim join, a projection, a filter; each base row must map to rows
+    * derived from that row alone), produce the view at the NEW version
+    * without re-running `enrich` over the base:
+    *
+    *   V_new = (V_old ∖ rows whose base pk was touched) ∪ enrich(inserts + postimages)
+    *
+    * Deletes need no own branch — a deleted pk lands in the touched
+    * set and contributes no re-add; an update whose pk itself changed
+    * is a touched pre-image pk plus a re-added post-image. Unknown
+    * `_change_type` values raise (the predicate routes every feed row
+    * through the validation branch) instead of silently corrupting
+    * the view.
+    *
+    * 100 TB contract: the only full-size stage is the pk anti-join
+    * against the old view — pk-keyed, so a view bucketed by pk
+    * co-locates it — and `enrich` runs over the DELTA only (with its
+    * dims broadcast, delta-sized map work). Direct recompute runs
+    * `enrich` over the world.
+    */
+  def incrementalView(oldView: DataFrame, feed: DataFrame,
+      pkCols: Seq[String], enrich: DataFrame => DataFrame): DataFrame = {
+    val known = Seq("insert", "update_postimage", "delete", "update_preimage")
+    // the touched-pk scan reads EVERY feed row, so it carries the
+    // change-type validation: a known type passes, anything else raises
+    val guard = when(col("_change_type").isin(known: _*), lit(true))
+      .otherwise(raise_error(concat(
+        lit("incrementalView: unknown _change_type "),
+        col("_change_type"))).cast("boolean"))
+    val touched = feed.where(guard)
+      .select(pkCols.map(col): _*).distinct()
+    val adds = feed
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+    oldView.join(touched, pkCols, "left_anti")
+      .unionByName(enrich(adds))
+  }
 }

@@ -461,4 +461,62 @@ class GraphSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$plan")
     assert(!plan.contains("Window"), s"argmax must be agg-based, not window:\n$plan")
   }
+
+  // Reference Bellman–Ford: d_k(v) = min(d_{k-1}(v), min over in-edges)
+  private def bfRef(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+      hops: Int): Map[Long, Long] = {
+    var d = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to hops) {
+      val relaxed = edges.flatMap { case (s, t, c) =>
+        d.get(s).map(ds => t -> (ds + c))
+      }.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).min }
+      d = (d.keySet ++ relaxed.keySet).map { v =>
+        v -> math.min(d.getOrElse(v, Long.MaxValue),
+          relaxed.getOrElse(v, Long.MaxValue))
+      }.toMap
+    }
+    d
+  }
+
+  test("ssspBounded: matches reference Bellman–Ford on a randomized weighted graph") {
+    val rnd = new scala.util.Random(11)
+    val es = (1 to 120).map(_ => (rnd.nextInt(15).toLong,
+      rnd.nextInt(15).toLong, (1 + rnd.nextInt(9)).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val edges = es.toDF("src", "dst", "cost")
+    val seeds = Seq(0L, 7L).toDF("node")
+    for (hops <- Seq(0, 1, 3)) {
+      val got = Graph.ssspBounded(edges, seeds, maxHops = hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === bfRef(es, Set(0L, 7L), hops), s"hops=$hops")
+    }
+  }
+
+  test("ssspBounded: takes the cheap multi-hop path over the expensive direct edge") {
+    // 0→3 direct costs 10; 0→1→2→3 costs 3. At maxHops=1 the direct
+    // edge wins (10); at ≥3 the chain wins (3) — the min-plus carry
+    // across rounds must strictly improve an already-reached node.
+    val edges = Seq((0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L),
+      (2L, 3L, 1L)).toDF("src", "dst", "cost")
+    val seeds = Seq(0L).toDF("node")
+    val h1 = Graph.ssspBounded(edges, seeds, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1(3L) == 10L, s"one hop must use the direct edge: $h1")
+    val h3 = Graph.ssspBounded(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h3(3L) == 3L, s"three hops must find the chain: $h3")
+  }
+
+  test("ssspBounded: early exit after convergence equals a larger hop bound") {
+    // diameter 2 from the seed: maxHops 2 converges, so 2 and 8 agree
+    // (and the 8-round run exits early rather than looping 8 times)
+    val und = Seq((0L, 1L, 2L), (1L, 2L, 2L), (0L, 2L, 5L))
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "cost")
+    val seeds = Seq(0L).toDF("node")
+    def run(h: Int) = Graph.ssspBounded(edges, seeds, maxHops = h)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2) === run(8))
+    assert(run(2) === Map(0L -> 0L, 1L -> 2L, 2L -> 4L))
+  }
 }

@@ -195,6 +195,58 @@ class VersionedTableSpec extends AnyFunSuite {
     maintainedEqualsDirect(p)
   }
 
+  // view definition for the incrementalView tests: dim-join + derive
+  private def viewOf(base: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val dim = Seq(0L -> "even", 1L -> "odd").toDF("par", "tag")
+    base.withColumn("par", pmod(col("k"), lit(2L)))
+      .join(broadcast(dim), Seq("par"))
+      .select(col("k"), col("v"), (col("v") * 10L).as("v10"), col("tag"))
+  }
+
+  private def viewMaintainedEqualsDirect(p: String): Unit = {
+    val feed = VersionedTable.changeFeed(spark, p, 1L, 2L, Seq("k"))
+    val m = VersionedTable.incrementalView(
+      viewOf(VersionedTable.readVersion(spark, p, 1L)), feed,
+      Seq("k"), viewOf)
+    val d = viewOf(VersionedTable.readVersion(spark, p, 2L))
+    assert(m.collect().map(_.toSeq).toSet === d.collect().map(_.toSeq).toSet)
+  }
+
+  test("incrementalView maintains the join view through insert/update/delete") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L, 2L -> 20L, 3L -> 30L), p, 1L)
+    // 2 updated, 3 deleted, 4+5 inserted, 1 unchanged
+    VersionedTable.commit(df(1L -> 10L, 2L -> 25L, 4L -> 40L, 5L -> 50L),
+      p, 2L)
+    viewMaintainedEqualsDirect(p)
+  }
+
+  test("incrementalView: empty feed is the identity; all-deleted empties the view") {
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L, 2L -> 20L), p, 1L)
+    VersionedTable.commit(df(1L -> 10L, 2L -> 20L), p, 2L)
+    viewMaintainedEqualsDirect(p)
+    val p2 = freshPath()
+    VersionedTable.commit(df(1L -> 10L, 2L -> 20L), p2, 1L)
+    VersionedTable.commit(df(), p2, 2L)
+    viewMaintainedEqualsDirect(p2)
+  }
+
+  test("incrementalView raises on an unknown _change_type") {
+    import spark.implicits._
+    val p = freshPath()
+    VersionedTable.commit(df(1L -> 10L), p, 1L)
+    val badFeed = Seq((2L, 20L, "upsert")).toDF("k", "v", "_change_type")
+    val m = VersionedTable.incrementalView(
+      viewOf(VersionedTable.readVersion(spark, p, 1L)), badFeed,
+      Seq("k"), viewOf)
+    val e = intercept[Exception] { m.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unknown _change_type")), e.toString)
+  }
+
   test("stats prune skips files on a clustered layout and stays exact") {
     val p = freshPath()
     val data = df((1L to 400L).map(i => i -> i * 3): _*)
