@@ -1163,5 +1163,68 @@ object EventQueries {
           max_by(col("roll_med"), col("event_id")).as("last_med"),
           max(col("roll_med")).as("max_med"))
         .orderBy("user_id")
+    },
+
+    // ---- seasonal-baseline residuals (profile join-back) ----
+    // e18 flags spikes against the RECENT past; this is the other
+    // telemetry anomaly: a (type, day, hour) cell that deviates from
+    // that type's HOUR-OF-DAY seasonal profile ("checkout traffic at
+    // 3am is normally low — today it isn't"). Two aggregations share
+    // one scan lineage: cell means at (type, day, hour), the profile
+    // at (type, hour) — the profile is control-plane-sized
+    // (types × 24) and broadcast back onto the cells. The deviation
+    // test never leaves BIGINT (v7's cross-product discipline):
+    //   mean_cell > 1.5·mean_prof  ⇔  2·sum_c·n_p > 3·sum_p·n_c
+    //   mean_cell < 0.5·mean_prof  ⇔  2·sum_c·n_p < sum_p·n_c
+    // (cents ≤ 10⁴, n ≤ 10⁶ at sf1 keeps every product < 2⁶³ with
+    // 10⁵× headroom). Output: per-type seasonal scorecard. At 100 TB
+    // the fact-sized work is the one (type, day, hour) groupBy.
+    QueryDef("e30_seasonal_baseline",
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), cell AS (
+        |  SELECT event_type, day, hour, CAST(COUNT(*) AS BIGINT) AS n_c,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_c
+        |  FROM ev GROUP BY event_type, day, hour
+        |), prof AS (
+        |  SELECT event_type, hour, CAST(SUM(n_c) AS BIGINT) AS n_p,
+        |    CAST(SUM(sum_c) AS BIGINT) AS sum_p
+        |  FROM cell GROUP BY event_type, hour
+        |)
+        |SELECT c.event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(CASE WHEN 2 * c.sum_c * p.n_p > 3 * p.sum_p * c.n_c
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(SUM(CASE WHEN 2 * c.sum_c * p.n_p < p.sum_p * c.n_c
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(MIN(c.day) AS BIGINT) AS first_day,
+        |  CAST(MAX(c.day) AS BIGINT) AS last_day
+        |FROM cell c JOIN prof p
+        |  ON c.event_type = p.event_type AND c.hour = p.hour
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("ts div 86400000000000").as("day"),
+        expr("(ts div 3600000000000) % 24").as("hour"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val cell = ev.groupBy("event_type", "day", "hour")
+        .agg(count(lit(1)).as("n_c"), sum("cents").cast("long").as("sum_c"))
+      val prof = cell.groupBy("event_type", "hour")
+        .agg(sum("n_c").cast("long").as("n_p"),
+          sum("sum_c").cast("long").as("sum_p"))
+      cell.join(broadcast(prof), Seq("event_type", "hour"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(lit(2) * col("sum_c") * col("n_p")
+            > lit(3) * col("sum_p") * col("n_c"), 1L).otherwise(0L))
+            .cast("long").as("n_high"),
+          sum(when(lit(2) * col("sum_c") * col("n_p")
+            < col("sum_p") * col("n_c"), 1L).otherwise(0L))
+            .cast("long").as("n_low"),
+          min("day").cast("long").as("first_day"),
+          max("day").cast("long").as("last_day"))
+        .orderBy("event_type")
     })
 }

@@ -522,6 +522,42 @@ object EventStream {
       }
   }
 
+  case class MedState(buf: Seq[Double])
+  case class MedOut(event_id: Long, user_id: Long, roll_med: Double)
+
+  /** Streaming twin of e29's trailing discrete median: per user the
+    * state is the last ≤`frame` raw values; each arriving event emits
+    * the median of the frame ENDING at it — sorted-copy pick at index
+    * (n+1) div 2, the same quantile_disc element the batch window
+    * selects, bit-identical doubles. O(frame) state per key, O(frame
+    * log frame) per event; Append mode (one output row per event, as
+    * they happen — the robust-baseline feed an alerting consumer
+    * tails). Same ordering contract as [[anomalies]]: in-batch rows
+    * fold in (ts, event_id) order, so an in-order feed is exactly the
+    * batch frame under any micro-batch split (spec-pinned); a
+    * straggler is judged against its arrival-time frame.
+    */
+  def rollingMedian(events: Dataset[Rec], frame: Int = 5): Dataset[MedOut] = {
+    require(frame >= 1, "rollingMedian needs frame >= 1")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Rec], state: GroupState[MedState]) =>
+          var buf = state.getOption.map(_.buf.toVector)
+            .getOrElse(Vector.empty[Double])
+          val out = scala.collection.mutable.ArrayBuffer[MedOut]()
+          rows.toSeq.sortBy(r => (r.ts, r.event_id)).foreach { r =>
+            buf = (buf :+ r.value).takeRight(frame)
+            val sorted = buf.sorted
+            out += MedOut(r.event_id, key, sorted((sorted.length + 1) / 2 - 1))
+          }
+          state.update(MedState(buf))
+          out.iterator
+      }
+  }
+
   /** Streaming MERGE INTO — the incremental form of q43's upsert:
     * maintain a keyed per-user summary dim (user_id, n_events,
     * total_cents) in plain parquet by folding each micro-batch's

@@ -886,6 +886,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rolling median equals the batch trailing frame across a micro-batch split") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.Rec
+    val M = 60L * 1000000000L
+    // two users interleaved, values chosen so the median shifts at
+    // every frame boundary; split mid-frame so state must carry
+    val vals = (0 until 30).map { i =>
+      Rec(i % 2 + 1L, "m", i.toLong, (i + 1) * M,
+        Seq(10.0, 3.5, 99.25, 7.0, 42.125)(i % 5) + (i / 5))
+    }
+    val (b1, b2) = vals.splitAt(17)
+    val mem = MemoryStream[Rec]
+    val q = EventStream.rollingMedian(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("medout").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("medout").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // independent reference: e29's declarative window formulation
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      val expect = vals.toDS().toDF()
+        .withColumn("frame", array_sort(collect_list(col("value")).over(w)))
+        .withColumn("med",
+          expr("element_at(frame, CAST((size(frame) + 1) / 2 AS INT))"))
+        .select("event_id", "user_id", "med")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expect, s"stream $got vs batch $expect")
+      assert(got.size == 30)
+    } finally q.stop()
+  }
+
   test("streaming decayed engagement converges to the one-shot e21 aggregate") {
     import org.apache.spark.sql.functions.{col, row_number}
     implicit val sqlCtx = spark.sqlContext
