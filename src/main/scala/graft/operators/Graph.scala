@@ -761,20 +761,31 @@ object Graph {
     * final). Early exit checks `isEmpty` on the materialized frontier
     * checkpoint — a metadata probe, not a recompute.
     */
+  /** @param edgesPrepared caller-certified "edges is already a
+    *   MATERIALIZED src-partitioned (src, dst, cost) table whose
+    *   lifetime the caller owns" — e.g. a SessionCache'd checkpoint
+    *   (test scale) or a persisted bucketBy("src") table (100 TB).
+    *   Skips the internal materialization AND the end-of-run release,
+    *   so a shared prepared edge table survives for the next call
+    *   (the [[Prepared]] discipline; releasing a memoized checkpoint
+    *   from inside an operator is the d-family's measured 15-query
+    *   failure mode).
+    */
   def ssspBounded(edges: DataFrame, seeds: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int, edgesPrepared: Boolean = false): DataFrame = {
     require(maxHops >= 0, "ssspBounded needs maxHops >= 0")
     // materialize the (possibly expensive) edge derivation ONCE — a
     // lazy input would otherwise re-run its whole upstream plan in
     // every relaxation round (measured 4× the edge build at hops=4).
     // src-partitioned by the ckpt, so each round's join is
     // exchange-free on the edge side; released before returning (the
-    // returned dist owns its own blocks). At 100 TB the caller feeds
-    // a persisted bucketBy("src") table and this is a cheap re-read.
-    val e = ckpt(edges
-      .select(col("src").cast("long"), col("dst").cast("long"),
-        col("cost").cast("long"))
-      .repartition(col("src")))
+    // returned dist owns its own blocks).
+    val e =
+      if (edgesPrepared) edges
+      else ckpt(edges
+        .select(col("src").cast("long"), col("dst").cast("long"),
+          col("cost").cast("long"))
+        .repartition(col("src")))
     // loop state carries (node, dist, imp): imp = "dist strictly
     // improved this round", so the frontier is a FILTER over the one
     // checkpointed generation — one materialization + one metadata-ish
@@ -808,7 +819,7 @@ object Graph {
         if (hop > maxHops) done = true
       }
     }
-    release(e)
+    if (!edgesPrepared) release(e)
     dist.select(col("node"), col("dist"))
   }
 

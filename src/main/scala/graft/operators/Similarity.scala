@@ -847,6 +847,72 @@ object Similarity {
         col("col").getField("score").as("cos_bp"))
   }
 
+  /** EXACT blocked per-vector top-k neighbors — the form that actually
+    * wins at d=64 (measured, r14): within-block brute force streaming
+    * straight into TopKAgg partial aggregation. Candidates per vector
+    * are its whole block (n_block·d quantized-dot work, scan-side), the
+    * k-heap folds them map-side, and the one exchange carries O(n·k)
+    * heap summaries — the quadratic stream never crosses the network,
+    * same as [[lshTopKNeighbors]], but with NOTHING duplicated and NO
+    * recall gamble (output provably equals the oracle's window rank).
+    *
+    * Why not LSH here: the s16 contract is exact top-k down to
+    * cos ≥ 0.2, and at d=64 the sf0.01 gate data puts true 3rd-best
+    * neighbors AT the 0.2 floor (measured min top-3 cos_bp = 2001), so
+    * per-table collision probability for a must-recall pair is
+    * (1 − 78.5°/180°)^planes — planes cannot exceed 2 at tables = 32
+    * without hash-visible misses. At those parameters the LSH
+    * candidate stream is tables/2^planes = 8× the FULL pair volume
+    * n²/2 that brute force pays once: amplification duplicates work 16×
+    * instead of pruning it (sf10: 707 s LSH vs this form — the same
+    * spherical-floor law that killed s4's unbounded-pair contract,
+    * now measured on the capped one). LSH re-enters only when the
+    * recall floor is high-cos (near-dup dedup, d17's regime) or d is
+    * large enough that the floor carries no probability mass.
+    *
+    * `broadcastBlocks = true` ships the block side to every executor
+    * (right for ≤ GB-scale block tables — embeddings at these SFs);
+    * false falls back to a block-keyed shuffle join for block tables
+    * past broadcast size (parallelism then = #blocks, the honest
+    * constraint of block-local exactness at 100 TB — size blocks like
+    * IVF cells).
+    */
+  def blockTopKNeighbors(emb: DataFrame, k: Int, minCosBp: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockCol: String = "label",
+      broadcastBlocks: Boolean = true): DataFrame = {
+    val reg = registered(emb)
+    val withNorm = reg
+      .select(col(blockCol), col(idCol), col(vecCol))
+      .withColumn("n2", qnorm2(vecCol))
+    val a = withNorm.select(col(blockCol), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"), col("n2").as("a_n2"))
+    val b0 = withNorm.select(col(blockCol), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"), col("n2").as("b_n2"))
+    val b = if (broadcastBlocks) broadcast(b0) else b0
+    val topkF = graft.functions.TopKAgg.topK(k)
+    a.join(b, Seq(blockCol))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("dot", qdot("a_vec", "b_vec"))
+      .withColumn("cos_bp", expr(
+        "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(b_n2 AS DOUBLE)))) AS BIGINT)"))
+      .where(col("cos_bp") >= minCosBp)
+      .groupBy(col(blockCol), col("a_id"))
+      .agg(topkF(col("cos_bp"), col("b_id")).getField("rows").as("tk"))
+      .select(col(blockCol), col("a_id"),
+        posexplode(expr(
+          s"""slice(array_sort(tk,
+             |  (l, r) -> CASE WHEN l.score > r.score THEN -1
+             |                 WHEN l.score < r.score THEN 1
+             |                 WHEN l.id < r.id THEN -1
+             |                 WHEN l.id > r.id THEN 1 ELSE 0 END),
+             |  1, $k)""".stripMargin)))
+      .select(col(blockCol), col("a_id"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("b_id"),
+        col("col").getField("score").as("cos_bp"))
+  }
+
   /** Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
     * 1998): greedily pick `k` results that balance relevance to the
     * query against redundancy with what is already picked —

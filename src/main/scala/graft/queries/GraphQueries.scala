@@ -495,19 +495,29 @@ object GraphQueries {
         """
           |SELECT node, dist FROM l4 ORDER BY node""".stripMargin
     }) { (s, dir) =>
-      val w0 = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("src"), col("dst"),
-          expr("CAST(1000000 AS BIGINT) div cnt").as("cost"))
-      val e = w0.union(
-        w0.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
+      // weighted edge table memoized per (session, sf dir) like the
+      // unweighted trade graph — the 100 TB shape is the SAME edge
+      // table persisted bucketBy("src") once, every SSSP run reading
+      // it exchange-free (ssspBounded edgesPrepared contract)
+      val e = graft.sources.SessionCache.getOrElseUpdate(
+        s, s"trade_edges_weighted:$dir") {
+        val w0 = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("src").cast("long"), col("dst").cast("long"),
+            expr("CAST(1000000 AS BIGINT) div cnt").as("cost"))
+        val sym = w0.union(
+          w0.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
+        graft.plans.Loops.checkpointPartitioned(
+          sym.repartition(col("src")))
+      }
       val seeds = e.where(col("src") % 2 === 0 && col("src") <= 10)
         .select(col("src").as("node")).distinct()
-      Graph.ssspBounded(e, seeds, maxHops = 4).orderBy("node")
+      Graph.ssspBounded(e, seeds, maxHops = 4, edgesPrepared = true)
+        .orderBy("node")
     })
 }

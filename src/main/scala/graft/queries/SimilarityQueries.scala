@@ -105,7 +105,7 @@ object SimilarityQueries {
       graft.operators.Dedup.requireBlockPairBudget(
         Tables.embeddings(s, dir).select("label"), Seq("label"),
         maxBlockPairs = 200000000L,
-        scalePath = "Similarity.lshTopKNeighbors (s16_ann_topk_neighbors)")
+        scalePath = "Similarity.blockTopKNeighbors (s16_ann_topk_neighbors)")
       Similarity.lshCosinePairsMulti(Tables.embeddings(s, dir),
         minCosBp = 2000, planes = 2, tables = 32)
         .orderBy("a_id", "b_id")
@@ -135,8 +135,12 @@ object SimilarityQueries {
         |)
         |SELECT label, a_id, CAST(rk AS BIGINT) AS rk, b_id, cos_bp
         |FROM r WHERE rk <= 3 ORDER BY a_id, rk""".stripMargin) { (s, dir) =>
-      Similarity.lshTopKNeighbors(Tables.embeddings(s, dir),
-        k = 3, minCosBp = 2000, planes = 2, tables = 32)
+      // EXACT blocked form (r14): the contract's 0.2-cos recall floor
+      // pins LSH at planes=2/tables=32, where the amplified candidate
+      // stream is 16× the n²/2 brute-force volume — measured 707 s vs
+      // this form at sf10. See Similarity.blockTopKNeighbors scaladoc.
+      Similarity.blockTopKNeighbors(Tables.embeddings(s, dir),
+        k = 3, minCosBp = 2000)
         .orderBy("a_id", "rk")
     },
 

@@ -111,6 +111,42 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected the bounded-heap TopKAgg in the plan:\n$plan")
   }
 
+  test("blockTopKNeighbors equals the exact window rank; broadcast and shuffle forms agree") {
+    val rnd = new scala.util.Random(777)
+    val vecs = (0L until 120L).map { i =>
+      val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+      (i, base, (i % 3).toInt)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val k = 3
+    def collectTk(bcast: Boolean) =
+      Similarity.blockTopKNeighbors(df, k = k, minCosBp = 1000,
+        broadcastBlocks = bcast).collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("rk")) ->
+          (r.getAs[Long]("b_id"), r.getAs[Long]("cos_bp"))).toMap
+    val got = collectTk(bcast = true)
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.blockedCosinePairs(df, minCosBp = -10001)
+    val want = e.select(col("a_id"), col("b_id"), col("cos_bp"))
+      .union(e.select(col("b_id"), col("a_id"), col("cos_bp")))
+      .where(col("cos_bp") >= 1000)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a_id").orderBy(col("cos_bp").desc, col("b_id"))))
+      .where(col("rk") <= k).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Int]("rk").toLong) ->
+        (r.getAs[Long]("b_id"), r.getAs[Long]("cos_bp"))).toMap
+    assert(got == want,
+      s"extra=${got.toSet -- want.toSet} missing=${want.toSet -- got.toSet}")
+    assert(collectTk(bcast = false) == want, "shuffle form must agree")
+    val plan = Similarity.blockTopKNeighbors(df, k = k, minCosBp = 1000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"block side must broadcast in the default form:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the bounded-heap TopKAgg in the plan:\n$plan")
+  }
+
   test("native signbits matches the interpreted HOF fold bit-for-bit") {
     graft.functions.SignBits.register(spark)
     val planes = Seq(Array(1.0, -0.5, 0.25), Array(-1.0, 2.0, 0.0))
