@@ -418,5 +418,86 @@ object ScaleQueries {
         .unionByName(contract(typeMerged, typeDirect, "type",
           Some("event_type")))
         .orderBy("level", "key")
+    },
+
+    // ---- sketch-backed rollup PERCENTILES (q46's quantile sibling) ----
+    // The other 100 TB cube statistic: p50/p90 spend per event type AND
+    // overall, from MRL quantile sketches built once at the finest
+    // grain — the 'all' level merges the per-type FINISHED states
+    // (merge-of-merges), never re-touching rows. Contract asserted
+    // IN the result (q46 discipline): n_match proves exact weight
+    // conservation through every merge (a dropped or double-merged
+    // leaf breaks it), pXX_tol pins each sketch estimate inside the
+    // ±2.5% rank window of the exact sorted data. The exact columns
+    // (quantile_disc convention, rank ceil(q·n) 1-based) are the
+    // audit side the oracle recomputes; production stops at the
+    // sketch. Estimator + weight checks run as scan-side HOFs over
+    // the sketch state (QuantileSketch.quantileExpr) — no UDF in the
+    // read path.
+    QueryDef("q50_pctl_rollup",
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT 'all' AS level, 'ALL' AS key,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_cents,
+        |  CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90_cents,
+        |  TRUE AS n_match, TRUE AS p50_tol, TRUE AS p90_tol
+        |FROM ev
+        |UNION ALL
+        |SELECT 'type' AS level, event_type AS key,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_cents,
+        |  CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90_cents,
+        |  TRUE AS n_match, TRUE AS p50_tol, TRUE AS p90_tol
+        |FROM ev GROUP BY event_type
+        |ORDER BY level, key""".stripMargin) { (s, dir) =>
+      import graft.functions.QuantileSketch
+      val k = 256
+      val eps = 0.025
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("ts div 86400000000000").as("day_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val leaf = ev.groupBy("event_type", "day_id")
+        .agg(QuantileSketch.sketch(k)(col("cents")).as("sk"))
+        .localCheckpoint()
+      val typeMerged = leaf.groupBy("event_type")
+        .agg(QuantileSketch.mergeSketches(k)(col("sk")).as("msk"))
+        .localCheckpoint() // reused by the 'all' merge-of-merges
+      val allMerged = typeMerged
+        .agg(QuantileSketch.mergeSketches(k)(col("msk")).as("msk"))
+      // exact audit side (production stops at the sketches above)
+      val typeExact = ev.groupBy("event_type")
+        .agg(sort_array(collect_list(col("cents"))).as("vals"),
+          count(lit(1)).as("n_rows"))
+      val allExact = ev
+        .agg(sort_array(collect_list(col("cents"))).as("vals"),
+          count(lit(1)).as("n_rows"))
+      def exactQ(q: Double): Column = // quantile_disc = rank ceil(q·n)
+        expr(s"element_at(vals, CAST(greatest(1, ceil($q * n_rows)) AS INT))")
+      def tolFlag(q: Double): Column = {
+        val est = expr(QuantileSketch.quantileExpr("msk", "n_rows", q))
+        val lo = expr(s"element_at(vals, CAST(greatest(1, ceil(($q - $eps) * n_rows)) AS INT))")
+        val hi = expr(s"element_at(vals, CAST(least(n_rows, ceil(($q + $eps) * n_rows)) AS INT))")
+        est >= lo && est <= hi
+      }
+      def contract(merged: DataFrame, exact: DataFrame, level: String,
+          keyCol: Option[String]): DataFrame = {
+        val joined = keyCol match {
+          case Some(c) => merged.join(exact, Seq(c)).withColumn("key", col(c))
+          case None => merged.crossJoin(exact).withColumn("key", lit("ALL"))
+        }
+        joined.select(lit(level).as("level"), col("key"),
+          col("n_rows"),
+          exactQ(0.5).as("p50_cents"), exactQ(0.9).as("p90_cents"),
+          (expr(QuantileSketch.totalWeightExpr("msk")) === col("n_rows"))
+            .as("n_match"),
+          tolFlag(0.5).as("p50_tol"), tolFlag(0.9).as("p90_tol"))
+      }
+      contract(allMerged, allExact, "all", None)
+        .unionByName(contract(typeMerged, typeExact, "type",
+          Some("event_type")))
+        .orderBy("level", "key")
     })
 }
