@@ -49,7 +49,8 @@ object QuantileSketch {
 
   private[functions] def collapseK(k: Int)(a: Seq[Long],
       b: Seq[Long]): Seq[Long] = {
-    val m = (a ++ b).sorted
+    // indexed access — a List here would make the alternation O(k²)
+    val m = (a ++ b).toArray.sorted
     (1 until 2 * k by 2).map(m)
   }
 
