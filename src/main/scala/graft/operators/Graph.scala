@@ -799,8 +799,15 @@ object Graph {
       val frontier = dist.where(col("imp")).select(col("node"), col("dist"))
       if (frontier.isEmpty) done = true
       else {
+        // BROADCAST the frontier: it is O(reached) — seed-scoped and
+        // bounded-hop by contract — while the edge table is the big
+        // side; without the hint the join re-shuffles every edge every
+        // round (measured: the whole per-round cost at sf1). The edge
+        // side then never moves; the only exchange per round is the
+        // node-keyed min.
         val cand = e
-          .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .join(broadcast(frontier.withColumnRenamed("node", "src")),
+            Seq("src"))
           .select(col("dst").as("node"),
             (col("dist") + col("cost")).as("nd"))
           .groupBy("node").agg(min("nd").as("nd"))
