@@ -522,6 +522,41 @@ object EventStream {
       }
   }
 
+  case class PctlOut(event_type: String, n: Long, p50_cents: Long,
+      p90_cents: Long)
+
+  /** Streaming twin of q50's sketch percentiles: per event type the
+    * state IS the MRL quantile-sketch ladder (QuantileSketch.QBuf —
+    * O(k·log(n/k)) longs per key, bounded forever, no watermark GC
+    * needed), each micro-batch folds its cents through the same
+    * reduce the batch aggregator runs and emits the type's running
+    * (n, p50, p90). The conservation law survives streaming: emitted
+    * `n` equals the exact row count seen so far, so a dropped or
+    * replayed batch is visible in the output, not just wrong
+    * percentiles. Same in-batch fold order contract as [[anomalies]]
+    * ((ts, event_id)); the parity spec pins stream ≡ the identically-
+    * ordered batch fold across a micro-batch split, plus the ε rank
+    * window vs exact sorted data.
+    */
+  def runningPercentiles(events: Dataset[Rec],
+      k: Int = 256): Dataset[PctlOut] = {
+    import events.sparkSession.implicits._
+    val agg = new graft.functions.QuantileSketch.QSketch(k)
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (t: String, rows: Iterator[Rec],
+         state: GroupState[graft.functions.QuantileSketch.QBuf]) =>
+          val buf = rows.toSeq.sortBy(r => (r.ts, r.event_id))
+            .foldLeft(state.getOption.getOrElse(agg.zero)) { (b, r) =>
+              agg.reduce(b, math.floor(r.value * 100.0).toLong)
+            }
+          state.update(buf)
+          PctlOut(t, graft.functions.QuantileSketch.totalWeightOf(buf),
+            graft.functions.QuantileSketch.quantileOf(buf, 0.5),
+            graft.functions.QuantileSketch.quantileOf(buf, 0.9))
+      }
+  }
+
   case class MedState(buf: Seq[Double])
   case class MedOut(event_id: Long, user_id: Long, roll_med: Double)
 

@@ -886,6 +886,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming running percentiles: state carries the sketch across batches, n exact, rank bound holds") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.Rec
+    import graft.functions.QuantileSketch
+    val M = 60L * 1000000000L
+    val rnd = new scala.util.Random(31)
+    val vals = (0 until 900).map { i =>
+      Rec(1L, if (i % 2 == 0) "a" else "b", i.toLong, (i + 1) * M,
+        rnd.nextInt(10000) / 100.0)
+    }
+    val (b1, b2) = vals.splitAt(500)
+    val mem = MemoryStream[Rec]
+    val q = EventStream.runningPercentiles(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("pctlout").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // last emission per type = the full-history running percentiles
+      val got = spark.table("pctlout").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).map { case (t, xs) =>
+          // n grows monotonically, so max-n row is the final state
+          t -> xs.map(_._2).maxBy(_._1)
+        }
+      // reference: the identical fold on the driver (same (ts, id)
+      // order, same reduce) must re-produce the exact same sketch
+      val agg = new QuantileSketch.QSketch(256)
+      for (t <- Seq("a", "b")) {
+        val cents = vals.filter(_.event_type == t)
+          .sortBy(r => (r.ts, r.event_id))
+          .map(r => math.floor(r.value * 100.0).toLong)
+        val ref = cents.foldLeft(agg.zero)(agg.reduce)
+        assert(got(t) === ((cents.size.toLong,
+          QuantileSketch.quantileOf(ref, 0.5),
+          QuantileSketch.quantileOf(ref, 0.9))), s"type $t")
+        // and the ε rank window vs the exact sorted data
+        val sorted = cents.sorted.toIndexedSeq
+        def win(q0: Double, est: Long): Boolean = {
+          val n = sorted.size
+          val lo = math.max(1, math.ceil((q0 - 0.025) * n).toInt)
+          val hi = math.min(n, math.ceil((q0 + 0.025) * n).toInt)
+          sorted(lo - 1) <= est && est <= sorted(hi - 1)
+        }
+        assert(win(0.5, got(t)._2) && win(0.9, got(t)._3), s"rank window $t")
+      }
+    } finally q.stop()
+  }
+
   test("streaming rolling median equals the batch trailing frame across a micro-batch split") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
