@@ -9,6 +9,24 @@ import java.nio.file.{Files, Paths}
 object Explain {
 
   private val picks: Seq[(String, String)] = Seq(
+    "s16_ann_topk_neighbors" ->
+      """r14 exact blocked form: ONE BroadcastHashJoin on the block key (the
+        |block side ships whole; no LSH explode, no bucket shuffle), the
+        |quantized-dot + threshold filter scan-side inside the join's codegen
+        |span, then ObjectHashAggregate carrying the bounded TopKAgg k-heap —
+        |partial_topk runs map-side, so the one exchange moves O(n·k) heap
+        |summaries, never the quadratic candidate stream. At 100 TB the block
+        |side outgrows broadcast → broadcastBlocks=false switches the same
+        |plan to a block-keyed shuffle join (parallelism = #blocks — size
+        |blocks like IVF cells).""".stripMargin,
+    "g9_sssp_bounded" ->
+      """Per relaxation round: the frontier (O(reached), bounded-hop
+        |seed-scoped) is BROADCAST onto the src-partitioned edge checkpoint —
+        |the edge table never re-exchanges (without the hint Spark re-shuffled
+        |all edges every round: 25 s → 1.75 s at sf10) — then one node-keyed
+        |hash exchange for the min-merge. Loop state is one checkpointed
+        |generation per round carrying the improved flag; early exit reads the
+        |materialized blocks.""".stripMargin,
     "h4_closure_report" ->
       """The closure fan-out join is a BroadcastHashJoin (closure dim built once,
         |broadcast to the fact side); the only exchanges are the aggregation

@@ -233,6 +233,29 @@ class VersionedTableSpec extends AnyFunSuite {
     viewMaintainedEqualsDirect(p2)
   }
 
+  test("incrementalView chains: applying successive feeds equals direct at the head") {
+    // the production life of a maintained view is a CHAIN of deltas,
+    // not one hop — randomized three-version history, maintained
+    // v1→v2→v3 through two incremental applications
+    val rnd = new scala.util.Random(5151)
+    val p = freshPath()
+    def randSnap(keys: Seq[Long]) = df(keys.map(k => k -> rnd.nextLong(100L)): _*)
+    val k1 = (1L to 40L).filter(_ => rnd.nextBoolean())
+    val k2 = (1L to 40L).filter(_ => rnd.nextBoolean())
+    val k3 = (1L to 40L).filter(_ => rnd.nextBoolean())
+    VersionedTable.commit(randSnap(k1), p, 1L)
+    VersionedTable.commit(randSnap(k2), p, 2L)
+    VersionedTable.commit(randSnap(k3), p, 3L)
+    val v1view = viewOf(VersionedTable.readVersion(spark, p, 1L))
+    val m2 = VersionedTable.incrementalView(v1view,
+      VersionedTable.changeFeed(spark, p, 1L, 2L, Seq("k")), Seq("k"), viewOf)
+    val m3 = VersionedTable.incrementalView(m2,
+      VersionedTable.changeFeed(spark, p, 2L, 3L, Seq("k")), Seq("k"), viewOf)
+    val direct = viewOf(VersionedTable.readVersion(spark, p, 3L))
+    assert(m3.collect().map(_.toSeq).toSet ===
+      direct.collect().map(_.toSeq).toSet)
+  }
+
   test("incrementalView raises on an unknown _change_type") {
     import spark.implicits._
     val p = freshPath()
