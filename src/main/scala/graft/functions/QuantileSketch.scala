@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions.udaf
   * buffers hold exactly `k` values, each REPRESENTING 2^l input rows;
   * raw arrivals pool unsorted below level 0 and promote k at a time.
   * Two buffers at one level COLLAPSE into one at the next: merge the
-  * 2k sorted values, keep the k odd-indexed ones (a deterministic
-  * alternation — no RNG, so a retried task re-produces the identical
-  * sketch). Represented weight is conserved exactly (2·k·2^l =
+  * 2k sorted values, keep every other one, with the kept parity
+  * alternating by level ([[collapseK]] — the MRL bias-cancelling
+  * alternation, deterministic with no RNG and no extra state, so a
+  * retried task re-produces the identical sketch). Represented weight
+  * is conserved exactly (2·k·2^l =
   * k·2^(l+1)), so Σ weights = n bit-exactly at all times — asserted
   * in the property spec AND in the declared query's result (n_match),
   * where it proves no micro-batch was dropped or double-merged.
@@ -47,11 +49,23 @@ object QuantileSketch {
     */
   final case class QBuf(raw: Seq[Long], levels: Seq[LevelBuf])
 
-  private[functions] def collapseK(k: Int)(a: Seq[Long],
+  /** Collapse two sorted level-`lvl` buffers into one: merge the 2k
+    * values, keep every other one. The kept PARITY alternates with the
+    * level (odd indices at even levels, even at odd) — since a value's
+    * promotion path visits successive levels, consecutive collapses
+    * along any path alternate parity, which is the classical MRL
+    * alternation that cancels the one-sided rank bias a fixed parity
+    * accumulates (Munro–Paterson keeps one parity and pays ~2× the
+    * constant). Keyed off `lvl` rather than a stored flip bit so the
+    * state stays a pure function of the merge tree — no extra state,
+    * retried tasks re-produce the identical sketch.
+    */
+  private[functions] def collapseK(k: Int, lvl: Int)(a: Seq[Long],
       b: Seq[Long]): Seq[Long] = {
     // indexed access — a List here would make the alternation O(k²)
     val m = (a ++ b).toArray.sorted
-    (1 until 2 * k by 2).map(m)
+    val start = if (lvl % 2 == 0) 1 else 0
+    (start until 2 * k by 2).map(m)
   }
 
   private def insertBuf(k: Int)(levels: Seq[LevelBuf], buf: Seq[Long],
@@ -60,7 +74,7 @@ object QuantileSketch {
       case None => (levels :+ LevelBuf(lvl, buf)).sortBy(_.lvl)
       case Some(existing) =>
         insertBuf(k)(levels.filterNot(_.lvl == lvl),
-          collapseK(k)(existing.items, buf), lvl + 1)
+          collapseK(k, lvl)(existing.items, buf), lvl + 1)
     }
 
   private def promote(k: Int)(b: QBuf): QBuf =
@@ -121,8 +135,11 @@ object QuantileSketch {
   /** SQL fragment reading quantile q off a sketch-state column named
     * `skCol`, given the group's exact row count column `nCol`:
     * flatten state → sorted (v, w) pairs → smallest v whose cumulative
-    * weight reaches ceil(q·n). Pure scan-side HOFs — the estimator
-    * never leaves codegen'd expressions.
+    * weight reaches the target rank greatest(1, ceil(q·n)) — the same
+    * clamp as the JVM reference [[quantileOf]], so q·n < 1 (tiny q
+    * over a tiny group) targets the minimum instead of rank 0. Pure
+    * scan-side HOFs — the estimator never leaves codegen'd
+    * expressions.
     */
   def quantileExpr(skCol: String, nCol: String, q: Double): String =
     s"""aggregate(
@@ -135,7 +152,7 @@ object QuantileSketch {
        |    (l, r) -> CASE WHEN l.v < r.v THEN -1 WHEN l.v > r.v THEN 1 ELSE 0 END),
        |  named_struct('cum', CAST(0 AS BIGINT), 'ans', CAST(NULL AS BIGINT)),
        |  (acc, x) -> CASE WHEN acc.ans IS NOT NULL THEN acc
-       |    WHEN acc.cum + x.w >= CAST(ceil($q * $nCol) AS BIGINT)
+       |    WHEN acc.cum + x.w >= greatest(CAST(1 AS BIGINT), CAST(ceil($q * $nCol) AS BIGINT))
        |      THEN named_struct('cum', acc.cum + x.w, 'ans', x.v)
        |    ELSE named_struct('cum', acc.cum + x.w, 'ans', CAST(NULL AS BIGINT)) END,
        |  acc -> acc.ans)""".stripMargin

@@ -25,6 +25,17 @@ object Similarity {
     */
   val MaxMmrPool: Int = 1024
 
+  /** Auto-gate threshold for [[blockTopKNeighbors]]'s broadcast form:
+    * when the caller does not pin the join strategy, the embedding
+    * side broadcasts only if the optimizer's size estimate for it
+    * stays under this budget (512 MB — comfortable on multi-GB
+    * executors, far past the point where a broadcast beats a shuffle
+    * for an n×n self-join's build side). Past it the operator falls
+    * back to the cell-keyed shuffle join automatically instead of
+    * failing on the broadcast limit or OOMing executors at GB-scale.
+    */
+  val MaxBroadcastBlockBytes: Long = 512L * 1024 * 1024
+
   /** Quantized dot product of two array<float> columns — the native
     * codegen expression (graft.functions.QuantizedDot). Callers must
     * route DataFrames through an operator below (which registers the
@@ -806,10 +817,11 @@ object Similarity {
     */
   def lshTopKNeighbors(emb: DataFrame, k: Int, minCosBp: Int,
       planes: Int = 2, tables: Int = 32, idCol: String = "vec_id",
-      vecCol: String = "embedding", blockCol: String = "label"): DataFrame = {
+      vecCol: String = "embedding", blockCol: String = "label",
+      dims: Int = 64): DataFrame = {
     val reg = registered(emb)
     val buckets = (0 until tables)
-      .map(t => bucketCol(planes, 64, t.toLong, vecCol))
+      .map(t => bucketCol(planes, dims, t.toLong, vecCol))
     val withNorm = reg
       .withColumn("n2", qnorm2(vecCol))
       .withColumn("bks", array(buckets: _*))
@@ -870,17 +882,21 @@ object Similarity {
     * recall floor is high-cos (near-dup dedup, d17's regime) or d is
     * large enough that the floor carries no probability mass.
     *
-    * `broadcastBlocks = true` ships the block side to every executor
-    * (right for ≤ GB-scale block tables — embeddings at these SFs);
-    * false falls back to a block-keyed shuffle join for block tables
-    * past broadcast size (parallelism then = #blocks, the honest
-    * constraint of block-local exactness at 100 TB — size blocks like
-    * IVF cells).
+    * `broadcastBlocks`: `Some(true)` ships the block side to every
+    * executor, `Some(false)` forces the block-keyed shuffle join
+    * (parallelism then = #blocks, the honest constraint of
+    * block-local exactness at 100 TB — size blocks like IVF cells).
+    * The default `None` SIZE-GATES the choice on the optimizer's
+    * estimate for the embedding side: broadcast under
+    * [[MaxBroadcastBlockBytes]], shuffle past it — so a GB-scale
+    * caller degrades to the shuffle form instead of hitting the
+    * broadcast limit. The bounded-cell scale sibling is
+    * [[cellTopKNeighbors]].
     */
   def blockTopKNeighbors(emb: DataFrame, k: Int, minCosBp: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       blockCol: String = "label",
-      broadcastBlocks: Boolean = true): DataFrame = {
+      broadcastBlocks: Option[Boolean] = None): DataFrame = {
     val reg = registered(emb)
     val withNorm = reg
       .select(col(blockCol), col(idCol), col(vecCol))
@@ -889,7 +905,11 @@ object Similarity {
       col(vecCol).as("a_vec"), col("n2").as("a_n2"))
     val b0 = withNorm.select(col(blockCol), col(idCol).as("b_id"),
       col(vecCol).as("b_vec"), col("n2").as("b_n2"))
-    val b = if (broadcastBlocks) broadcast(b0) else b0
+    val doBroadcast = broadcastBlocks.getOrElse {
+      val est = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+      est <= BigInt(MaxBroadcastBlockBytes)
+    }
+    val b = if (doBroadcast) broadcast(b0) else b0
     val topkF = graft.functions.TopKAgg.topK(k)
     a.join(b, Seq(blockCol))
       .where(col("a_id") =!= col("b_id"))
@@ -909,6 +929,172 @@ object Similarity {
              |  1, $k)""".stripMargin)))
       .select(col(blockCol), col("a_id"),
         (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("b_id"),
+        col("col").getField("score").as("cos_bp"))
+  }
+
+  /** Per-(block, table, bucket) membership counts for the
+    * [[lshTopKNeighbors]] parameterization — the audit view behind its
+    * candidate-volume claims: the bucket self-join materializes
+    * Σ_blocks n·(n−1) ordered candidate pairs, so this histogram (one
+    * count aggregate over the same keys) prices the join without
+    * running it. Used by the d=256 regime spec and available to
+    * callers sizing planes/tables against a measured corpus.
+    */
+  def lshBucketCounts(emb: DataFrame, planes: Int, tables: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockCol: String = "label", dims: Int = 64): DataFrame = {
+    val reg = registered(emb)
+    val buckets = (0 until tables)
+      .map(t => bucketCol(planes, dims, t.toLong, vecCol))
+    reg.withColumn("bks", array(buckets: _*))
+      .select(col(blockCol), posexplode(col("bks")).as(Seq("tbl", "bkt")))
+      .groupBy(col(blockCol), col("tbl"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-vector top-`nprobe` IVF cell memberships — the probe-expanded
+    * generalization of [[ivfAssignments]]: each vector is attached to
+    * its `nprobe` closest centroids (rank 1 = the primary cell, the
+    * exact ivfAssignments argmax). The scoring pass is the same n×K
+    * broadcast cross of centroids; the per-vector top-nprobe fold runs
+    * through TopKAgg's bounded heap, so the aggregation shuffle
+    * carries O(n·nprobe) rows — never the n×K score stream (a window
+    * rank here would shuffle all n·K scores; at K = n/2500 that is
+    * quadratic). Score key and tiebreak are ivfAssignments' integer
+    * skey with ties to the lowest cell ordinal, so rank 1 reproduces
+    * ivfAssignments bit-for-bit and a SQL engine replays the whole
+    * table with one ROW_NUMBER over (skey DESC, cell_id).
+    * Returns (idCol, prk ∈ 1..nprobe, cell_id).
+    */
+  def ivfProbeAssignments(emb: DataFrame, centroidIds: Seq[Long],
+      nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(centroidIds.size < 65536, "IVF cells must fit 16-bit ordinals")
+    require(nprobe >= 1 && nprobe <= centroidIds.size,
+      s"nprobe=$nprobe out of range [1, ${centroidIds.size}]")
+    val reg = registered(emb)
+    val sortedIds = centroidIds.sorted
+    val ordArr = array(sortedIds.map(lit(_)): _*)
+    val cents = reg.filter(col(idCol).isin(centroidIds: _*))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cent_vec"),
+        qnorm2(vecCol).as("cent_n2"))
+      .withColumn("ord", (array_position(ordArr, col("cell_id")) - 1).cast("long"))
+    val topkF = graft.functions.TopKAgg.topK(nprobe)
+    reg.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("qd", expr(s"CAST(qdot($vecCol, cent_vec) AS BIGINT)"))
+      .withColumn("skey", expr(
+        "CASE WHEN qd >= 0 THEN (qd * qd * 100) DIV cent_n2 " +
+          "ELSE -((qd * qd * 100) DIV cent_n2) END"))
+      .groupBy(col(idCol))
+      .agg(topkF(col("skey"), col("ord")).getField("rows").as("tk"))
+      .select(col(idCol), posexplode(col("tk")))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("prk"),
+        element_at(ordArr, (col("col").getField("id") + 1).cast("int"))
+          .as("cell_id"))
+  }
+
+  /** Skew guard for [[cellTopKNeighbors]]: the operator's linear-work
+    * contract rests on BOUNDED cells (K scaled so n/K stays a
+    * constant, the d17/SemDeDup discipline) — a degenerate assignment
+    * (collapsed centroids, one giant cell) silently re-creates the
+    * quadratic block join this operator exists to replace. This audits
+    * the PRIMARY-cell histogram (one key-bounded count aggregate,
+    * control-plane next to the neighbor join it guards) and refuses
+    * past `maxCellRows`, naming the fix: more cells, not more budget.
+    */
+  def requireBoundedCells(prim: DataFrame, maxCellRows: Long): Unit = {
+    val worst = prim.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    require(worst <= maxCellRows,
+      s"largest IVF cell holds $worst vectors — past the bounded-cell " +
+        s"budget of $maxCellRows. cellTopKNeighbors' per-cell work is " +
+        "quadratic in the cell, so scale K with the corpus " +
+        "(K = max(8, n/2500), the d17 discipline) instead of raising " +
+        "the budget.")
+  }
+
+  /** Per-vector capped top-k neighbors over corpus-scaled IVF cells —
+    * the bounded-block scale path past [[blockTopKNeighbors]]'s exact
+    * label-blocked contract (whose blocks are LABELS and grow linearly
+    * with the corpus, so its within-block work is quadratic by
+    * contract — the honest constraint its budget guard enforces).
+    *
+    * Shape: (1) assign every vector to its `nprobe` closest cells
+    * ([[ivfProbeAssignments]] — n×K scoring, O(n·nprobe) shuffle);
+    * (2) SYMMETRIC probe-intersect candidate generation: equi-join
+    * probe memberships against probe memberships on cell_id, so a
+    * pair is a candidate iff the two probe sets share a cell. (The
+    * cheaper probe-vs-primary form was measured and rejected: on the
+    * driver's gaussian-blob embeddings a blob straddling several
+    * cells leaves two members' (probe, primary) combinations
+    * uncovered — recall 0.46 at nprobe=2 / 0.73 at 4, vs 0.998 for
+    * the symmetric form at 4; tools/CellRecallProbe on sf0.1.) A
+    * pair can share up to nprobe cells, so the per-vector heap keeps
+    * k·nprobe entries and the post-merge dedup slices the true
+    * top-k — the [[lshTopKNeighbors]] containment argument verbatim:
+    * candidate entries strictly better than the true i-th (i ≤ k)
+    * number < i·nprobe ≤ k·nprobe, so it always survives the heap.
+    * (3) The quantized-cosine stream folds straight into TopKAgg
+    * partial aggregation, so the candidate stream never crosses the
+    * network and the agg shuffle carries O(n·k·nprobe).
+    *
+    * Scale law: with K scaled to hold cell size ~c constant (d17's
+    * K = max(8, n/2500) discipline), total candidate work is
+    * Σ_cells members(cell)² ≈ n·nprobe²·c — LINEAR in the corpus,
+    * the property the r14 sf10 decade showed label blocking cannot
+    * have. Both join sides are fact-sized, so the cell join is a
+    * shuffle equi-join (never a broadcast of the corpus);
+    * [[requireBoundedCells]] refuses degenerate assignments instead
+    * of silently running the quadratic cell.
+    *
+    * Recall contract (the d9 discipline — declared, then measured): a
+    * true neighbor is found iff the two probe sets intersect. The
+    * measured floor against exact all-pairs ground truth is asserted
+    * in SimilaritySpec on the bounded-cluster generator and recorded
+    * in BENCHNOTES for the driver's tables. Everything is
+    * deterministic integer arithmetic, so a SQL oracle replays
+    * assignment, probe expansion, and ranking exactly.
+    * Output: (a_id, rk ∈ 1..k, b_id, cos_bp), cos_bp ≥ minCosBp.
+    */
+  def cellTopKNeighbors(emb: DataFrame, k: Int, minCosBp: Int,
+      centroidIds: Seq[Long], nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCellRows: Long = 100000L): DataFrame = {
+    val reg = registered(emb)
+    // n·nprobe rows, reused by both join sides and the guard —
+    // checkpointed so the n×K scoring pass runs once
+    val probes = ivfProbeAssignments(reg, centroidIds, nprobe,
+      idCol, vecCol).localCheckpoint(true)
+    requireBoundedCells(probes, maxCellRows)
+    val withNorm = reg.select(col(idCol), col(vecCol))
+      .withColumn("n2", qnorm2(vecCol))
+    val mem = probes.select(col(idCol), col("cell_id")).join(withNorm, Seq(idCol))
+    val a = mem.select(col("cell_id"), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"), col("n2").as("a_n2"))
+    val b = mem.select(col("cell_id"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"), col("n2").as("b_n2"))
+    val topkF = graft.functions.TopKAgg.topK(k * nprobe)
+    a.join(b, Seq("cell_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("dot", qdot("a_vec", "b_vec"))
+      .withColumn("cos_bp", expr(
+        "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(b_n2 AS DOUBLE)))) AS BIGINT)"))
+      .where(col("cos_bp") >= minCosBp)
+      .groupBy(col("a_id"))
+      .agg(topkF(col("cos_bp"), col("b_id")).getField("rows").as("tk"))
+      .select(col("a_id"),
+        posexplode(expr(
+          s"""slice(array_sort(array_distinct(tk),
+             |  (l, r) -> CASE WHEN l.score > r.score THEN -1
+             |                 WHEN l.score < r.score THEN 1
+             |                 WHEN l.id < r.id THEN -1
+             |                 WHEN l.id > r.id THEN 1 ELSE 0 END),
+             |  1, $k)""".stripMargin)))
+      .select(col("a_id"), (col("pos") + 1).cast("long").as("rk"),
         col("col").getField("id").as("b_id"),
         col("col").getField("score").as("cos_bp"))
   }

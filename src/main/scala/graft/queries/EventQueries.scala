@@ -1173,12 +1173,19 @@ object EventQueries {
     // one scan lineage: cell means at (type, day, hour), the profile
     // at (type, hour) — the profile is control-plane-sized
     // (types × 24) and broadcast back onto the cells. The deviation
-    // test never leaves BIGINT (v7's cross-product discipline):
+    // test never leaves EXACT integer arithmetic (v7's cross-product
+    // discipline):
     //   mean_cell > 1.5·mean_prof  ⇔  2·sum_c·n_p > 3·sum_p·n_c
     //   mean_cell < 0.5·mean_prof  ⇔  2·sum_c·n_p < sum_p·n_c
-    // (cents ≤ 10⁴, n ≤ 10⁶ at sf1 keeps every product < 2⁶³ with
-    // 10⁵× headroom). Output: per-type seasonal scorecard. At 100 TB
-    // the fact-sized work is the one (type, day, hour) groupBy.
+    // The Spark side evaluates the cross-products in DECIMAL(38,0)
+    // (r15, ADVICE): BIGINT holds them at sf1 (< 2⁶³ with 10⁵×
+    // headroom — the oracle keeps that form) but a 100 TB corpus
+    // pushes sum_c toward 10¹⁸ and n_p toward 10¹³, where 2·sum_c·n_p
+    // wraps silently; the decimal products stay ≤ ~10³² ≪ 10³⁸, exact
+    // at any realistic scale, and cost nothing — they run on the
+    // aggregated cell table, not the fact scan. Output: per-type
+    // seasonal scorecard. At 100 TB the fact-sized work is the one
+    // (type, day, hour) groupBy.
     QueryDef("e30_seasonal_baseline",
       """WITH ev AS (
         |  SELECT event_type,
@@ -1217,11 +1224,18 @@ object EventQueries {
       cell.join(broadcast(prof), Seq("event_type", "hour"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_cells"),
-          sum(when(lit(2) * col("sum_c") * col("n_p")
-            > lit(3) * col("sum_p") * col("n_c"), 1L).otherwise(0L))
+          sum(when(lit(2).cast("decimal(38,0)")
+              * col("sum_c").cast("decimal(38,0)")
+              * col("n_p").cast("decimal(38,0)")
+            > lit(3).cast("decimal(38,0)")
+              * col("sum_p").cast("decimal(38,0)")
+              * col("n_c").cast("decimal(38,0)"), 1L).otherwise(0L))
             .cast("long").as("n_high"),
-          sum(when(lit(2) * col("sum_c") * col("n_p")
-            < col("sum_p") * col("n_c"), 1L).otherwise(0L))
+          sum(when(lit(2).cast("decimal(38,0)")
+              * col("sum_c").cast("decimal(38,0)")
+              * col("n_p").cast("decimal(38,0)")
+            < col("sum_p").cast("decimal(38,0)")
+              * col("n_c").cast("decimal(38,0)"), 1L).otherwise(0L))
             .cast("long").as("n_low"),
           min("day").cast("long").as("first_day"),
           max("day").cast("long").as("last_day"))

@@ -728,11 +728,18 @@ object PipelineQueries {
         (2, "hash"), (2, "join")).toDF("query_id", "token")
       // tf is the single token-exploding scan; df, dl and the corpus
       // stats all DERIVE from it (df = rows per token, dl = Σtf per
-      // doc) so Catalyst's ReuseExchange collapses what would be four
-      // explode+shuffle passes over the corpus into one.
+      // doc). r15: tf is MATERIALIZED once (localCheckpoint) — its
+      // four consumers (dl, stats via dl, df→idf, the term join) sit
+      // on different shuffle keys, so ReuseExchange cannot serve them
+      // from one exchange and the tokenize+explode scan was running
+      // twice (the sf1 floor the r14 verdict flagged). The checkpoint
+      // is doc×distinct-token sized — the same order as the shuffle it
+      // replaces; on a cluster this is a cached/checkpointed stage,
+      // identical shape.
       val toks = Tables.documents(s, dir).select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
@@ -1538,11 +1545,16 @@ object PipelineQueries {
       // per-doc novel counts are both doc-keyed dim-sized frames and
       // join on doc_id. Saves the gram-keyed join that would carry
       // the full (doc, gram) stream a second time (measured 3.7 s →
-      // ~1 s at sf0.1).
+      // ~1 s at sf0.1). r15: the distinct (doc, gram) stream is
+      // MATERIALIZED once (localCheckpoint) — its two consumers
+      // aggregate on different keys (doc_id vs g), so without it the
+      // explode+distinct ran twice (the remaining sf1 floor the r14
+      // verdict flagged).
       val dg = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(Curation.wordGrams(Curation.tokens(col("text")), 8)).as("g"))
         .distinct()
+        .localCheckpoint(true)
       val totals = dg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
       val novel = dg.groupBy("g").agg(min("doc_id").as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))

@@ -139,8 +139,91 @@ object SimilarityQueries {
       // pins LSH at planes=2/tables=32, where the amplified candidate
       // stream is 16× the n²/2 brute-force volume — measured 707 s vs
       // this form at sf10. See Similarity.blockTopKNeighbors scaladoc.
+      // r15: quadratic-in-block BY CONTRACT (blocks are labels, which
+      // grow linearly with the corpus), so it now carries the same
+      // budget guard as s4/d13/d23 and names the bounded-cell sibling:
+      // sf1's ~2.0e7 label pairs pass, sf10's ~2.0e9 refuse loudly.
+      graft.operators.Dedup.requireBlockPairBudget(
+        Tables.embeddings(s, dir).select("label"), Seq("label"),
+        maxBlockPairs = 200000000L,
+        scalePath = "Similarity.cellTopKNeighbors (s17_ann_topk_cells)")
       Similarity.blockTopKNeighbors(Tables.embeddings(s, dir),
         k = 3, minCosBp = 2000)
+        .orderBy("a_id", "rk")
+    },
+
+    // ---- bounded-cell top-k neighbors (the s16 scale path) ----
+    // s16 is exact within LABELS — blocks that grow linearly with the
+    // corpus, so its within-block work is quadratic by contract and
+    // its new budget guard refuses past 2e8 pairs. This is the form
+    // that survives the 100× bar: blocks are corpus-scaled IVF cells
+    // (K = max(8, n//2500), d17's constant-cell-size discipline) with
+    // SYMMETRIC nprobe=4 probe expansion — a pair is a candidate iff
+    // the two vectors' top-4 cell sets intersect — so total candidate
+    // work is n·nprobe²·cell ≈ LINEAR in the corpus, and
+    // requireBoundedCells refuses a degenerate assignment. Recall vs
+    // exact all-pairs ground truth is measured in SimilaritySpec and
+    // tools/CellRecallProbe (0.998 at sf0.1, the d9 declared-contract
+    // discipline); the oracle replays the ENTIRE deterministic
+    // pipeline — integer argmax cell assignment, probe ranking,
+    // distinct probe-intersect candidates, quantized cosine, top-k —
+    // so the hash gate checks the real algorithm, not a weaker
+    // invariant.
+    QueryDef("s17_ann_topk_cells",
+      """WITH nn AS (SELECT COUNT(*) AS n, GREATEST(8, COUNT(*) // 2500) AS k FROM embeddings),
+        |cids AS (SELECT unnest(range(0, (SELECT k FROM nn))) * (SELECT n // k FROM nn) AS cid),
+        |eq AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vq
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT e.vec_id AS cell_id, e.vq AS cv,
+        |    CAST(list_sum(list_transform(e.vq, x -> x*x)) AS BIGINT) AS cn2
+        |  FROM eq e JOIN cids ON e.vec_id = cids.cid
+        |), skeys AS (
+        |  SELECT vec_id, cell_id,
+        |    CASE WHEN qd >= 0 THEN (qd*qd*100) // cn2
+        |         ELSE -((qd*qd*100) // cn2) END AS skey
+        |  FROM (
+        |    SELECT eq.vec_id, cents.cell_id, cents.cn2,
+        |      CAST(list_sum(list_transform(list_zip(eq.vq, cents.cv),
+        |        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS qd
+        |    FROM eq CROSS JOIN cents) t
+        |), pr AS (
+        |  SELECT vec_id, cell_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY skey DESC, cell_id) AS prk
+        |  FROM skeys
+        |), v AS (
+        |  SELECT vec_id, vq,
+        |    CAST(list_sum(list_transform(vq, x -> x*x)) AS BIGINT) AS n2
+        |  FROM eq
+        |), cp AS (
+        |  SELECT DISTINCT pa.vec_id AS a_id, pb.vec_id AS b_id
+        |  FROM (SELECT vec_id, cell_id FROM pr WHERE prk <= 4) pa
+        |  JOIN (SELECT vec_id, cell_id FROM pr WHERE prk <= 4) pb
+        |    ON pa.cell_id = pb.cell_id AND pa.vec_id <> pb.vec_id
+        |), cand AS (
+        |  SELECT cp.a_id, cp.b_id,
+        |    CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(x.vq, y.vq),
+        |        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))) AS BIGINT) AS cos_bp
+        |  FROM cp
+        |  JOIN v x ON x.vec_id = cp.a_id
+        |  JOIN v y ON y.vec_id = cp.b_id
+        |), r AS (
+        |  SELECT a_id, b_id, cos_bp,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id
+        |      ORDER BY cos_bp DESC, b_id) AS rk
+        |  FROM cand WHERE cos_bp >= 2000
+        |)
+        |SELECT a_id, CAST(rk AS BIGINT) AS rk, b_id, cos_bp
+        |FROM r WHERE rk <= 3 ORDER BY a_id, rk""".stripMargin) { (s, dir) =>
+      val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val kCells = math.max(8L, n / 2500L).toInt
+      val cents = (0 until kCells).map(i => i * (n / kCells))
+      Similarity.cellTopKNeighbors(Tables.embeddings(s, dir),
+        k = 3, minCosBp = 2000, centroidIds = cents, nprobe = 4)
         .orderBy("a_id", "rk")
     },
 

@@ -121,7 +121,7 @@ class SimilaritySpec extends AnyFunSuite {
     val k = 3
     def collectTk(bcast: Boolean) =
       Similarity.blockTopKNeighbors(df, k = k, minCosBp = 1000,
-        broadcastBlocks = bcast).collect()
+        broadcastBlocks = Some(bcast)).collect()
         .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("rk")) ->
           (r.getAs[Long]("b_id"), r.getAs[Long]("cos_bp"))).toMap
     val got = collectTk(bcast = true)
@@ -414,5 +414,158 @@ class SimilaritySpec extends AnyFunSuite {
     // top-k itself were window-ranked there would be a second one
     assert(plan.linesIterator.count(_.contains("Window [")) == 1,
       s"only the vote argmax may be window-based:\n$plan")
+  }
+
+  /** Bounded-cluster fixture mirroring the sf-data embedding law
+    * (tools/gen_sf1.py): clusters of 6..24 vectors around unit
+    * centers, within-cluster cosine ~0.85-0.95, cross-cluster
+    * ~N(0, 1/d). Deterministic seed → byte-identical across runs.
+    */
+  private def clusteredVecs(n: Int, d: Int, seed: Long,
+      nLabels: Int): Seq[(Long, Array[Float], Int)] = {
+    val rnd = new scala.util.Random(seed)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Int)]()
+    var cluster = 0
+    while (out.size < n) {
+      val size = 6 + rnd.nextInt(19)
+      val c = Array.fill(d)(rnd.nextGaussian())
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val sigma = math.sqrt(0.15 / d)
+      for (_ <- 0 until size if out.size < n) {
+        val v = c.map(x => (x / cn + rnd.nextGaussian() * sigma).toFloat)
+        out += ((out.size.toLong, v, cluster % nLabels))
+      }
+      cluster += 1
+    }
+    out.toSeq
+  }
+
+  test("cellTopKNeighbors: TopKAgg path equals the window-rank replay; recall vs exact ground truth") {
+    // d=64 / cos ≥ 0.2 — the declared query's regime. (A first cut
+    // used d=16 / cos ≥ 0.1, where Φ̄(0.1·√16) ≈ 34% of RANDOM pairs
+    // pass the floor: ground truth was noise pairs no blocking scheme
+    // can co-locate, and recall measured the fixture, not the
+    // operator.)
+    val n = 600
+    val df = clusteredVecs(n, 64, 4242L, 4).toDF("vec_id", "embedding", "label")
+    val kCells = 8
+    val cents = (0L until kCells.toLong).map(_ * (n / kCells))
+    val minCosBp = 2000
+    val nprobe = 4
+    val got = Similarity.cellTopKNeighbors(df, k = 3, minCosBp = minCosBp,
+      centroidIds = cents, nprobe = nprobe).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // Independent replay of the whole deterministic pipeline with
+    // window ranks (the DuckDB oracle's decomposition): skey argmax
+    // assignment, probe expansion, symmetric probe-intersect
+    // candidates (distinct), within-cell top-3.
+    import org.apache.spark.sql.expressions.Window
+    val eq = df.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))").as("vq"))
+    val centsDf = eq.filter(col("vec_id").isin(cents: _*))
+      .select(col("vec_id").as("cell_id"), col("vq").as("cv"),
+        expr("aggregate(vq, CAST(0 AS BIGINT), (a, x) -> a + x*x)").as("cn2"))
+    val skeys = eq.crossJoin(centsDf)
+      .withColumn("qd", expr(
+        "aggregate(zip_with(vq, cv, (x, y) -> x*y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("skey", expr(
+        "CASE WHEN qd >= 0 THEN (qd*qd*100) DIV cn2 ELSE -((qd*qd*100) DIV cn2) END"))
+      .withColumn("prk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("skey").desc, col("cell_id"))))
+    val probe = skeys.filter(col("prk") <= nprobe).select("vec_id", "cell_id")
+    val v = eq.select(col("vec_id"), col("vq"),
+      expr("aggregate(vq, CAST(0 AS BIGINT), (a, x) -> a + x*x)").as("n2"))
+    val want = probe.toDF("a_id", "cell_id")
+      .join(probe.toDF("b_id", "cell_id"), Seq("cell_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .join(v.select(col("vec_id").as("a_id"), col("vq").as("aq"), col("n2").as("an2")), Seq("a_id"))
+      .join(v.select(col("vec_id").as("b_id"), col("vq").as("bq"), col("n2").as("bn2")), Seq("b_id"))
+      .withColumn("cos_bp", expr(
+        "CAST(floor(10000.0 * CAST(aggregate(zip_with(aq, bq, (x, y) -> x*y), CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))) AS BIGINT)"))
+      .where(col("cos_bp") >= minCosBp)
+      .withColumn("rk", row_number().over(Window.partitionBy("a_id")
+        .orderBy(col("cos_bp").desc, col("b_id"))))
+      .where(col("rk") <= 3)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Int]("rk").toLong) ->
+        (r.getAs[Long]("b_id"), r.getAs[Long]("cos_bp"))).toMap
+    assert(got == want,
+      s"extra=${got.toSet -- want.toSet} missing=${want.toSet -- got.toSet}")
+    // Declared recall contract vs EXACT all-pairs ground truth: a true
+    // neighbor is found iff its primary cell is probed. Bounded
+    // clusters + stride cells give a high measured floor; assert it.
+    val truth = Similarity.blockedCosinePairs(
+        df.withColumn("all", lit(0)), minCosBp, blockCol = "all")
+      .select(col("a_id"), col("b_id"), col("cos_bp"))
+      .union(Similarity.blockedCosinePairs(
+          df.withColumn("all", lit(0)), minCosBp, blockCol = "all")
+        .select(col("b_id"), col("a_id"), col("cos_bp")))
+      .withColumn("rk", row_number().over(Window.partitionBy("a_id")
+        .orderBy(col("cos_bp").desc, col("b_id"))))
+      .where(col("rk") <= 3)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // note .toSeq first: mapping the Map directly would re-key by a_id
+    // and collapse the k ranks per vector into one entry
+    val gotEdges = got.toSeq.map { case ((a, _), (b, _)) => (a, b) }.toSet
+    val recall = gotEdges.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.80, f"measured recall $recall%.3f below declared floor")
+    // plan shape: bounded-heap agg, no cartesian in the cell join
+    val plan = Similarity.cellTopKNeighbors(df, k = 3, minCosBp = minCosBp,
+      centroidIds = cents, nprobe = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the bounded-heap TopKAgg in the plan:\n$plan")
+  }
+
+  test("cellTopKNeighbors refuses a degenerate giant cell") {
+    // all-identical vectors collapse into one cell — the quadratic
+    // regime the bounded-cell contract exists to prevent
+    val df = (0L until 64L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cellTopKNeighbors(df, k = 3, minCosBp = 1000,
+        centroidIds = Seq(0L, 1L), nprobe = 1, maxCellRows = 16L)
+    }
+    assert(ex.getMessage.contains("bounded-cell budget"), ex.getMessage)
+  }
+
+  test("d=256 regime: selective LSH reproduces the exact blocked top-k with a smaller candidate stream") {
+    // The claim (BENCHNOTES r14 / SURVEY X228): at production d ≥ 256
+    // the spherical floor P(cos ≥ 0.2) ≈ Φ̄(0.2·√256) ≈ 7e-4 carries
+    // no probability mass, so selective LSH (planes = 8, 32 tables)
+    // re-enters — within-cluster neighbors (cos ≥ 0.85, θ ≤ 32°)
+    // collide per table w.p. ≥ (1-32/180)^8 ≈ 0.2, missing all 32
+    // tables w.p. ≤ (1-0.2)^32 ≈ 8e-4, while the cross-pair mass that
+    // makes d=64 LSH amplify work instead of pruning it is gone.
+    val df = clusteredVecs(4800, 256, 777L, 4)
+      .toDF("vec_id", "embedding", "label").localCheckpoint(true)
+    val k = 3
+    def edges(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("rk")) ->
+        (x.getAs[Long]("b_id"), x.getAs[Long]("cos_bp"))).toMap
+    val exact = edges(Similarity.blockTopKNeighbors(df, k = k, minCosBp = 2000))
+    val lsh = edges(Similarity.lshTopKNeighbors(df, k = k, minCosBp = 2000,
+      planes = 8, tables = 32, dims = 256))
+    // hash-exact recall contract: ≥ 99.9% of the exact edges, every
+    // shared edge bit-identical (same b_id, same score)
+    val shared = exact.keySet.intersect(lsh.keySet)
+    val agree = shared.count(e => exact(e) == lsh(e))
+    assert(agree.toDouble / exact.size >= 0.999,
+      s"agree=$agree of ${exact.size} exact edges (lsh=${lsh.size})")
+    // the selectivity claim, measured: LSH candidate pairs (summed
+    // over label×table×bucket blocks) stay well under the exact
+    // form's within-label pair volume — at d=64 the same parameters
+    // AMPLIFY the stream (the r14 measurement that killed them here)
+    val brutePairs = df.groupBy("label").count()
+      .agg(sum(expr("count * (count - 1)"))).collect()(0).getLong(0)
+    // count via the operator's own bucket decomposition: per
+    // (label, table, bucket) block of size m, m·(m-1) ordered pairs
+    val lshPairs = Similarity.lshBucketCounts(df, planes = 8, tables = 32,
+        dims = 256)
+      .agg(sum(expr("n * (n - 1)"))).collect()(0).getLong(0)
+    assert(lshPairs * 3 < brutePairs,
+      s"selective LSH must cut the candidate stream ≥3x: lsh=$lshPairs brute=$brutePairs")
   }
 }
