@@ -38,6 +38,34 @@ import java.nio.file.{Files, Paths}
   * silently contributing ~0 s to the total.
   */
 object Bench {
+
+  /** Fixed 40-query comparison core (r14 verdict item 9): the stdout
+    * query map ROTATES — it carries the slowest queries that fit a
+    * strict line budget, so its membership shifts with relative
+    * timings and a round-over-round delta on it can be a board-mix
+    * artifact. These 40 span every family (dedup, pipeline, graph,
+    * events, ANN, core SQL, validation), have been on the board since
+    * round 13, and never rotate; the stdout line reports their
+    * median-sum as "core40" so headline deltas have a fixed
+    * denominator. Membership is append-only by policy — never edit
+    * this list, or the number loses its meaning.
+    */
+  val Core40: Set[String] = Set(
+    "d10_dup_clusters", "d11_dup_clusters_logn", "d12_embedding_dup_clusters",
+    "d13_editdist_pairs", "d14_decontaminate", "d16_incremental_admit",
+    "d17_semantic_dedup", "d19_decontaminate_spans",
+    "d20_dup_substring_spans", "d22_canonical_keep",
+    "d23_dup_clusters_relcut", "d24_ppjoin_pairs", "d25_editdist_verified",
+    "d26_softdedup_weights", "p6_dedup_corpus", "p10_tfidf_keywords",
+    "p15_bm25_topdocs", "p17_repetition_gate", "p20_source_overlap",
+    "p24_lm_doc_quality", "p28_novelty_score", "g1_pagerank",
+    "g2_pagerank_converged", "g3_triangle_count", "g4_hits_authorities",
+    "g5_personalized_pagerank", "g6_lpa_communities", "g7_khop_bfs",
+    "e5_sessionize", "e7_approx_distinct", "e18_anomaly_zscore",
+    "s4_ann_lsh_pairs", "s5_ann_lsh_recall", "s10_ann_ivfpq",
+    "s12_centroid_classify", "q01_pricing_summary", "q05_star_join",
+    "q24_cube_report", "q35_salted_join", "v3_fk_orphans")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
@@ -142,8 +170,10 @@ object Bench {
     // full committed record; bench_out.json always holds everything.
     val lineBudget = 1700
     val byCost = results.sortBy { case (_, _, m) => -m.getOrElse(-1.0) }
+    val core40 = results.collect {
+      case (k, _, Some(m)) if Core40(k) => m }.sum
     val fixed =
-      s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"sf":"$sfDir","detail":"bench_out.json""""
+      s""""metric":"total","value":${fmt(total)},"unit":"sec","core40":${fmt(core40)},"errors":$errors,"sf":"$sfDir","detail":"bench_out.json""""
     val picked = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = fixed.length + 60 // slack for the queries/omitted wrapper
     byCost.foreach { case (k, _, m) =>
@@ -154,7 +184,7 @@ object Bench {
     println(s"{$fixed,\"queries\":${picked.mkString("{", ",", "}")},\"queries_omitted\":$omitted}")
     Files.writeString(
       Paths.get("bench_out.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","runs":$allRuns,"warmup":$warmupJson}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core40":${fmt(core40)},"queries":$qs,"errors":$errors,"sf":"$sfDir","runs":$allRuns,"warmup":$warmupJson}""")
     spark.stop()
   }
 }

@@ -1000,21 +1000,26 @@ object Similarity {
     * constant, the d17/SemDeDup discipline) — a degenerate assignment
     * (collapsed centroids, one giant cell) silently re-creates the
     * quadratic block join this operator exists to replace. This audits
-    * the PRIMARY-cell histogram (one key-bounded count aggregate,
+    * the membership histogram (one key-bounded count aggregate,
     * control-plane next to the neighbor join it guards) and refuses
     * past `maxCellRows`, naming the fix: more cells, not more budget.
+    * Returns the TOTAL membership count (the same aggregate pays for
+    * it), which the caller's broadcast gate sizes against.
     */
-  def requireBoundedCells(prim: DataFrame, maxCellRows: Long): Unit = {
-    val worst = prim.groupBy(col("cell_id"))
+  def requireBoundedCells(prim: DataFrame, maxCellRows: Long): Long = {
+    val row = prim.groupBy(col("cell_id"))
       .agg(count(lit(1)).as("n"))
-      .agg(coalesce(max(col("n")), lit(0L)).cast("long"))
-      .collect()(0).getLong(0)
+      .agg(coalesce(max(col("n")), lit(0L)).cast("long"),
+        coalesce(sum(col("n")), lit(0L)).cast("long"))
+      .collect()(0)
+    val worst = row.getLong(0)
     require(worst <= maxCellRows,
       s"largest IVF cell holds $worst vectors — past the bounded-cell " +
         s"budget of $maxCellRows. cellTopKNeighbors' per-cell work is " +
         "quadratic in the cell, so scale K with the corpus " +
-        "(K = max(8, n/2500), the d17 discipline) instead of raising " +
-        "the budget.")
+        "(corpus-scaled K, e.g. s17's max(8, n/500)) instead of " +
+        "raising the budget.")
+    row.getLong(1) // total memberships, reused by the broadcast gate
   }
 
   /** Per-vector capped top-k neighbors over corpus-scaled IVF cells —
@@ -1042,14 +1047,20 @@ object Similarity {
     * partial aggregation, so the candidate stream never crosses the
     * network and the agg shuffle carries O(n·k·nprobe).
     *
-    * Scale law: with K scaled to hold cell size ~c constant (d17's
-    * K = max(8, n/2500) discipline), total candidate work is
-    * Σ_cells members(cell)² ≈ n·nprobe²·c — LINEAR in the corpus,
+    * Scale law: with K scaled to hold cell size ~c constant (the d17
+    * constant-cell-size discipline; s17 uses K = max(8, n/500) — the
+    * measured sf1 knee where recall is still 0.997 but the nprobe²·c
+    * constant is 5x below d17's 2500-row cells), total candidate work
+    * is Σ_cells members(cell)² ≈ n·nprobe²·c — LINEAR in the corpus,
     * the property the r14 sf10 decade showed label blocking cannot
-    * have. Both join sides are fact-sized, so the cell join is a
-    * shuffle equi-join (never a broadcast of the corpus);
-    * [[requireBoundedCells]] refuses degenerate assignments instead
-    * of silently running the quadratic cell.
+    * have. The n×K assignment pass is itself n²/c with K ∝ n — at
+    * extreme scale swap in a hierarchical / k-means-tree assignment
+    * (d17's documented caveat; changes cell quality, not this shape).
+    * The build side broadcasts under [[MaxBroadcastBlockBytes]] so
+    * pair generation stays in one codegen stage, degrading to the
+    * cell-keyed shuffle join past it; [[requireBoundedCells]] refuses
+    * degenerate assignments instead of silently running the quadratic
+    * cell.
     *
     * Recall contract (the d9 discipline — declared, then measured): a
     * true neighbor is found iff the two probe sets intersect. The
@@ -1063,20 +1074,53 @@ object Similarity {
   def cellTopKNeighbors(emb: DataFrame, k: Int, minCosBp: Int,
       centroidIds: Seq[Long], nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxCellRows: Long = 100000L): DataFrame = {
+      maxCellRows: Long = 100000L,
+      broadcastMembers: Option[Boolean] = None): DataFrame = {
     val reg = registered(emb)
     // n·nprobe rows, reused by both join sides and the guard —
     // checkpointed so the n×K scoring pass runs once
     val probes = ivfProbeAssignments(reg, centroidIds, nprobe,
       idCol, vecCol).localCheckpoint(true)
-    requireBoundedCells(probes, maxCellRows)
+    val totalMembers = requireBoundedCells(probes, maxCellRows)
     val withNorm = reg.select(col(idCol), col(vecCol))
       .withColumn("n2", qnorm2(vecCol))
-    val mem = probes.select(col(idCol), col("cell_id")).join(withNorm, Seq(idCol))
+    // membership-with-vector table, materialized ONCE; both join
+    // sides read it. The explicit repartition matters: the join
+    // output fans out ~cell-size× per stream row, so the stream
+    // side's partition count must come from the PAIR volume, not the
+    // input bytes — without it a small parquet input arrives as one
+    // split, the checkpoint preserves it, and the whole candidate
+    // join runs on one core (measured r15: 94 s vs 7 s at sf1).
+    // round-robin repartition for balance, then SORT by cell within
+    // each partition for probe locality: the build relation's bucket
+    // for one cell is ~cell·rowWidth bytes, far larger than cache at
+    // scale, but a cell-sorted stream probes the same bucket in long
+    // consecutive runs (n/partitions per cell), so it is loaded once
+    // per run instead of once per pair — the difference between
+    // bandwidth-bound and cache-resident when the broadcast outgrows
+    // LLC.
+    val mem = probes.select(col(idCol), col("cell_id"))
+      .join(withNorm, Seq(idCol))
+      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
+      .sortWithinPartitions(col("cell_id"))
+      .localCheckpoint(true)
     val a = mem.select(col("cell_id"), col(idCol).as("a_id"),
       col(vecCol).as("a_vec"), col("n2").as("a_n2"))
-    val b = mem.select(col("cell_id"), col(idCol).as("b_id"),
+    val b0 = mem.select(col("cell_id"), col(idCol).as("b_id"),
       col(vecCol).as("b_vec"), col("n2").as("b_n2"))
+    // Same gate as blockTopKNeighbors, but sized from COUNTED rows ×
+    // schema row width, not plan stats: a checkpointed LogicalRDD
+    // reports defaultSizeInBytes (Long.MaxValue), which silently
+    // rejected the broadcast at EVERY scale and left the cell join a
+    // sort-merge (measured r15: ~8M pairs/s vs ~30M for the
+    // broadcast-hash form). Broadcasting the build side keeps pair
+    // generation inside one codegen stage; past the budget the
+    // cell-keyed shuffle join takes over automatically.
+    val dim = reg.select(size(col(vecCol))).first().getInt(0)
+    val memBytes = totalMembers * (80L + 4L * dim)
+    val doBroadcast = broadcastMembers.getOrElse(
+      memBytes <= MaxBroadcastBlockBytes)
+    val b = if (doBroadcast) broadcast(b0) else b0.hint("SHUFFLE_HASH")
     val topkF = graft.functions.TopKAgg.topK(k * nprobe)
     a.join(b, Seq("cell_id"))
       .where(col("a_id") =!= col("b_id"))

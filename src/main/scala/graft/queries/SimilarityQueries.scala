@@ -105,7 +105,9 @@ object SimilarityQueries {
       graft.operators.Dedup.requireBlockPairBudget(
         Tables.embeddings(s, dir).select("label"), Seq("label"),
         maxBlockPairs = 200000000L,
-        scalePath = "Similarity.blockTopKNeighbors (s16_ann_topk_neighbors)")
+        scalePath = "Similarity.cellTopKNeighbors (s17_ann_topk_cells); " +
+          "the exact label-blocked audit form is s16_ann_topk_neighbors " +
+          "under its own 2e8 budget")
       Similarity.lshCosinePairsMulti(Tables.embeddings(s, dir),
         minCosBp = 2000, planes = 2, tables = 32)
         .orderBy("a_id", "b_id")
@@ -157,20 +159,23 @@ object SimilarityQueries {
     // corpus, so its within-block work is quadratic by contract and
     // its new budget guard refuses past 2e8 pairs. This is the form
     // that survives the 100× bar: blocks are corpus-scaled IVF cells
-    // (K = max(8, n//2500), d17's constant-cell-size discipline) with
-    // SYMMETRIC nprobe=4 probe expansion — a pair is a candidate iff
-    // the two vectors' top-4 cell sets intersect — so total candidate
-    // work is n·nprobe²·cell ≈ LINEAR in the corpus, and
-    // requireBoundedCells refuses a degenerate assignment. Recall vs
-    // exact all-pairs ground truth is measured in SimilaritySpec and
-    // tools/CellRecallProbe (0.998 at sf0.1, the d9 declared-contract
-    // discipline); the oracle replays the ENTIRE deterministic
+    // (K = max(8, n//500) — d17's constant-cell-size discipline at a
+    // finer grain: the measured sf1 knee where recall still holds but
+    // the nprobe²·cell constant drops 5x) with SYMMETRIC nprobe=4
+    // probe expansion — a pair is a candidate iff the two vectors'
+    // top-4 cell sets intersect — so total candidate work is
+    // n·nprobe²·cell ≈ LINEAR in the corpus, and requireBoundedCells
+    // refuses a degenerate assignment. Recall vs exact all-pairs
+    // ground truth is measured in SimilaritySpec and
+    // tools/CellRecallProbe (0.998 at sf0.1, 0.997 at realistic sf1,
+    // the d9 declared-contract discipline); the oracle replays the
+    // ENTIRE deterministic
     // pipeline — integer argmax cell assignment, probe ranking,
     // distinct probe-intersect candidates, quantized cosine, top-k —
     // so the hash gate checks the real algorithm, not a weaker
     // invariant.
     QueryDef("s17_ann_topk_cells",
-      """WITH nn AS (SELECT COUNT(*) AS n, GREATEST(8, COUNT(*) // 2500) AS k FROM embeddings),
+      """WITH nn AS (SELECT COUNT(*) AS n, GREATEST(8, COUNT(*) // 500) AS k FROM embeddings),
         |cids AS (SELECT unnest(range(0, (SELECT k FROM nn))) * (SELECT n // k FROM nn) AS cid),
         |eq AS (
         |  SELECT vec_id, list_transform(embedding,
@@ -220,7 +225,7 @@ object SimilarityQueries {
         |SELECT a_id, CAST(rk AS BIGINT) AS rk, b_id, cos_bp
         |FROM r WHERE rk <= 3 ORDER BY a_id, rk""".stripMargin) { (s, dir) =>
       val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
-      val kCells = math.max(8L, n / 2500L).toInt
+      val kCells = math.max(8L, n / 500L).toInt
       val cents = (0 until kCells).map(i => i * (n / kCells))
       Similarity.cellTopKNeighbors(Tables.embeddings(s, dir),
         k = 3, minCosBp = 2000, centroidIds = cents, nprobe = 4)

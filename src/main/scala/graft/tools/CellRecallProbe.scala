@@ -56,44 +56,33 @@ object CellRecallProbe {
       .where(col("rk") <= k)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
     println(s"n=$n truth_edges=${truth.size}")
-    val kc = math.max(8L, n / 2500L).toInt
-    val cents = (0 until kc).map(i => i.toLong * (n / kc))
-    for (np <- Seq(1, 2, 4, 8)) {
-      if (np <= kc) {
-        val got = Similarity.cellTopKNeighbors(emb, k = k,
-            minCosBp = minCosBp, centroidIds = cents, nprobe = np)
-          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-        val recall = got.intersect(truth).size.toDouble / truth.size
-        println(f"K=$kc nprobe=$np primary recall=$recall%.4f got=${got.size}")
-      }
-      // symmetric probe-intersect variant: candidate iff the two
-      // vectors' probe sets share a cell (cost ~ np^2 vs np)
-      if (np <= kc) {
-        val probes = Similarity.ivfProbeAssignments(emb, cents, np)
-          .localCheckpoint(true)
-        val withNorm = emb.select(col("vec_id"), col("embedding"))
-        val aSide = probes.select(col("vec_id").as("a_id"), col("cell_id"))
-        val bSide = probes.select(col("vec_id").as("b_id"), col("cell_id"))
-        val cand = aSide.join(bSide, Seq("cell_id"))
-          .where(col("a_id") =!= col("b_id"))
-          .select("a_id", "b_id").distinct()
-        val scored = cand
-          .join(withNorm.select(col("vec_id").as("a_id"),
-            col("embedding").as("av")), Seq("a_id"))
-          .join(withNorm.select(col("vec_id").as("b_id"),
-            col("embedding").as("bv")), Seq("b_id"))
-          .withColumn("an2", Similarity.qdot("av", "av"))
-          .withColumn("bn2", Similarity.qdot("bv", "bv"))
-          .withColumn("dot", Similarity.qdot("av", "bv"))
-          .withColumn("cos_bp", expr(
-            "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))) AS BIGINT)"))
-          .where(col("cos_bp") >= minCosBp)
-          .withColumn("rk", row_number().over(Window.partitionBy("a_id")
-            .orderBy(col("cos_bp").desc, col("b_id"))))
-          .where(col("rk") <= k)
-          .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
-        val recall = scored.intersect(truth).size.toDouble / truth.size
-        println(f"K=$kc nprobe=$np symmetric recall=$recall%.4f got=${scored.size}")
+    val truthDf = truth.toSeq.toDF("a_id", "b_id").localCheckpoint(true)
+    // UPPER-BOUND recall per (K, nprobe) without materializing the
+    // candidate stream: a truth edge is recallable iff the two probe
+    // sets intersect (symmetric) / b's primary is probed (primary).
+    // Truth is only O(n*k) edges, so this joins 3 small tables.
+    for (div <- Seq(2500L, 1000L, 500L, 250L)) {
+      val kc = math.max(8L, n / div).toInt
+      val cents = (0 until kc).map(i => i.toLong * (n / kc))
+      val probes = Similarity.ivfProbeAssignments(emb, cents, math.min(8, kc))
+        .localCheckpoint(true)
+      for (np <- Seq(1, 2, 3, 4, 8) if np <= kc && np <= 8) {
+        val pa = probes.filter(col("prk") <= np)
+          .select(col("vec_id").as("a_id"), col("cell_id"))
+        val pb = probes.filter(col("prk") <= np)
+          .select(col("vec_id").as("b_id"), col("cell_id"))
+        val prim = probes.filter(col("prk") === 1)
+          .select(col("vec_id").as("b_id"), col("cell_id"))
+        val symHit = truthDf.join(pa, Seq("a_id"))
+          .join(pb, Seq("cell_id", "b_id"))
+          .select("a_id", "b_id").distinct().count()
+        val primHit = truthDf.join(pa, Seq("a_id")).join(prim, Seq("cell_id", "b_id"))
+          .select("a_id", "b_id").distinct().count()
+        // cost model: candidate pairs the symmetric join would emit
+        val cost = probes.filter(col("prk") <= np)
+          .groupBy("cell_id").agg(count(lit(1)).as("m"))
+          .agg(sum(expr("m * (m - 1)"))).collect()(0).getLong(0)
+        println(f"div=$div K=$kc np=$np sym=${symHit.toDouble / truth.size}%.4f prim=${primHit.toDouble / truth.size}%.4f candPairs=$cost")
       }
     }
     spark.stop()

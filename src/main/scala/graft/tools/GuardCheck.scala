@@ -3,7 +3,8 @@ object GuardCheck {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local("16")
     val dir = "/tmp/sf10_graft"
-    Seq("s4_ann_lsh_pairs", "d13_editdist_pairs", "d23_dup_clusters_relcut")
+    Seq("s4_ann_lsh_pairs", "d13_editdist_pairs", "d23_dup_clusters_relcut",
+        "s16_ann_topk_neighbors")
       .foreach { q =>
         try {
           graft.SparkEntry.queries(q)(spark, dir).write

@@ -339,6 +339,49 @@ object ProfileMain {
           }
         }
 
+      case "s17" =>
+        // phase decomposition of cellTopKNeighbors at the given dir:
+        // assignment cost, candidate volume, cell skew, join+heap cost
+        import graft.operators.Similarity
+        val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+        val kCells = math.max(8L, n / 500L).toInt
+        val cents = (0 until kCells).map(i => i.toLong * (n / kCells))
+        val emb = Tables.embeddings(spark, dir)
+        for (pass <- 1 to 2) {
+          println(s"[profile] ---- pass $pass (n=$n K=$kCells) ----")
+          val probes = timed("probe assignments + ckpt")(
+            Similarity.ivfProbeAssignments(emb, cents, 4)
+              .localCheckpoint(true))
+          val hist = timed("cell histogram")(
+            probes.groupBy("cell_id").agg(count(lit(1)).as("m"))
+              .agg(sum(expr("m * (m - 1)")), max(col("m"))).collect()(0))
+          println(s"[profile] candPairs=${hist.getLong(0)} maxCellMembers=${hist.getLong(1)}")
+          timed("full s17 (noop write)")(
+            Similarity.cellTopKNeighbors(emb, k = 3, minCosBp = 2000,
+              centroidIds = cents, nprobe = 4)
+              .write.format("noop").mode("overwrite").save())
+          timed("s17 broadcast form")(
+            Similarity.cellTopKNeighbors(emb, k = 3, minCosBp = 2000,
+              centroidIds = cents, nprobe = 4,
+              broadcastMembers = Some(true))
+              .write.format("noop").mode("overwrite").save())
+          timed("s17 shuffle-hash form")(
+            Similarity.cellTopKNeighbors(emb, k = 3, minCosBp = 2000,
+              centroidIds = cents, nprobe = 4,
+              broadcastMembers = Some(false))
+              .write.format("noop").mode("overwrite").save())
+        }
+
+      case "s17plan" =>
+        import graft.operators.Similarity
+        val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+        val kCells = math.max(8L, n / 500L).toInt
+        val cents = (0 until kCells).map(i => i.toLong * (n / kCells))
+        val df = Similarity.cellTopKNeighbors(Tables.embeddings(spark, dir),
+          k = 3, minCosBp = 2000, centroidIds = cents, nprobe = 4)
+        val plan = df.queryExecution.executedPlan.toString
+        println(s"[profile] n=$n K=$kCells BroadcastHashJoin=${plan.contains("BroadcastHashJoin")} SortMergeJoin=${plan.contains("SortMergeJoin")} ShuffledHashJoin=${plan.contains("ShuffledHashJoin")}")
+
       case "paircount" =>
         // output-volume growth check for the embedding pair family
         // (s4/d12/d17 super-linear wall-clock at sf10 — is it the

@@ -511,12 +511,24 @@ class SimilaritySpec extends AnyFunSuite {
     val gotEdges = got.toSeq.map { case ((a, _), (b, _)) => (a, b) }.toSet
     val recall = gotEdges.intersect(truth).size.toDouble / truth.size
     assert(recall >= 0.80, f"measured recall $recall%.3f below declared floor")
-    // plan shape: bounded-heap agg, no cartesian in the cell join
+    // plan shape: bounded-heap agg, no cartesian, and the size gate
+    // picks the broadcast-hash form for this KB-scale membership table
+    // (a checkpointed LogicalRDD reports defaultSizeInBytes, so the
+    // gate sizes from counted rows × row width — this pins that)
     val plan = Similarity.cellTopKNeighbors(df, k = 3, minCosBp = minCosBp,
       centroidIds = cents, nprobe = 2).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("ObjectHashAggregate"),
       s"expected the bounded-heap TopKAgg in the plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"size gate must broadcast a small membership table:\n$plan")
+    // forced shuffle form agrees bit-for-bit (the past-the-gate path)
+    val shuf = Similarity.cellTopKNeighbors(df, k = 3, minCosBp = minCosBp,
+      centroidIds = cents, nprobe = nprobe,
+      broadcastMembers = Some(false)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(shuf == got, "shuffle-hash form must agree with broadcast form")
   }
 
   test("cellTopKNeighbors refuses a degenerate giant cell") {

@@ -20,7 +20,10 @@ class StreamSoakSpec extends AnyFunSuite {
   // Decade knob (r13 verdict item 8): GRAFT_SOAK_SCALE=10 drives ~1M
   // rows through the same assertions — the BOUNDS are scale-invariant
   // claims, so only the ingested volume changes. Default 1 keeps the
-  // suite fast; the 10x run is recorded in BENCHNOTES r14.
+  // suite fast; each test prints its measured state figures as
+  // "[soak] ..." lines, and the 10x run's figures are recorded in
+  // BENCHNOTES r15 (the r14 comment cited a record that was never
+  // written — r14 verdict item 3).
   private val soakScale = sys.env.getOrElse("GRAFT_SOAK_SCALE", "1").toInt
 
   private val H = 3600L * 1000 * 1000 * 1000 // 1h in ns
@@ -52,6 +55,8 @@ class StreamSoakSpec extends AnyFunSuite {
       assert(ops.map(_.numRowsTotal).sum == langs.length,
         s"state rows != key count: ${ops.map(_.numRowsTotal).sum}")
       val bytes = ops.map(_.memoryUsedBytes).sum
+      println(s"[soak] trendingTokens scale=$soakScale docs=${5 * soakScale * 20000} " +
+        s"stateRows=${ops.map(_.numRowsTotal).sum} stateBytes=$bytes")
       assert(bytes < 4L * 1024 * 1024,
         s"4 bounded MG sketches should be KBs, got $bytes bytes")
     } finally q.stop()
@@ -84,6 +89,8 @@ class StreamSoakSpec extends AnyFunSuite {
       // buffers saturate at `window` after the first batches: later
       // batches may not grow state beyond store overhead drift
       val finalBytes = ops.map(_.memoryUsedBytes).sum
+      println(s"[soak] anomalies scale=$soakScale events=${5 * soakScale * 20000} " +
+        s"stateRows=${ops.map(_.numRowsTotal).sum} firstPassBytes=$firstPassBytes finalBytes=$finalBytes")
       assert(finalBytes <= firstPassBytes * 2,
         s"state bytes grew after buffer saturation: $firstPassBytes -> $finalBytes")
     } finally q.stop()
@@ -122,6 +129,8 @@ class StreamSoakSpec extends AnyFunSuite {
       val total = 2L * perHour * hours
       // watermark (1h) + interval (30min) bound live state: rows must
       // plateau once the horizon fills, not track total input
+      println(s"[soak] attribution scale=$soakScale input=$total " +
+        s"midRows=$midRows finalRows=$finalRows")
       assert(midRows > 0, "expected interval-join state mid-soak")
       assert(finalRows <= midRows * 3 / 2,
         s"state should plateau at the horizon: mid=$midRows final=$finalRows")
@@ -163,6 +172,8 @@ class StreamSoakSpec extends AnyFunSuite {
       val emitted = spark.table("soak_ppjoin_out").count()
       assert(emitted >= 100, s"soak should emit dup pairs, got $emitted")
       val dedupRows = ops.map(_.numRowsTotal).sum
+      println(s"[soak] ppjoinAdmission scale=$soakScale docs=${4 * soakScale * 2500} " +
+        s"emitted=$emitted dedupStateRows=$dedupRows")
       // dedup state is OUTPUT-sized (emitted pairs in horizon), never
       // input-sized (10k docs)
       assert(dedupRows <= emitted * 2,
