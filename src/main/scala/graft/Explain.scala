@@ -9,6 +9,21 @@ import java.nio.file.{Files, Paths}
 object Explain {
 
   private val picks: Seq[(String, String)] = Seq(
+    "s17_ann_topk_cells" ->
+      """r15 bounded-cell form (the s16 scale path): probe assignment is a
+        |BroadcastNestedLoopJoin of the K-row centroid table (control-plane
+        |sized) into the codegen'd qdot scoring pass, folded by the TopKAgg
+        |heap so the assignment exchange carries O(n·nprobe) — never the n×K
+        |score stream. The candidate stage is ONE join on cell_id whose form
+        |the operator gates by COUNTED size: BroadcastHashJoin under 512 MB
+        |(the checkpointed membership table reports defaultSizeInBytes, so
+        |plan-stats gating is dead code here), cell-keyed SHUFFLE_HASH past
+        |it (per-task build = cells/partition × ~500 rows — constant at any
+        |corpus). The stream side is repartitioned (the pair stream fans out
+        |~500× per row — partition count must come from pair volume, not
+        |input bytes) and cell-SORTED so bucket probes hit cache in runs.
+        |ObjectHashAggregate carries the k·nprobe heap; the exchange moves
+        |O(n·k·nprobe) summaries, never the 1.6e9-pair candidate stream.""".stripMargin,
     "s16_ann_topk_neighbors" ->
       """r14 exact blocked form: ONE BroadcastHashJoin on the block key (the
         |block side ships whole; no LSH explode, no bucket shuffle), the

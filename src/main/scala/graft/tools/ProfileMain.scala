@@ -372,6 +372,46 @@ object ProfileMain {
               .write.format("noop").mode("overwrite").save())
         }
 
+      case "d256" =>
+        // d=256 LSH re-entry crossover (r14 verdict item 2): wall time
+        // + candidate volume of the exact label-blocked form vs
+        // selective LSH on the bounded-cluster d=256 fixture (the
+        // SimilaritySpec regime test's fixture, scaled by arg 2)
+        import graft.operators.Similarity
+        import spark.implicits._
+        val nVec = args.lift(1).map(_.toInt).getOrElse(9600)
+        val rnd = new scala.util.Random(777)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Int)]()
+        var cluster = 0
+        while (out.size < nVec) {
+          val size = 6 + rnd.nextInt(19)
+          val c = Array.fill(256)(rnd.nextGaussian())
+          val cn = math.sqrt(c.map(x => x * x).sum)
+          val sigma = math.sqrt(0.15 / 256)
+          for (_ <- 0 until size if out.size < nVec) {
+            val v = c.map(x => (x / cn + rnd.nextGaussian() * sigma).toFloat)
+            out += ((out.size.toLong, v, cluster % 4))
+          }
+          cluster += 1
+        }
+        val df = out.toSeq.toDF("vec_id", "embedding", "label")
+          .localCheckpoint(true)
+        val brutePairs = df.groupBy("label").count()
+          .agg(sum(expr("count * (count - 1)"))).collect()(0).getLong(0)
+        val lshPairs = Similarity.lshBucketCounts(df, planes = 8,
+            tables = 32, dims = 256)
+          .agg(sum(expr("n * (n - 1)"))).collect()(0).getLong(0)
+        println(s"[d256] n=$nVec brutePairs=$brutePairs lshPairs=$lshPairs ratio=${brutePairs.toDouble / lshPairs}")
+        for (pass <- 1 to 2) {
+          timed(s"pass$pass exact blockTopKNeighbors")(
+            Similarity.blockTopKNeighbors(df, k = 3, minCosBp = 2000)
+              .write.format("noop").mode("overwrite").save())
+          timed(s"pass$pass lshTopKNeighbors p8 t32")(
+            Similarity.lshTopKNeighbors(df, k = 3, minCosBp = 2000,
+              planes = 8, tables = 32, dims = 256)
+              .write.format("noop").mode("overwrite").save())
+        }
+
       case "s17plan" =>
         import graft.operators.Similarity
         val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
