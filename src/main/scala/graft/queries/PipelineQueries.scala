@@ -2119,5 +2119,60 @@ object PipelineQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 5)
         .orderBy("lang", "rk")
+    },
+
+    // ---- overlapping passage chunking (RAG / context-window prep) ----
+    // The chunker every retrieval or packing pipeline runs first:
+    // each document's token stream is cut into 64-token chunks at
+    // stride 48 (16-token overlap so no boundary-straddling phrase is
+    // lost), with per-chunk provenance (doc_id, chunk_id, 1-based
+    // start_tok, n_ctoks) and the chunk's md5 — the identity the
+    // downstream dedup/packing stages key on. Chunk-start law, exact
+    // in integers on both engines: starts = 1 + k·48 for
+    // k = 0..(n ≤ 64 ? 0 : (n-64+47) div 48) — every token covered,
+    // the last chunk ends AT the document end, and no fully-contained
+    // trailing sliver is emitted (the k-bound is the production rule,
+    // property-spec'd: coverage + overlap + containment). This is NOT
+    // p12: p12_chunk_windows emits feature windows on a raw range law
+    // (trailing slivers included — window STATS want them); this is
+    // the retrieval-unit chunker whose chunks carry a stable md5
+    // identity and whose count law downstream packing budgets against.
+    // Shape: pure
+    // scan-side HOFs (tokenize, sequence, posexplode, slice, md5) —
+    // per-doc work, ZERO shuffles before the final order; at 100 TB
+    // this is a map-only stage that scales with the scan.
+    QueryDef("p37_chunk_passages",
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0
+        |), st AS (
+        |  SELECT doc_id, t, n, CAST(k AS BIGINT) AS chunk_id,
+        |    CAST(1 + k * 48 AS BIGINT) AS start_tok
+        |  FROM d, unnest(range(0,
+        |    (CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END) + 1)) AS u(k)
+        |)
+        |SELECT doc_id, chunk_id, start_tok,
+        |  CAST(LEAST(64, n - start_tok + 1) AS BIGINT) AS n_ctoks,
+        |  md5(array_to_string(list_slice(t, CAST(start_tok AS INT),
+        |    CAST(start_tok + LEAST(64, n - start_tok + 1) - 1 AS INT)), ' ')) AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.operators.Curation.tokens(col("text")).as("t"))
+        .withColumn("n", size(col("t")))
+        .where(col("n") > 0)
+        .select(col("doc_id"), col("t"), col("n"),
+          explode(expr(
+            "sequence(0L, CASE WHEN n <= 64 THEN 0L ELSE CAST((n - 64 + 47) DIV 48 AS LONG) END)"))
+            .as("chunk_id"))
+        .withColumn("start_tok", lit(1L) + col("chunk_id") * lit(48L))
+        .withColumn("n_ctoks",
+          least(lit(64L), col("n") - col("start_tok") + lit(1L)))
+        .withColumn("chunk_md5", md5(
+          expr("array_join(slice(t, CAST(start_tok AS INT), CAST(n_ctoks AS INT)), ' ')")))
+        .select("doc_id", "chunk_id", "start_tok", "n_ctoks", "chunk_md5")
+        .orderBy("doc_id", "chunk_id")
     })
 }

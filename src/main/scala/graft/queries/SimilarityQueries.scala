@@ -232,6 +232,81 @@ object SimilarityQueries {
         .orderBy("a_id", "rk")
     },
 
+    // ---- matryoshka truncation audit (dim-budget ranking quality) ----
+    // The production question behind MRL-style embeddings: how much of
+    // the exact top-k ranking survives keeping only the first 16 of 64
+    // dims (4x cheaper dots, 4x smaller index)? Per vector (bounded
+    // slice, the s3/s5 discipline): exact within-label top-3 by full
+    // 64-d quantized cosine vs top-3 by the 16-d PREFIX; per-label
+    // rollup of the overlap (basis points of the 3-slot budget) and
+    // the exact-match count. Everything is integer-exact (two
+    // bounded-heap top-k passes + an array_intersect), so the oracle
+    // replays both rankings with window ranks. At scale the slice is
+    // the audit window (a fixed sample, not the corpus) and each
+    // ranking pass is the s16/s17 machinery — the audit stays
+    // output-dim-sized.
+    QueryDef("s18_matryoshka_audit",
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vq
+        |  FROM embeddings WHERE vec_id < 2000
+        |), v AS (
+        |  SELECT vec_id, label, vq, list_slice(vq, 1, 16) AS vq16,
+        |    CAST(list_sum(list_transform(vq, x -> x*x)) AS BIGINT) AS n2,
+        |    CAST(list_sum(list_transform(list_slice(vq, 1, 16), x -> x*x)) AS BIGINT) AS n2_16
+        |  FROM e
+        |), pf AS (
+        |  SELECT a.vec_id AS a_id, a.label, b.vec_id AS b_id,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |      CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(a.vq, b.vq),
+        |        q -> CAST(q[1] AS BIGINT) * CAST(q[2] AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |        / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT) DESC,
+        |      b.vec_id) AS rk
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |), pt AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |      CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(a.vq16, b.vq16),
+        |        q -> CAST(q[1] AS BIGINT) * CAST(q[2] AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |        / (sqrt(CAST(a.n2_16 AS DOUBLE)) * sqrt(CAST(b.n2_16 AS DOUBLE)))) AS BIGINT) DESC,
+        |      b.vec_id) AS rk
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |), fo AS (
+        |  SELECT a_id, label, list_sort(list(b_id)) AS fl
+        |  FROM pf WHERE rk <= 3 GROUP BY a_id, label
+        |), to_ AS (
+        |  SELECT a_id, list_sort(list(b_id)) AS tl
+        |  FROM pt WHERE rk <= 3 GROUP BY a_id
+        |), ovl AS (
+        |  SELECT fo.label,
+        |    CAST(len(list_intersect(fo.fl, to_.tl)) AS BIGINT) AS o
+        |  FROM fo JOIN to_ ON fo.a_id = to_.a_id
+        |)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(o) AS BIGINT) AS sum_ovl,
+        |  CAST(SUM(CASE WHEN o = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST((10000 * SUM(o)) // (3 * COUNT(*)) AS BIGINT) AS ovl_bp
+        |FROM ovl GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+      val emb16 = emb.withColumn("embedding",
+        expr("slice(embedding, 1, 16)"))
+      def top3(df: org.apache.spark.sql.DataFrame) =
+        Similarity.blockTopKNeighbors(df, k = 3, minCosBp = -10001)
+      val full = top3(emb)
+        .groupBy(col("label"), col("a_id"))
+        .agg(sort_array(collect_list(col("b_id"))).as("fl"))
+      val trunc = top3(emb16)
+        .groupBy(col("a_id"))
+        .agg(sort_array(collect_list(col("b_id"))).as("tl"))
+      full.join(trunc, Seq("a_id"))
+        .withColumn("o", size(array_intersect(col("fl"), col("tl"))).cast("long"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum("o").as("sum_ovl"),
+          sum(when(col("o") === 3L, 1L).otherwise(0L)).cast("long").as("n_exact"),
+          expr("(10000 * sum(o)) div (3 * count(1))").as("ovl_bp"))
+        .orderBy("label")
+    },
+
     // ---- IVF ANN: deterministic stride centroids, probe-all oracle ----
     // At nprobe = K the probed cells are exhaustive BY CONSTRUCTION, so
     // the result must equal the brute-force top-k exactly — the oracle

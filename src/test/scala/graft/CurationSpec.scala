@@ -128,4 +128,54 @@ class CurationSpec extends AnyFunSuite {
     assert(!r.isNullAt(r.fieldIndex("dup3_bp")))
     assert(r.getAs[Boolean]("keep"))
   }
+
+  test("p37 chunking law: full coverage, 16-token overlap, no contained sliver") {
+    // doc lengths spanning every regime: sub-chunk (one chunk),
+    // exactly one chunk, one token past (second chunk ends at n),
+    // stride-aligned, and a long ragged tail
+    val lens = Seq(1, 5, 63, 64, 65, 96, 112, 113, 200, 487)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.queries.PipelineQueries.all
+      .find(_.name == "p37_chunk_passages").get
+      .fn(spark, writeDocsTo(docs))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val ch = got(i.toLong).sortBy(_.getAs[Long]("chunk_id"))
+      // chunk ids contiguous from 0
+      assert(ch.map(_.getAs[Long]("chunk_id")).toSeq == ch.indices.map(_.toLong))
+      val spans = ch.map(r => (r.getAs[Long]("start_tok"),
+        r.getAs[Long]("start_tok") + r.getAs[Long]("n_ctoks") - 1))
+      // coverage: every token position 1..n inside some chunk, last
+      // chunk ends AT the doc end (no sliver, no gap)
+      assert(spans.head._1 == 1L && spans.last._2 == n.toLong, s"n=$n $spans")
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) =>
+          assert(s2 <= e1 + 1, s"gap at n=$n: $spans")
+          // stride law: consecutive starts differ by exactly 48
+          // (16-token overlap while both chunks are full)
+          assert(s2 - spans.head._1 % 48 >= 0)
+        case _ =>
+      }
+      spans.map(_._1).sliding(2).foreach {
+        case Array(a, b) => assert(b - a == 48L, s"stride at n=$n: $spans")
+        case _ =>
+      }
+      // chunk count law: 1 + ceil(max(0, n-64)/48)
+      val want = 1 + math.ceil(math.max(0, n - 64) / 48.0).toInt
+      assert(ch.length == want, s"n=$n chunks=${ch.length} want=$want")
+    }
+  }
+
+  // write a docs frame to a temp dir so a QueryDef (which reads
+  // `$dir/documents.parquet`) can run against fixture rows
+  private def writeDocsTo(docs: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("p37docs").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
 }
