@@ -84,10 +84,41 @@ object Bench {
     // in the family reads (measured: 15 queries error). Cross-query
     // reclamation stays with the per-pass GC below; only loop-PRIVATE
     // generations are freed eagerly (inside the operators).
+    // Shuffle/spill ledger (r15 verdict item 9): the scale story has
+    // candidate counts and state bytes but no shuffle-write/spill
+    // bytes — the signal that catches "fits at sf1, dies at sf100"
+    // before it ships. A listener accumulates task metrics; once()
+    // reads the counters around each run, so bench_out.json carries
+    // per-query max-over-runs bytes alongside the times. Queries run
+    // sequentially in this harness, so the delta attribution is exact
+    // (modulo stray stragglers from a prior query's cancelled stages,
+    // which only ever over-attribute — safe for a regression alarm).
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            memSpill.addAndGet(m.memoryBytesSpilled)
+            diskSpill.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
+    val bytesLedger = // name -> (maxShuffleWrite, maxMemSpill, maxDiskSpill)
+      scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
     def once(name: String): Option[Double] = {
       val t0 = System.nanoTime()
+      val (sw0, ms0, ds0) = (shuffleW.get, memSpill.get, diskSpill.get)
       try {
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val d = (shuffleW.get - sw0, memSpill.get - ms0, diskSpill.get - ds0)
+        val p = bytesLedger.getOrElse(name, (0L, 0L, 0L))
+        bytesLedger(name) =
+          (math.max(p._1, d._1), math.max(p._2, d._2), math.max(p._3, d._3))
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
@@ -170,10 +201,20 @@ object Bench {
     // full committed record; bench_out.json always holds everything.
     val lineBudget = 1700
     val byCost = results.sortBy { case (_, _, m) => -m.getOrElse(-1.0) }
-    val core40 = results.collect {
-      case (k, _, Some(m)) if Core40(k) => m }.sum
+    // core40 is a FIXED-denominator headline: if any member is
+    // missing from the board or errored (median None), a partial sum
+    // would silently shrink and read as a round-over-round speedup —
+    // the exact artifact the metric exists to prevent. Emit null plus
+    // the missing names instead of a wrong number.
+    val core40Missing = Core40.toSeq.sorted.filterNot(n =>
+      results.exists { case (k, _, m) => k == n && m.isDefined })
+    val core40Json =
+      if (core40Missing.isEmpty)
+        fmt(results.collect { case (k, _, Some(m)) if Core40(k) => m }.sum)
+      else "null,\"core40_missing\":" +
+        core40Missing.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fixed =
-      s""""metric":"total","value":${fmt(total)},"unit":"sec","core40":${fmt(core40)},"errors":$errors,"sf":"$sfDir","detail":"bench_out.json""""
+      s""""metric":"total","value":${fmt(total)},"unit":"sec","core40":$core40Json,"errors":$errors,"sf":"$sfDir","detail":"bench_out.json""""
     val picked = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = fixed.length + 60 // slack for the queries/omitted wrapper
     byCost.foreach { case (k, _, m) =>
@@ -182,9 +223,14 @@ object Bench {
     }
     val omitted = results.size - picked.size
     println(s"{$fixed,\"queries\":${picked.mkString("{", ",", "}")},\"queries_omitted\":$omitted}")
+    val bytesJson = names.map { n =>
+      val (sw, ms, ds) = bytesLedger.getOrElse(n, (0L, 0L, 0L))
+      "\"" + n + "\":{\"shuffle_write\":" + sw +
+        ",\"mem_spill\":" + ms + ",\"disk_spill\":" + ds + "}"
+    }.mkString("{", ",", "}")
     Files.writeString(
       Paths.get("bench_out.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core40":${fmt(core40)},"queries":$qs,"errors":$errors,"sf":"$sfDir","runs":$allRuns,"warmup":$warmupJson}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core40":$core40Json,"queries":$qs,"errors":$errors,"sf":"$sfDir","runs":$allRuns,"warmup":$warmupJson,"bytes":$bytesJson}""")
     spark.stop()
   }
 }

@@ -907,7 +907,19 @@ object Similarity {
       col(vecCol).as("b_vec"), col("n2").as("b_n2"))
     val doBroadcast = broadcastBlocks.getOrElse {
       val est = emb.queryExecution.optimizedPlan.stats.sizeInBytes
-      est <= BigInt(MaxBroadcastBlockBytes)
+      // A checkpointed LogicalRDD reports defaultSizeInBytes
+      // (Long.MaxValue) — not an estimate at all. Trusting it here
+      // silently forced the shuffle form for every checkpointed
+      // caller (the d=256 spec fixtures and ProfileMain's crossover
+      // runs), so the published "exact" wall times measured the
+      // ~4x-slower sort-merge shape. When stats are dead, size from
+      // counted rows × schema row width like cellTopKNeighbors.
+      if (est < BigInt(Long.MaxValue) / 4) est <= BigInt(MaxBroadcastBlockBytes)
+      else {
+        val agg = withNorm.agg(count(lit(1)), max(size(col(vecCol)))).first()
+        val n = agg.getLong(0)
+        n == 0L || n * (80L + 4L * agg.getInt(1)) <= MaxBroadcastBlockBytes
+      }
     }
     val b = if (doBroadcast) broadcast(b0) else b0
     val topkF = graft.functions.TopKAgg.topK(k)

@@ -820,6 +820,29 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- m11: ISO-BMFF/MP4 container header triage (box walk) ----
+    // Completes the media-triage matrix (PNG m10, WAV header in m6)
+    // for the container family where fixed offsets DON'T work: MP4
+    // metadata lives behind a box-length walk (moov before or after
+    // an arbitrary-size mdat, free padding, udta siblings — the
+    // fixture exercises every layout). The walk is a bounded unrolled
+    // chain of substr/hex/conv expressions — codegen'd scan-stage
+    // math, zero shuffles, zero codec CPU: at 100 TB this is what
+    // routes a mixed media corpus to per-type decode pools and prunes
+    // sub-second clips without reading past the header bytes. The
+    // oracle replays expected facts from generation params alone;
+    // agreement proves the engine recovered them from raw container
+    // bytes. Non-BMFF payloads surface as is_bmff=false rows (spec'd
+    // in MultimodalSpec), never as garbage dimensions.
+    QueryDef("m11_mp4_header_scan", graft.fixtures.Video.oracleSql) {
+      (s, dir) =>
+        graft.operators.Bmff.triage(graft.fixtures.Video.mp4Payloads(s))
+          .where(col("is_bmff"))
+          .select("doc_id", "brand", "width", "height", "timescale",
+            "duration", "duration_ms")
+          .orderBy("doc_id")
+    },
+
     // ---- blocked edit-distance (Levenshtein) near-dup pairs ----
     // The character-level complement to token Jaccard (d6) and
     // hash sketches (d7/d8): catches small in-place edits that shift

@@ -154,9 +154,11 @@ class CurationSpec extends AnyFunSuite {
       spans.sliding(2).foreach {
         case Array((_, e1), (s2, _)) =>
           assert(s2 <= e1 + 1, s"gap at n=$n: $spans")
-          // stride law: consecutive starts differ by exactly 48
-          // (16-token overlap while both chunks are full)
-          assert(s2 - spans.head._1 % 48 >= 0)
+          // overlap law: a full earlier chunk shares exactly 16
+          // tokens with its successor; only the final (possibly
+          // clipped) chunk may end at the doc boundary instead
+          assert(e1 - s2 + 1 == 16L || e1 == n.toLong,
+            s"overlap at n=$n: $spans")
         case _ =>
       }
       spans.map(_._1).sliding(2).foreach {

@@ -293,4 +293,53 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.AHashDecoder.decode(graft.fixtures.Images.encodePng(7, 9, 1))
     }
   }
+  test("Bmff.triage: every fixture layout parses to its generation params") {
+    // the fixture varies box ORDER (moov-first vs mdat-first), free
+    // padding, and udta siblings — a fixed-offset parser fails half
+    // the specs; agreement across all of them proves the box walk
+    val out = graft.operators.Bmff.triage(
+        graft.fixtures.Video.mp4Payloads(spark))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (sp <- graft.fixtures.Video.specs) {
+      val r = out(sp.doc_id)
+      assert(r.getAs[Boolean]("is_bmff"), s"doc ${sp.doc_id} not bmff")
+      assert(r.getAs[String]("brand") == "isom")
+      assert(r.getAs[Long]("width") == sp.w.toLong, s"doc ${sp.doc_id} width")
+      assert(r.getAs[Long]("height") == sp.h.toLong)
+      assert(r.getAs[Long]("timescale") == sp.timescale.toLong)
+      assert(r.getAs[Long]("duration") == sp.duration.toLong)
+      assert(r.getAs[Long]("duration_ms") ==
+        1000L * sp.duration / sp.timescale)
+    }
+  }
+
+  test("Bmff.triage: non-MP4 payloads surface loud, never as garbage dims") {
+    // triage contract: junk rows keep their id with is_bmff=false and
+    // NULL facts — they are routed, not crashed on and never parsed
+    // into plausible-looking dimensions (PNG bytes here would yield
+    // garbage width if the signature gate leaked)
+    val junk = Seq(
+      (100L, graft.fixtures.Images.encodePng(8, 5, 3)), // a real PNG
+      (101L, "plain text, far too short".getBytes("UTF-8")),
+      (102L, Array.emptyByteArray),
+      (103L, Array.fill(32)(0.toByte))) // right length, no ftyp
+      .toDF("doc_id", "payload")
+    val out = graft.operators.Bmff.triage(junk).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 4) // every row surfaced
+    for ((id, r) <- out) {
+      assert(!r.getAs[Boolean]("is_bmff"), s"doc $id misclassified")
+      assert(r.isNullAt(r.fieldIndex("width")), s"doc $id leaked width")
+      assert(r.isNullAt(r.fieldIndex("duration_ms")))
+    }
+    // and a truncated-but-signed file (ftyp present, moov missing)
+    // keeps is_bmff=true with NULL facts: surfaced as "signed but
+    // unparseable", the distinction a triage router needs
+    val truncated = Seq((104L,
+      graft.fixtures.Video.encodeMp4(graft.fixtures.Video.specs.head)
+        .take(24))).toDF("doc_id", "payload")
+    val t = graft.operators.Bmff.triage(truncated).collect().head
+    assert(t.getAs[Boolean]("is_bmff"))
+    assert(t.isNullAt(t.fieldIndex("width")))
+  }
 }
