@@ -294,6 +294,110 @@ object DocStream {
       .select("doc_id", "dup_of", "jaccard_bp")
   }
 
+  /** Ingest-time SEMANTIC near-dup admission — the streaming twin of
+    * the s17/d17 cell discipline (batch `Similarity.cellTopKNeighbors`
+    * / `semanticDedup` are the at-rest half): each arriving vector is
+    * scored against the broadcast centroid pack ROW-LOCALLY (a HOF
+    * over the one-row centroid array — same integer skey and
+    * lowest-ordinal tiebreak as `ivfProbeAssignments`, so the probe
+    * sets match the batch assignment bit-for-bit), explodes to its
+    * `nprobe` probe cells, and equi-joins the STATIC corpus's probe
+    * memberships on cell_id — a stream-static join, STATELESS by
+    * construction. Survivors of the exact quantized-cosine threshold
+    * emit (vec_id, dup_of, cos_bp) admission verdicts; the only state
+    * anywhere is the watermark-bounded pair dedup (a pair can arrive
+    * via up to nprobe shared cells).
+    *
+    * Candidate COMPLETENESS equals the batch operator's by
+    * construction: identical probe sets ⇒ identical probe-intersect
+    * candidate pairs ⇒ every `cellTopKNeighbors` edge at or above the
+    * threshold appears here with a bit-identical cos_bp (the
+    * StreamingSpec parity case pins both directions on one horizon).
+    *
+    * Scale shape: the static side is s17's build side verbatim —
+    * probe memberships sized n·nprobe, broadcast under the counted
+    * [[graft.operators.Similarity.MaxBroadcastBlockBytes]] gate,
+    * cell-keyed shuffle past it; per-arriving-vector work is
+    * K-centroid scoring + ~nprobe·cellsize candidates, input-rate
+    * bound, state O(pairs inside the horizon). Backfills go through
+    * the batch path (the minhashCandidates lambda split verbatim).
+    */
+  def semanticAdmission(vecs: DataFrame, corpus: DataFrame,
+      centroidIds: Seq[Long], nprobe: Int = 4, minCosBp: Int = 2500,
+      horizonMinutes: Int = 60): DataFrame = {
+    import graft.operators.Similarity
+    val sess = corpus.sparkSession
+    graft.functions.QuantizedDot.register(sess)
+    // ---- static side (built once through the batch codegen path) ----
+    val sortedIds = centroidIds.sorted
+    val ordArr = array(sortedIds.map(lit(_)): _*)
+    val withNorm = corpus.select(col("vec_id").as("dup_of"),
+      col("embedding").as("c_vec"), expr("qdot(embedding, embedding)").as("c_n2"))
+    val mem0 = Similarity.ivfProbeAssignments(corpus, centroidIds, nprobe)
+      .select(col("vec_id").as("dup_of"), col("cell_id"))
+      .join(withNorm, Seq("dup_of"))
+      .repartition(sess.sessionState.conf.numShufflePartitions)
+      .localCheckpoint(true)
+    // counted-rows broadcast gate (checkpointed stats are dead — the
+    // cellTopKNeighbors lesson verbatim)
+    val (nMem, dim) = {
+      val r = mem0.agg(count(lit(1)), max(size(col("c_vec")))).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+    }
+    val mem =
+      if (nMem * (80L + 4L * dim) <= Similarity.MaxBroadcastBlockBytes)
+        broadcast(mem0)
+      else mem0
+    // one-row centroid pack: ord-sorted array<struct(ord, cv, cn2)>
+    val centPack = corpus.filter(col("vec_id").isin(centroidIds: _*))
+      .select(
+        (array_position(ordArr, col("vec_id")) - 1).cast("long").as("ord"),
+        col("embedding").as("cv"),
+        expr("qdot(embedding, embedding)").as("cn2"))
+      .agg(sort_array(collect_list(struct(col("ord"), col("cv"),
+        col("cn2")))).as("cents"))
+      .localCheckpoint(true)
+    // ---- stream side: all row-local until the membership join ----
+    val scored = vecs
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", s"$horizonMinutes minutes")
+      .crossJoin(broadcast(centPack)) // 1 static row: stateless attach
+      .withColumn("n2", expr("qdot(embedding, embedding)"))
+      // ivfProbeAssignments' integer skey, evaluated per row: sign-
+      // preserved (qd²·100) div cn2, ties to the lowest cell ordinal
+      .withColumn("probes", expr(
+        s"""slice(array_sort(
+           |  transform(
+           |    transform(cents, c -> named_struct(
+           |      'qd', CAST(qdot(embedding, c.cv) AS BIGINT),
+           |      'cn2', c.cn2, 'ord', c.ord)),
+           |    s -> named_struct(
+           |      'skey', CASE WHEN s.qd >= 0
+           |        THEN (s.qd * s.qd * 100) DIV s.cn2
+           |        ELSE -((s.qd * s.qd * 100) DIV s.cn2) END,
+           |      'ord', s.ord)),
+           |  (l, r) -> CASE WHEN l.skey > r.skey THEN -1
+           |                 WHEN l.skey < r.skey THEN 1
+           |                 WHEN l.ord < r.ord THEN -1
+           |                 WHEN l.ord > r.ord THEN 1 ELSE 0 END),
+           |  1, $nprobe)""".stripMargin))
+      .select(col("vec_id"), col("ets"), col("embedding"), col("n2"),
+        explode(col("probes")).as("p"))
+      .withColumn("cell_id",
+        element_at(ordArr, (col("p.ord") + 1).cast("int")))
+    scored
+      .join(mem, Seq("cell_id")) // stream-static equi-join: stateless
+      .where(col("vec_id") =!= col("dup_of"))
+      .withColumn("dot", expr("qdot(embedding, c_vec)"))
+      .withColumn("cos_bp", expr(
+        "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / " +
+          "(sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(c_n2 AS DOUBLE)))) AS BIGINT)"))
+      .where(col("cos_bp") >= minCosBp)
+      .select(col("vec_id"), col("dup_of"), col("cos_bp"), col("ets"))
+      .dropDuplicatesWithinWatermark("vec_id", "dup_of")
+      .select("vec_id", "dup_of", "cos_bp")
+  }
+
   case class DocRec(lang: String, doc_id: Long, text: String)
   case class TokenSketch(lang: String, tokens: Seq[String], counts: Seq[Long])
 

@@ -1079,4 +1079,82 @@ class StreamingSpec extends AnyFunSuite {
     // from the batch result
     assert(a(3L) == ((0L, 0L, 0L, true)) && !ref.contains(3L))
   }
+
+  test("semanticAdmission: stream candidates == batch probe-intersect set; cellTopKNeighbors edges contained") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.{col, expr, lit, count}
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val n = corpus.count()
+    val kCells = math.max(8L, n / 500L).toInt
+    val cents = (0 until kCells).map(i => i * (n / kCells))
+    val minCos = 2000
+
+    // batch reference 1: the probe-intersect candidate set — identical
+    // probe assignment law, so the stream must reproduce it EXACTLY
+    graft.functions.QuantizedDot.register(spark)
+    val probes = Similarity.ivfProbeAssignments(corpus, cents, 4)
+      .select(col("vec_id"), col("cell_id")).localCheckpoint(true)
+    val withNorm = corpus.withColumn("n2", expr("qdot(embedding, embedding)"))
+    val a = probes.join(withNorm, Seq("vec_id"))
+      .select(col("cell_id"), col("vec_id").as("a_id"),
+        col("embedding").as("a_vec"), col("n2").as("a_n2"))
+    val b = probes.join(withNorm, Seq("vec_id"))
+      .select(col("cell_id"), col("vec_id").as("b_id"),
+        col("embedding").as("b_vec"), col("n2").as("b_n2"))
+    val batchPairs = a.join(b, Seq("cell_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("dot", expr("qdot(a_vec, b_vec)"))
+      .withColumn("cos_bp", expr(
+        "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / " +
+          "(sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(b_n2 AS DOUBLE)))) AS BIGINT)"))
+      .where(col("cos_bp") >= minCos)
+      .select("a_id", "b_id", "cos_bp").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchPairs.nonEmpty, "fixture produced no candidate pairs")
+
+    // stream the SAME vectors as arrivals, split across two
+    // micro-batches (cross-batch parity: the join is stream-static,
+    // so batch boundaries must not change the emitted set)
+    // arrivals in event-time order (collect() is partition order; an
+    // out-of-order split would make half the second batch LATE past
+    // the first batch's watermark and the dedup would drop it — a
+    // test-harness artifact, not an operator property)
+    // ts starts one minute AFTER epoch: a row at exactly the initial
+    // watermark (epoch 0) is filtered as late by the stateful dedup —
+    // an artifact of the synthetic clock, not a real arrival pattern
+    val rows = corpus.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray, (r.getLong(0) + 1) * 60L * 1000000000L))
+      .sortBy(_._3)
+    val mem = MemoryStream[(Long, Array[Float], Long)]
+    val vecs = mem.toDF().toDF("vec_id", "embedding", "ts")
+    val out = graft.streaming.DocStream.semanticAdmission(
+      vecs, corpus, cents, nprobe = 4, minCosBp = minCos)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sem_admit_out").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("sem_admit_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // exact two-way parity with the batch candidate set
+      assert(got == batchPairs,
+        s"stream=${got.size} batch=${batchPairs.size} " +
+          s"onlyStream=${(got -- batchPairs).take(3)} " +
+          s"onlyBatch=${(batchPairs -- got).take(3)}")
+      // and every batch top-k edge at/above the threshold is present
+      // with a bit-identical cos_bp (candidate completeness)
+      val topk = Similarity.cellTopKNeighbors(corpus, k = 3,
+          minCosBp = minCos, centroidIds = cents, nprobe = 4)
+        .select("a_id", "b_id", "cos_bp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(topk.nonEmpty && topk.subsetOf(got),
+        s"missing topk edges: ${(topk -- got).take(3)}")
+    } finally q.stop()
+  }
 }
