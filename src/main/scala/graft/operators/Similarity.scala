@@ -1155,6 +1155,60 @@ object Similarity {
         col("col").getField("score").as("cos_bp"))
   }
 
+  /** Probe-intersect above-threshold cosine EDGES over corpus-scaled
+    * IVF cells — the edge-generation sibling of [[cellTopKNeighbors]]
+    * (same assignment law, same symmetric nprobe candidate contract,
+    * same bounded-cell guard and counted broadcast gate), emitting
+    * the distinct canonical (a_id < b_id, cos_bp ≥ threshold) pair
+    * set instead of per-vector top-k. This is the scale-path edge
+    * input for embedding dup CLUSTERING (d27): candidate work is
+    * Σ members(cell)² ≈ n·nprobe²·cellsize — linear with
+    * corpus-scaled K — where [[blockedCosinePairs]]' label blocks
+    * grow with the corpus and its pair volume is quadratic by
+    * contract (the d12 audit form). Deterministic end to end: the
+    * integer probe law + exact quantized cosine make the edge set a
+    * pure function of the corpus, so a SQL oracle replays it (unlike
+    * an LSH candidate set, whose misses are probabilistic).
+    */
+  def cellCosinePairs(emb: DataFrame, minCosBp: Int,
+      centroidIds: Seq[Long], nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCellRows: Long = 100000L,
+      broadcastMembers: Option[Boolean] = None): DataFrame = {
+    val reg = registered(emb)
+    val probes = ivfProbeAssignments(reg, centroidIds, nprobe,
+      idCol, vecCol).localCheckpoint(true)
+    val totalMembers = requireBoundedCells(probes, maxCellRows)
+    val withNorm = reg.select(col(idCol), col(vecCol))
+      .withColumn("n2", qnorm2(vecCol))
+    // same materialize-once membership discipline as
+    // cellTopKNeighbors: pair-volume-derived partition count,
+    // cell-sorted for probe locality
+    val mem = probes.select(col(idCol), col("cell_id"))
+      .join(withNorm, Seq(idCol))
+      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
+      .sortWithinPartitions(col("cell_id"))
+      .localCheckpoint(true)
+    val a = mem.select(col("cell_id"), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"), col("n2").as("a_n2"))
+    val b0 = mem.select(col("cell_id"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"), col("n2").as("b_n2"))
+    val dim = reg.select(size(col(vecCol))).first().getInt(0)
+    val memBytes = totalMembers * (80L + 4L * dim)
+    val doBroadcast = broadcastMembers.getOrElse(
+      memBytes <= MaxBroadcastBlockBytes)
+    val b = if (doBroadcast) broadcast(b0) else b0.hint("SHUFFLE_HASH")
+    a.join(b, Seq("cell_id"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("dot", qdot("a_vec", "b_vec"))
+      .withColumn("cos_bp", expr(
+        "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(b_n2 AS DOUBLE)))) AS BIGINT)"))
+      .where(col("cos_bp") >= minCosBp)
+      // a pair surviving the threshold may share up to nprobe cells
+      .select(col("a_id"), col("b_id"), col("cos_bp"))
+      .distinct()
+  }
+
   /** Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
     * 1998): greedily pick `k` results that balance relevance to the
     * query against redundancy with what is already picked —

@@ -425,6 +425,85 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // ---- embedding dup clusters over BOUNDED CELLS (d12's scale path) ----
+    // Same end product as d12 — connected near-dup components at
+    // cos ≥ 0.30 — but the edge generation is the s17 cell
+    // discipline instead of label blocks: corpus-scaled IVF cells
+    // (K = max(8, n/500)), symmetric nprobe=4 probe-intersect
+    // candidates, exact quantized-cosine verify. Label blocks grow
+    // WITH the corpus, so d12's edge volume is quadratic by contract
+    // (its honest audit role); cells hold ~500 rows at every sf, so
+    // this form's candidate work is linear — the d17/s17 argument
+    // applied to the clustering end product. The probe law is
+    // integer-deterministic, so the edge set — and therefore the
+    // cluster set — is a pure function of the corpus and the oracle
+    // replays ALL of it: assignment, probe ranking, intersect pairs,
+    // threshold, then recursive-CTE reachability. Differs from d12
+    // only on true edges straddling all four probe cells of both
+    // endpoints (the measured 0.997-recall regime).
+    QueryDef("d27_cell_dup_clusters",
+      """WITH RECURSIVE nn AS (SELECT COUNT(*) AS n, GREATEST(8, COUNT(*) // 500) AS k FROM embeddings),
+        |cids AS (SELECT unnest(range(0, (SELECT k FROM nn))) * (SELECT n // k FROM nn) AS cid),
+        |eq AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vq
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT e.vec_id AS cell_id, e.vq AS cv,
+        |    CAST(list_sum(list_transform(e.vq, x -> x*x)) AS BIGINT) AS cn2
+        |  FROM eq e JOIN cids ON e.vec_id = cids.cid
+        |), skeys AS (
+        |  SELECT vec_id, cell_id,
+        |    CASE WHEN qd >= 0 THEN (qd*qd*100) // cn2
+        |         ELSE -((qd*qd*100) // cn2) END AS skey
+        |  FROM (
+        |    SELECT eq.vec_id, cents.cell_id, cents.cn2,
+        |      CAST(list_sum(list_transform(list_zip(eq.vq, cents.cv),
+        |        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS qd
+        |    FROM eq CROSS JOIN cents) t
+        |), pr AS (
+        |  SELECT vec_id, cell_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY skey DESC, cell_id) AS prk
+        |  FROM skeys
+        |), v AS (
+        |  SELECT vec_id, vq,
+        |    CAST(list_sum(list_transform(vq, x -> x*x)) AS BIGINT) AS n2
+        |  FROM eq
+        |), cp AS (
+        |  SELECT DISTINCT pa.vec_id AS a_id, pb.vec_id AS b_id
+        |  FROM (SELECT vec_id, cell_id FROM pr WHERE prk <= 4) pa
+        |  JOIN (SELECT vec_id, cell_id FROM pr WHERE prk <= 4) pb
+        |    ON pa.cell_id = pb.cell_id AND pa.vec_id < pb.vec_id
+        |), pairs AS (
+        |  SELECT cp.a_id, cp.b_id
+        |  FROM cp
+        |  JOIN v x ON x.vec_id = cp.a_id
+        |  JOIN v y ON y.vec_id = cp.b_id
+        |  WHERE CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(x.vq, y.vq),
+        |      p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))) AS BIGINT) >= 3000
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id, a_id FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+        |)
+        |SELECT src AS vec_id, MIN(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val kCells = math.max(8L, n / 500L).toInt
+      val cents = (0 until kCells).map(i => i * (n / kCells))
+      graft.operators.Dedup.duplicateClustersLogN(
+        Similarity.cellCosinePairs(Tables.embeddings(s, dir),
+          minCosBp = 3000, centroidIds = cents, nprobe = 4))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    },
+
     // ---- product-quantization ADC top-k (full-pipeline oracle) ----
     // 8 subspaces × 8 dims, 16 designated codewords (vec_ids 1–16,
     // present at every sf). Because encoding, the query's ADC table,
