@@ -419,6 +419,15 @@ object SimilarityQueries {
       // min-label loop exercised; embedding clusters go through the
       // O(log n)-round variant — same fixpoint, fewer Spark rounds,
       // which is what dominates at bench scale)
+      // Quadratic-by-contract audit form, now fenced like the rest of
+      // the family (s16/d13 discipline): label blocks grow with the
+      // corpus (measured α 1.69 across the sf1→sf10 decade, 2.0e9
+      // pairs at sf10 — SF10_SPOT_r16), so the budget passes the
+      // measured decade and refuses ~sf25+, naming the linear path.
+      graft.operators.Dedup.requireBlockPairBudget(
+        Tables.embeddings(s, dir).select("label"), Seq("label"),
+        maxBlockPairs = 10000000000L,
+        scalePath = "cell-blocked clustering (d27_cell_dup_clusters)")
       graft.operators.Dedup.duplicateClustersLogN(
         Similarity.blockedCosinePairs(Tables.embeddings(s, dir), minCosBp = 3000))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
