@@ -1352,6 +1352,47 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- tokenizer fertility audit (per-language tokenizer QA) ----
+    // The acceptance gate a training pipeline runs on a tokenizer
+    // before committing a corpus to it: per language, words seen,
+    // subword tokens the trained BPE vocab produces for them
+    // (fertility = tokens/word, the standard multilingual-tokenizer
+    // quality number), and characters per token (compression). A
+    // fertility spike on one language is how under-trained vocabs
+    // are caught; byte-budget planning (tokens ≈ chars /
+    // chars_per_token) comes straight off this table. Reuses p26's
+    // memoized trained segmentation (one vocab-level train per sf,
+    // broadcast everywhere): the per-language rollup adds ONE
+    // fact-side groupBy over the word stream — map-combined to
+    // |langs| rows, nothing new materializes. Integer basis points
+    // (floor of a double ratio, the p26 idiom) keep it engine-exact.
+    QueryDef("p38_token_fertility",
+      bpeOracleCtes +
+        """, per AS (
+          |  SELECT dw.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+          |    CAST(SUM(e.n_sub) AS BIGINT) AS n_subwords,
+          |    CAST(SUM(len(dw.w)) AS BIGINT) AS n_chars
+          |  FROM docw dw JOIN enc e ON dw.w = e.w GROUP BY dw.lang
+          |)
+          |SELECT lang, n_words, n_subwords, n_chars,
+          |  CAST(floor(10000.0 * n_subwords / n_words) AS BIGINT) AS fertility_bp,
+          |  CAST(floor(100.0 * n_chars / n_subwords) AS BIGINT) AS chars_per_token_c
+          |FROM per ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+        .join(broadcast(bpeEnc(s, dir)), Seq("w"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"),
+          sum(length(col("w"))).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_subwords"), col("n_chars"),
+          floor(lit(10000.0) * col("n_subwords") / col("n_words"))
+            .cast("long").as("fertility_bp"),
+          floor(lit(100.0) * col("n_chars") / col("n_subwords"))
+            .cast("long").as("chars_per_token_c"))
+        .orderBy("lang")
+    },
+
     // ---- sequence packing in SUBWORD units (p13 × p26) ----
     // p13 packs training sequences by whitespace-token budget; real
     // LLM context budgets are subword budgets, so this packs the same
