@@ -97,6 +97,41 @@ object Images {
     * a non-image `README.txt` is planted deliberately so the reader's
     * `pathGlobFilter` has something real to exclude.
     */
+  /** The same spec'd images encoded as JPEG (TYPE_BYTE_GRAY → one
+    * component, 8-bit precision) — the m12 header-triage input. JPEG
+    * is lossy, so pixel values are NOT oracle material here; the SOF
+    * header facts (dimensions, precision, component count) are, and
+    * those are exact and encoder-independent.
+    */
+  def encodeJpeg(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, pixel(x, y, seed))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "jpg", out), "no JPEG writer available")
+    out.toByteArray
+  }
+
+  /** The fixture as JPEG payloads (doc_id, payload: binary), encoded
+    * on executors like [[pngPayloads]].
+    */
+  def jpegPayloads(s: SparkSession): DataFrame = {
+    import s.implicits._
+    specs.map(t => SpecRow(t._1, t._2, t._3, t._4))
+      .toDS()
+      .repartition(4)
+      .map(r => PayloadRow(r.doc_id, encodeJpeg(r.w, r.h, r.seed)))
+      .toDF()
+  }
+
   def writePngDir(dir: String): String = {
     val root = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(root)

@@ -843,6 +843,32 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
+    // ---- m12: JPEG header triage (SOF marker walk) ----
+    // Completes the triage matrix's third parse class: PNG is fixed
+    // offsets (m10), ISO-BMFF is a length-prefixed box walk (m11),
+    // JPEG is a MARKER walk — variable-length FF-prefixed segments
+    // whose count before SOFn differs by encoder, so dimensions are
+    // only reachable by segment-length arithmetic. Same named-column
+    // unroll, codegen'd scan-stage math, zero shuffles, zero decode.
+    // JPEG is lossy so only the exact header facts are oracle
+    // material: SOF dimensions must equal the generation specs,
+    // precision 8, one component (grayscale). Non-JPEG payloads
+    // surface as is_jpeg=false rows (MultimodalSpec).
+    QueryDef("m12_jpeg_header_scan", {
+      val values = graft.fixtures.Images.specs
+        .map(t => s"(${t._1}, ${t._2}, ${t._3})").mkString(", ")
+      s"""WITH imgs(img_id, w, h) AS (VALUES $values)
+         |SELECT img_id AS doc_id, CAST(8 AS BIGINT) AS precision,
+         |  CAST(h AS BIGINT) AS height, CAST(w AS BIGINT) AS width,
+         |  CAST(1 AS BIGINT) AS components
+         |FROM imgs ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Jpeg.triage(graft.fixtures.Images.jpegPayloads(s))
+        .where(col("is_jpeg"))
+        .select("doc_id", "precision", "height", "width", "components")
+        .orderBy("doc_id")
+    },
+
     // ---- blocked edit-distance (Levenshtein) near-dup pairs ----
     // The character-level complement to token Jaccard (d6) and
     // hash sketches (d7/d8): catches small in-place edits that shift

@@ -342,4 +342,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.getAs[Boolean]("is_bmff"))
     assert(t.isNullAt(t.fieldIndex("width")))
   }
+
+  test("Jpeg.triage: real encoder bytes parse to spec dims across all sizes") {
+    // javax.imageio's JFIF layout (APP0 + DQT(s) + SOF0 + ...) varies
+    // in segment count; agreement across every spec including 1x1 and
+    // 64x48 proves the marker WALK, not an offset guess
+    val out = graft.operators.Jpeg.triage(
+        graft.fixtures.Images.jpegPayloads(spark))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, w, h, _) <- graft.fixtures.Images.specs) {
+      val r = out(id)
+      assert(r.getAs[Boolean]("is_jpeg"))
+      assert(r.getAs[Long]("width") == w.toLong, s"img $id width")
+      assert(r.getAs[Long]("height") == h.toLong, s"img $id height")
+      assert(r.getAs[Long]("precision") == 8L)
+      assert(r.getAs[Long]("components") == 1L)
+    }
+  }
+
+  test("Jpeg.triage: non-JPEG and truncated payloads surface, never crash") {
+    val junk = Seq(
+      (200L, graft.fixtures.Images.encodePng(8, 5, 3)), // PNG bytes
+      (201L, Array.emptyByteArray),
+      (202L, Array[Byte](0xFF.toByte, 0xD8.toByte, // SOI + EOI: signed,
+        0xFF.toByte, 0xD9.toByte)), // no frame header
+      (203L, "text".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = graft.operators.Jpeg.triage(junk).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 4)
+    assert(!out(200L).getAs[Boolean]("is_jpeg"))
+    assert(!out(201L).getAs[Boolean]("is_jpeg"))
+    assert(!out(203L).getAs[Boolean]("is_jpeg"))
+    // signed but headerless: surfaced as is_jpeg=true with NULL facts
+    assert(out(202L).getAs[Boolean]("is_jpeg"))
+    assert(out(202L).isNullAt(out(202L).fieldIndex("width")))
+  }
+
+  test("Bmff.triage: lying box lengths stall the walk safely (fuzz)") {
+    // adversarial containers: a box claiming size 0 (walk would loop
+    // in place without the >=8 step guard), a box claiming a size far
+    // past EOF, and a moov whose claimed size truncates mid-child —
+    // all must surface as NULL facts, never wrong ones, never a throw
+    import java.nio.ByteBuffer
+    def raw(size: Int, tp: String, pay: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + pay.length)
+      bb.putInt(size); bb.put(tp.getBytes("US-ASCII")); bb.put(pay)
+      bb.array()
+    }
+    val ftyp = raw(24, "ftyp",
+      "isom".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0) ++
+        "isomavc1".getBytes("US-ASCII"))
+    val fuzz = Seq(
+      (300L, ftyp ++ raw(0, "free", Array.fill[Byte](8)(0))), // size 0
+      (301L, ftyp ++ raw(1 << 30, "mdat", Array.fill[Byte](16)(0))), // past EOF
+      (302L, ftyp ++ raw(16, "moov", Array.fill[Byte](64)(0)))) // truncating moov
+      .toDF("doc_id", "payload")
+    val out = graft.operators.Bmff.triage(fuzz).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, r) <- out) {
+      assert(r.getAs[Boolean]("is_bmff"), s"doc $id should keep signature")
+      assert(r.isNullAt(r.fieldIndex("width")), s"doc $id leaked width")
+      assert(r.isNullAt(r.fieldIndex("duration_ms")), s"doc $id leaked duration")
+    }
+  }
 }

@@ -180,4 +180,51 @@ class StreamSoakSpec extends AnyFunSuite {
         s"dedup state ($dedupRows) must track emitted pairs ($emitted)")
     } finally q.stop()
   }
+
+  test("soak: semanticAdmission joins statelessly (pair dedup is the only state)") {
+    // the embedding-modality sibling of the ppjoin soak: arriving
+    // vectors probe the static corpus cells; the join is stream-static
+    // (NO join state at any scale) and the only stateful operator is
+    // the watermark-bounded pair dedup, whose rows track EMITTED
+    // verdicts, never input volume
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val n = corpus.count()
+    val kCells = math.max(8L, n / 500L).toInt
+    val cents = (0 until kCells).map(i => i * (n / kCells))
+    val base = corpus.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float], Long)]
+    val vecs = mem.toDF().toDF("vec_id", "embedding", "ts")
+    val q = graft.streaming.DocStream.semanticAdmission(
+        vecs, corpus, cents, nprobe = 4, minCosBp = 2500)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("soak_semadmit_out").start()
+    try {
+      var id = 100000L
+      var t = 0L
+      for (batch <- 0 until 2 * soakScale) {
+        val rows = (0 until 500).map { i =>
+          id += 1; t += 60L * 1000000000L
+          // recycle real corpus vectors under fresh ids: every arrival
+          // lands in a populated cell and most emit verdicts
+          (id, base((i + batch * 37) % base.length)._2, t)
+        }
+        mem.addData(rows)
+        q.processAllAvailable()
+      }
+      val ops = stateOps(q)
+      assert(!ops.exists(_.operatorName.toLowerCase.contains("join")),
+        s"stream-static join must be stateless, got ${ops.map(_.operatorName)}")
+      val emitted = spark.table("soak_semadmit_out").count()
+      assert(emitted >= 100, s"soak should emit admission verdicts, got $emitted")
+      val dedupRows = ops.map(_.numRowsTotal).sum
+      println(s"[soak] semanticAdmission scale=$soakScale vecs=${2 * soakScale * 500} " +
+        s"emitted=$emitted dedupStateRows=$dedupRows")
+      assert(dedupRows <= emitted * 2,
+        s"dedup state ($dedupRows) must track emitted pairs ($emitted)")
+    } finally q.stop()
+  }
 }
