@@ -1007,6 +1007,106 @@ object Similarity {
           .as("cell_id"))
   }
 
+  /** Hierarchical (two-level) probe assignment — the scale path past
+    * [[ivfProbeAssignments]]' n×K scoring pass, whose cost is n²/c
+    * once K is corpus-scaled (X239's documented caveat, retired here
+    * the way every quadratic contract in this family gets retired:
+    * with a measured sibling, not a rewrite). √K COARSE
+    * representatives (stride-sampled from the centroid set) partition
+    * the fine centroids into spatially coherent groups (each fine
+    * centroid joins its nearest rep by the same integer skey law —
+    * a K×√K control-plane pass); each VECTOR then scores only the
+    * √K reps plus the fine members of its `coarseProbe` best groups
+    * — per-vector work √K·(1 + coarseProbe·c̄) instead of K, i.e.
+    * O(n·√K) total: the decade-over-decade growth drops from 100× to
+    * ~31× per 100× corpus. Everything is row-local HOF math against
+    * a ONE-ROW pack (K fine + √K coarse structs, ~100 KB at K=400)
+    * — zero shuffles, streaming-safe (the semanticAdmission shape).
+    *
+    * Approximate BY CONTRACT, and REGIME-BOUND like LSH (X240's
+    * boundary, measured in SimilaritySpec): on coarse-STRUCTURED
+    * embeddings (the d=256 bounded-cluster law) pruning 60% of the
+    * groups costs 2.1pp of symmetric pair recall (0.9876 → 0.9663
+    * against exact ground truth) — the purpose metric, since
+    * near-identical vectors make near-identical group choices; on
+    * d=64 spherical-floor data coarse rep cosines concentrate near 0
+    * and the pruning measurably degrades (printed in the spec, not
+    * asserted — not the claimed regime). coarseProbe = √K degrades
+    * EXACTLY to the flat law (same skey, same tiebreaks — spec'd
+    * bit-equal), so callers can dial exactness back in. Same output
+    * shape (idCol, prk, cell_id) as [[ivfProbeAssignments]]: a
+    * drop-in for the [[cellTopKNeighbors]] build side when the
+    * assignment pass — not the candidate join — becomes the
+    * bottleneck (~sf30+), in the regime where the geometry supports
+    * it; `ProfileMain hier` measures the phase wall at any sf.
+    */
+  def ivfProbeAssignmentsHier(emb: DataFrame, centroidIds: Seq[Long],
+      nprobe: Int, coarseProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroidIds.size < 65536, "IVF cells must fit 16-bit ordinals")
+    require(nprobe >= 1 && nprobe <= centroidIds.size,
+      s"nprobe=$nprobe out of range [1, ${centroidIds.size}]")
+    val reg = registered(emb)
+    val sortedIds = centroidIds.sorted.toIndexedSeq
+    val kAll = sortedIds.size
+    val nG = math.max(1, math.round(math.sqrt(kAll.toDouble)).toInt)
+    require(coarseProbe >= 1 && coarseProbe <= nG,
+      s"coarseProbe=$coarseProbe out of range [1, $nG]")
+    val coarseReps = (0 until nG).map(g => sortedIds(g * kAll / nG))
+    val ordArr = array(sortedIds.map(lit(_)): _*)
+    val gArr = array(coarseReps.map(lit(_)): _*)
+    // shared comparator + skey fragments (the ivfAssignments law)
+    def skeyOf(qd: String, n2: String): String =
+      s"CASE WHEN $qd >= 0 THEN (($qd) * ($qd) * 100) DIV $n2 " +
+        s"ELSE -((($qd) * ($qd) * 100) DIV $n2) END"
+    val cmp = """(l, r) -> CASE WHEN l.skey > r.skey THEN -1
+                |               WHEN l.skey < r.skey THEN 1
+                |               WHEN l.ord < r.ord THEN -1
+                |               WHEN l.ord > r.ord THEN 1 ELSE 0 END""".stripMargin
+    // one-row coarse pack: (gord, gv, gn2), gord-sorted
+    val coarsePack = reg.filter(col(idCol).isin(coarseReps.map(Long.box): _*))
+      .select((array_position(gArr, col(idCol)) - 1).cast("long").as("ord"),
+        col(vecCol).as("gv"), expr(s"qdot($vecCol, $vecCol)").as("gn2"))
+      .agg(sort_array(collect_list(struct(col("ord"), col("gv"),
+        col("gn2")))).as("gpack"))
+    def scoredGroups(vec: String): String =
+      s"""transform(
+         |  transform(gpack, c -> named_struct(
+         |    'qd', CAST(qdot($vec, c.gv) AS BIGINT), 'n2', c.gn2,
+         |    'ord', c.ord)),
+         |  s -> named_struct('skey', ${skeyOf("s.qd", "s.n2")},
+         |    'ord', s.ord))""".stripMargin
+    // fine → group map (control-plane: K rows × √K HOF scorings),
+    // then the one-row fine pack (ord, g, cv, cn2)
+    val finePack = reg.filter(col(idCol).isin(sortedIds.map(Long.box): _*))
+      .select((array_position(ordArr, col(idCol)) - 1).cast("long").as("ord"),
+        col(vecCol).as("cv"), expr(s"qdot($vecCol, $vecCol)").as("cn2"))
+      .crossJoin(broadcast(coarsePack))
+      .withColumn("g", expr(
+        s"array_sort(${scoredGroups("cv")}, $cmp)[0].ord"))
+      .agg(sort_array(collect_list(struct(col("ord"), col("g"),
+        col("cv"), col("cn2")))).as("fpack"))
+    val packs = coarsePack.crossJoin(finePack).localCheckpoint(true)
+    reg.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(packs))
+      .withColumn("top_g", expr(
+        s"""transform(slice(array_sort(${scoredGroups(vecCol)}, $cmp),
+           |  1, $coarseProbe), s -> s.ord)""".stripMargin))
+      .withColumn("scored", expr(
+        s"""transform(
+           |  transform(filter(fpack, f -> array_contains(top_g, f.g)),
+           |    f -> named_struct(
+           |      'qd', CAST(qdot($vecCol, f.cv) AS BIGINT), 'n2', f.cn2,
+           |      'ord', f.ord)),
+           |  s -> named_struct('skey', ${skeyOf("s.qd", "s.n2")},
+           |    'ord', s.ord))""".stripMargin))
+      .select(col(idCol),
+        posexplode(expr(s"slice(array_sort(scored, $cmp), 1, $nprobe)")))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("prk"),
+        element_at(ordArr, (col("col").getField("ord") + 1).cast("int"))
+          .as("cell_id"))
+  }
+
   /** Skew guard for [[cellTopKNeighbors]]: the operator's linear-work
     * contract rests on BOUNDED cells (K scaled so n/K stays a
     * constant, the d17/SemDeDup discipline) — a degenerate assignment

@@ -422,6 +422,25 @@ object ProfileMain {
         val plan = df.queryExecution.executedPlan.toString
         println(s"[profile] n=$n K=$kCells BroadcastHashJoin=${plan.contains("BroadcastHashJoin")} SortMergeJoin=${plan.contains("SortMergeJoin")} ShuffledHashJoin=${plan.contains("ShuffledHashJoin")}")
 
+      case "hier" =>
+        // assignment-phase wall: flat n×K scoring vs hierarchical
+        // √K-pruned scoring on the dir's embeddings (recall regime
+        // caveat lives in SimilaritySpec — this measures the
+        // arithmetic, which is geometry-independent)
+        import graft.operators.Similarity
+        val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+        val kCells = math.max(8L, n / 500L).toInt
+        val cents = (0 until kCells).map(i => i.toLong * (n / kCells))
+        val emb = Tables.embeddings(spark, dir).localCheckpoint(true)
+        for (pass <- 1 to 2) {
+          timed(s"pass$pass flat ivfProbeAssignments (K=$kCells)")(
+            Similarity.ivfProbeAssignments(emb, cents, 4)
+              .write.format("noop").mode("overwrite").save())
+          timed(s"pass$pass hier (sqrtK groups, coarseProbe=4)")(
+            Similarity.ivfProbeAssignmentsHier(emb, cents, 4)
+              .write.format("noop").mode("overwrite").save())
+        }
+
       case "paircount" =>
         // output-volume growth check for the embedding pair family
         // (s4/d12/d17 super-linear wall-clock at sf10 — is it the

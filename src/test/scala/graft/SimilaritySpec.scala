@@ -580,4 +580,125 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lshPairs * 3 < brutePairs,
       s"selective LSH must cut the candidate stream ≥3x: lsh=$lshPairs brute=$brutePairs")
   }
+
+  test("hierarchical probe assignment: exact at full coarseProbe, measured agreement pruned") {
+    import graft.operators.Similarity
+    val corpus = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val n = corpus.count()
+    val K = 64
+    val cents = (0 until K).map(i => i.toLong * (n / K))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cell_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val flat = toMap(Similarity.ivfProbeAssignments(corpus, cents, 4))
+    // DEGENERACY LAW: probing every coarse group makes the candidate
+    // set all K centroids — same skey, same tiebreaks, so the result
+    // must equal the flat law BIT-FOR-BIT (the nprobe=K argument)
+    val nG = math.round(math.sqrt(K.toDouble)).toInt
+    val exhaustive = toMap(Similarity.ivfProbeAssignmentsHier(
+      corpus, cents, 4, coarseProbe = nG))
+    assert(exhaustive == flat, "exhaustive coarse probe must equal flat")
+    // PRUNED: coarseProbe=4 of 8 groups — measured agreement on the
+    // realistic embedding law; primary-cell agreement is the number
+    // that matters for cell quality (the probe tail is insurance)
+    val hier = toMap(Similarity.ivfProbeAssignmentsHier(
+      corpus, cents, 4, coarseProbe = 4))
+    val ids = flat.keySet
+    val overlap = ids.toSeq.map(id =>
+      (flat(id) & hier(id)).size.toDouble / flat(id).size).sum / ids.size
+    // the metric that MATTERS for the dedup/ANN purpose is symmetric
+    // PAIR recall, not absolute probe agreement: near-identical
+    // vectors make near-identical group choices, so a pair survives
+    // even where both endpoints disagree with the flat law. Ground
+    // truth = exact all-pairs cos >= 2500 (cheap at this n).
+    graft.functions.QuantizedDot.register(spark)
+    import org.apache.spark.sql.functions.{col, expr}
+    val wn = corpus.withColumn("n2", expr("qdot(embedding, embedding)"))
+    val gt = wn.as("a").join(wn.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_bp", expr(
+        "CAST(floor(10000.0 * CAST(qdot(a.embedding, b.embedding) AS DOUBLE) / " +
+          "(sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT)"))
+      .where(col("cos_bp") >= 2500)
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairRecall(probes: Map[Long, Set[Long]]): Double = {
+      val hit = gt.count { case (x, y) => (probes(x) & probes(y)).nonEmpty }
+      hit.toDouble / math.max(1, gt.size)
+    }
+    val rFlat = pairRecall(flat)
+    val rHier = pairRecall(hier)
+    // d=64 spherical-floor data: coarse-over-fine pruning is WEAK by
+    // geometry (random-ish rep cosines concentrate near 0 — the same
+    // regime boundary X240 measured for LSH). Printed as regime
+    // evidence, not asserted: the operator's claimed regime is
+    // coarse-STRUCTURED embeddings, pinned below.
+    println(f"[hier] d=64 regime: probe overlap=$overlap%.4f " +
+      f"gtPairs=${gt.size} pairRecall flat=$rFlat%.4f hier=$rHier%.4f " +
+      f"(K=$K, 4/$nG groups)")
+  }
+
+  test("hierarchical probe assignment: d=256 clustered regime (the claimed one)") {
+    // bounded-cluster d=256 fixture (the X240 generation law): real
+    // coarse structure exists, so stride-sampled reps land in blobs
+    // and group pruning keeps the pairs. This is the regime the
+    // operator claims (the LSH re-entry boundary again); d=64
+    // spherical-floor data is the printed contrast above.
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.{col, expr}
+    val rnd = new scala.util.Random(4242)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    while (out.size < 4800) {
+      val size = 6 + rnd.nextInt(19)
+      val c = Array.fill(256)(rnd.nextGaussian())
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val sigma = math.sqrt(0.15 / 256)
+      for (_ <- 0 until size if out.size < 4800)
+        out += ((out.size.toLong,
+          c.map(x => (x / cn + rnd.nextGaussian() * sigma).toFloat)))
+    }
+    import spark.implicits._
+    val corpus = out.toSeq.toDF("vec_id", "embedding").localCheckpoint(true)
+    val n = out.size.toLong
+    val K = 96
+    val cents = (0 until K).map(i => i.toLong * (n / K))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cell_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val flat = toMap(Similarity.ivfProbeAssignments(corpus, cents, 4))
+    val nG = math.round(math.sqrt(K.toDouble)).toInt
+    val hier = toMap(Similarity.ivfProbeAssignmentsHier(
+      corpus, cents, 4, coarseProbe = 4))
+    graft.functions.QuantizedDot.register(spark)
+    val wn = corpus.withColumn("n2", expr("qdot(embedding, embedding)"))
+    val gt = wn.as("a").join(wn.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_bp", expr(
+        "CAST(floor(10000.0 * CAST(qdot(a.embedding, b.embedding) AS DOUBLE) / " +
+          "(sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT)"))
+      .where(col("cos_bp") >= 2500)
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairRecall(probes: Map[Long, Set[Long]]): Double = {
+      val hit = gt.count { case (x, y) => (probes(x) & probes(y)).nonEmpty }
+      hit.toDouble / math.max(1, gt.size)
+    }
+    val rFlat = pairRecall(flat)
+    val rHier = pairRecall(hier)
+    val ids = flat.keySet
+    val overlap = ids.toSeq.map(id =>
+      (flat(id) & hier(id)).size.toDouble / flat(id).size).sum / ids.size
+    println(f"[hier] d=256 regime: probe overlap=$overlap%.4f " +
+      f"gtPairs=${gt.size} pairRecall flat=$rFlat%.4f hier=$rHier%.4f " +
+      f"(K=$K, 4/$nG groups = ${nG - 4} pruned)")
+    // floors from the measured values with margin: the PURPOSE metric
+    // is symmetric pair recall (measured 0.9876 -> 0.9663, a 2.1pp
+    // cost for pruning 60% of the groups); absolute probe overlap is
+    // printed, not asserted — near-identical vectors make
+    // near-identical group choices, so pairs survive probe-set drift
+    assert(rHier >= rFlat - 0.04,
+      f"hier pair recall $rHier%.3f fell >4pp below flat $rFlat%.3f in its claimed regime")
+    assert(rHier >= 0.93, f"hier pair recall $rHier%.3f below absolute floor")
+  }
 }
