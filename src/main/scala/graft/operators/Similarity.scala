@@ -1019,9 +1019,17 @@ object Similarity {
     * √K reps plus the fine members of its `coarseProbe` best groups
     * — per-vector work √K·(1 + coarseProbe·c̄) instead of K, i.e.
     * O(n·√K) total: the decade-over-decade growth drops from 100× to
-    * ~31× per 100× corpus. Everything is row-local HOF math against
-    * a ONE-ROW pack (K fine + √K coarse structs, ~100 KB at K=400)
-    * — zero shuffles, streaming-safe (the semanticAdmission shape).
+    * ~31× per 100× corpus. EXECUTION VEHICLE MATTERS as much as the
+    * arithmetic, and it was measured: a row-local HOF formulation
+    * (one-row pack, per-row transform/filter lambdas) ran 30× SLOWER
+    * than flat at sf10 (74 s vs 2.2 s) — interpreted lambda
+    * evaluation and per-row struct allocation obliterate a 4×
+    * scoring reduction. This implementation is therefore two CODEGEN
+    * stages: the flat operator itself over the √K coarse reps
+    * (crossJoin(broadcast) into the TopKAgg heap), then an id-keyed
+    * rejoin fanned out to the probed groups' fine members via a
+    * broadcast K-row table — whole-stage codegen end to end, shuffle
+    * O(n·coarseProbe + n·nprobe).
     *
     * Approximate BY CONTRACT, and REGIME-BOUND like LSH (X240's
     * boundary, measured in SimilaritySpec): on coarse-STRUCTURED
@@ -1054,56 +1062,39 @@ object Similarity {
       s"coarseProbe=$coarseProbe out of range [1, $nG]")
     val coarseReps = (0 until nG).map(g => sortedIds(g * kAll / nG))
     val ordArr = array(sortedIds.map(lit(_)): _*)
-    val gArr = array(coarseReps.map(lit(_)): _*)
-    // shared comparator + skey fragments (the ivfAssignments law)
-    def skeyOf(qd: String, n2: String): String =
-      s"CASE WHEN $qd >= 0 THEN (($qd) * ($qd) * 100) DIV $n2 " +
-        s"ELSE -((($qd) * ($qd) * 100) DIV $n2) END"
-    val cmp = """(l, r) -> CASE WHEN l.skey > r.skey THEN -1
-                |               WHEN l.skey < r.skey THEN 1
-                |               WHEN l.ord < r.ord THEN -1
-                |               WHEN l.ord > r.ord THEN 1 ELSE 0 END""".stripMargin
-    // one-row coarse pack: (gord, gv, gn2), gord-sorted
-    val coarsePack = reg.filter(col(idCol).isin(coarseReps.map(Long.box): _*))
-      .select((array_position(gArr, col(idCol)) - 1).cast("long").as("ord"),
-        col(vecCol).as("gv"), expr(s"qdot($vecCol, $vecCol)").as("gn2"))
-      .agg(sort_array(collect_list(struct(col("ord"), col("gv"),
-        col("gn2")))).as("gpack"))
-    def scoredGroups(vec: String): String =
-      s"""transform(
-         |  transform(gpack, c -> named_struct(
-         |    'qd', CAST(qdot($vec, c.gv) AS BIGINT), 'n2', c.gn2,
-         |    'ord', c.ord)),
-         |  s -> named_struct('skey', ${skeyOf("s.qd", "s.n2")},
-         |    'ord', s.ord))""".stripMargin
-    // fine → group map (control-plane: K rows × √K HOF scorings),
-    // then the one-row fine pack (ord, g, cv, cn2)
-    val finePack = reg.filter(col(idCol).isin(sortedIds.map(Long.box): _*))
-      .select((array_position(ordArr, col(idCol)) - 1).cast("long").as("ord"),
-        col(vecCol).as("cv"), expr(s"qdot($vecCol, $vecCol)").as("cn2"))
-      .crossJoin(broadcast(coarsePack))
-      .withColumn("g", expr(
-        s"array_sort(${scoredGroups("cv")}, $cmp)[0].ord"))
-      .agg(sort_array(collect_list(struct(col("ord"), col("g"),
-        col("cv"), col("cn2")))).as("fpack"))
-    val packs = coarsePack.crossJoin(finePack).localCheckpoint(true)
-    reg.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(packs))
-      .withColumn("top_g", expr(
-        s"""transform(slice(array_sort(${scoredGroups(vecCol)}, $cmp),
-           |  1, $coarseProbe), s -> s.ord)""".stripMargin))
-      .withColumn("scored", expr(
-        s"""transform(
-           |  transform(filter(fpack, f -> array_contains(top_g, f.g)),
-           |    f -> named_struct(
-           |      'qd', CAST(qdot($vecCol, f.cv) AS BIGINT), 'n2', f.cn2,
-           |      'ord', f.ord)),
-           |  s -> named_struct('skey', ${skeyOf("s.qd", "s.n2")},
-           |    'ord', s.ord))""".stripMargin))
-      .select(col(idCol),
-        posexplode(expr(s"slice(array_sort(scored, $cmp), 1, $nprobe)")))
+    // fine centroid -> group: the flat probe law at nprobe=1 over the
+    // coarse reps (argmax skey, ties to lowest rep ordinal) — a
+    // K-row control-plane pass
+    val fineCents = reg.filter(col(idCol).isin(sortedIds.map(Long.box): _*))
+    val groups = ivfProbeAssignments(fineCents, coarseReps, 1, idCol, vecCol)
+      .select(col(idCol).as("__fid"), col("cell_id").as("grp"))
+    val cents = fineCents
+      .select(col(idCol).as("__fid"), col(vecCol).as("cent_vec"),
+        qnorm2(vecCol).as("cent_n2"),
+        (array_position(ordArr, col(idCol)) - 1).cast("long").as("ord"))
+      .join(groups, Seq("__fid"))
+      .localCheckpoint(true) // K rows: broadcast build side of stage 2
+    // stage 1: per-vector top-coarseProbe groups — n×√K codegen'd
+    // scoring through the SAME operator (crossJoin(broadcast) into
+    // the TopKAgg heap)
+    val vg = ivfProbeAssignments(reg, coarseReps, coarseProbe, idCol, vecCol)
+      .select(col(idCol), col("cell_id").as("grp"))
+    // stage 2: rejoin the vectors (id-keyed equi-join, n·coarseProbe
+    // rows), fan out to the probed groups' fine members via the
+    // broadcast K-row table, score, bounded heap — every stage
+    // codegen'd, shuffle O(n·nprobe)
+    val topkF = graft.functions.TopKAgg.topK(nprobe)
+    vg.join(reg.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(cents.drop("__fid")), Seq("grp"))
+      .withColumn("qd", expr(s"CAST(qdot($vecCol, cent_vec) AS BIGINT)"))
+      .withColumn("skey", expr(
+        "CASE WHEN qd >= 0 THEN (qd * qd * 100) DIV cent_n2 " +
+          "ELSE -((qd * qd * 100) DIV cent_n2) END"))
+      .groupBy(col(idCol))
+      .agg(topkF(col("skey"), col("ord")).getField("rows").as("tk"))
+      .select(col(idCol), posexplode(col("tk")))
       .select(col(idCol), (col("pos") + 1).cast("int").as("prk"),
-        element_at(ordArr, (col("col").getField("ord") + 1).cast("int"))
+        element_at(ordArr, (col("col").getField("id") + 1).cast("int"))
           .as("cell_id"))
   }
 
