@@ -90,9 +90,13 @@ object Bench {
     // before it ships. A listener accumulates task metrics; once()
     // reads the counters around each run, so bench_out.json carries
     // per-query max-over-runs bytes alongside the times. Queries run
-    // sequentially in this harness, so the delta attribution is exact
-    // (modulo stray stragglers from a prior query's cancelled stages,
-    // which only ever over-attribute — safe for a regression alarm).
+    // sequentially, but listener events arrive on an ASYNC bus: the
+    // last tasks' metrics can still be in flight when save() returns,
+    // so a raw delta is approximate in BOTH directions (late events
+    // bleed into the next query). once() therefore quiesces — polls
+    // until the counters stop moving, outside the timed span — before
+    // snapshotting; residual stragglers from cancelled stages still
+    // only over-attribute, which max-over-runs tolerates.
     val shuffleW = new java.util.concurrent.atomic.AtomicLong
     val memSpill = new java.util.concurrent.atomic.AtomicLong
     val diskSpill = new java.util.concurrent.atomic.AtomicLong
@@ -110,16 +114,34 @@ object Bench {
       })
     val bytesLedger = // name -> (maxShuffleWrite, maxMemSpill, maxDiskSpill)
       scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    // Drain the async listener bus: poll until the three counters hold
+    // still for one 25 ms beat (bounded at ~0.5 s). Runs OUTSIDE the
+    // timed span, so it costs ledger latency, not measured seconds.
+    def quiesce(): (Long, Long, Long) = {
+      var prev = (shuffleW.get, memSpill.get, diskSpill.get)
+      var tries = 0
+      var stable = false
+      while (!stable && tries < 20) {
+        Thread.sleep(25)
+        val cur = (shuffleW.get, memSpill.get, diskSpill.get)
+        stable = cur == prev
+        prev = cur
+        tries += 1
+      }
+      prev
+    }
     def once(name: String): Option[Double] = {
+      val (sw0, ms0, ds0) = quiesce()
       val t0 = System.nanoTime()
-      val (sw0, ms0, ds0) = (shuffleW.get, memSpill.get, diskSpill.get)
       try {
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val d = (shuffleW.get - sw0, memSpill.get - ms0, diskSpill.get - ds0)
+        val tQuery = (System.nanoTime() - t0) / 1e9
+        val (sw1, ms1, ds1) = quiesce()
+        val d = (sw1 - sw0, ms1 - ms0, ds1 - ds0)
         val p = bytesLedger.getOrElse(name, (0L, 0L, 0L))
         bytesLedger(name) =
           (math.max(p._1, d._1), math.max(p._2, d._2), math.max(p._3, d._3))
-        Some((System.nanoTime() - t0) / 1e9)
+        Some(tQuery)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

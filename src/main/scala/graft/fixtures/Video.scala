@@ -33,7 +33,7 @@ object Video {
     */
   final case class Spec(doc_id: Long, w: Int, h: Int, timescale: Int,
       duration: Int, mdatLen: Int, padLen: Int, moovLast: Boolean,
-      udta: Boolean)
+      udta: Boolean, version: Int = 0)
 
   val specs: Seq[Spec] = Seq(
     Spec(1L, 1920, 1080, 90000, 270000, 64, 0, moovLast = false, udta = false),
@@ -43,7 +43,26 @@ object Video {
     Spec(5L, 3840, 2160, 44100, 441000, 101, 8, moovLast = false, udta = false),
     Spec(6L, 854, 480, 1000, 600000, 9, 0, moovLast = true, udta = true),
     Spec(7L, 1, 1, 600, 1, 55, 16, moovLast = false, udta = true),
-    Spec(8L, 7680, 4320, 90000, 900001, 150, 0, moovLast = true, udta = false))
+    Spec(8L, 7680, 4320, 90000, 900001, 150, 0, moovLast = true, udta = false),
+    // version-1 FullBoxes (64-bit creation/modification/duration —
+    // what real muxers emit for long files or post-2038 clocks):
+    // every later field shifts +12 (mvhd) / +16..(tkhd), so a reader
+    // that ignores the version byte produces plausible WRONG facts.
+    // The >2^32 creation stamps below make a v0-offset misread land
+    // on garbage, which the spec + oracle would catch loudly.
+    Spec(9L, 2560, 1440, 90000, 123456789, 70, 0, moovLast = false,
+      udta = false, version = 1),
+    Spec(10L, 1920, 800, 600, 7200, 40, 8, moovLast = true,
+      udta = true, version = 1))
+
+  /** deterministic post-2038 creation/modification stamp (> 2^32) */
+  private def stamp(sp: Spec): Long = 0x100000000L + sp.doc_id * 1000L
+
+  private def u64(vs: Long*): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * vs.length)
+    vs.foreach(bb.putLong)
+    bb.array()
+  }
 
   private def box(tp: String, payload: Array[Byte]): Array[Byte] = {
     require(tp.length == 4, s"box type must be 4 chars: $tp")
@@ -74,20 +93,40 @@ object Video {
     * modification, TIMESCALE, DURATION, rate 1.0, volume 1.0,
     * reserved, matrix, 6 pre_defined, next_track_id.
     */
-  private def mvhd(sp: Spec): Array[Byte] = box("mvhd",
-    u32(0, 0, 0, sp.timescale.toLong, sp.duration.toLong, 0x10000L) ++
-      u16(0x0100, 0) ++ u32(0, 0) ++ matrix ++
-      u32(0, 0, 0, 0, 0, 0) ++ u32(2))
+  private def mvhd(sp: Spec): Array[Byte] =
+    if (sp.version == 0)
+      box("mvhd",
+        u32(0, 0, 0, sp.timescale.toLong, sp.duration.toLong, 0x10000L) ++
+          u16(0x0100, 0) ++ u32(0, 0) ++ matrix ++
+          u32(0, 0, 0, 0, 0, 0) ++ u32(2))
+    else
+      // version 1 (§8.2.2): u64 creation/modification, u32 timescale,
+      // u64 duration — every later field shifts +12 vs version 0
+      box("mvhd",
+        Array[Byte](1, 0, 0, 0) ++ u64(stamp(sp), stamp(sp)) ++
+          u32(sp.timescale.toLong) ++ u64(sp.duration.toLong) ++
+          u32(0x10000L) ++ u16(0x0100, 0) ++ u32(0, 0) ++ matrix ++
+          u32(0, 0, 0, 0, 0, 0) ++ u32(2))
 
   /** tkhd version 0 (§8.3.2, 92 bytes total): ver/flags(track enabled),
     * creation, modification, track_id, reserved, duration, reserved×2,
     * layer, alternate_group, volume, reserved, matrix, then WIDTH and
     * HEIGHT as 16.16 fixed point — integer pixels in the high 16 bits.
     */
-  private def tkhd(sp: Spec): Array[Byte] = box("tkhd",
-    u32(7, 0, 0, 1, 0, sp.duration.toLong, 0, 0) ++
-      u16(0, 0, 0, 0) ++ matrix ++
-      u32(sp.w.toLong << 16, sp.h.toLong << 16))
+  private def tkhd(sp: Spec): Array[Byte] =
+    if (sp.version == 0)
+      box("tkhd",
+        u32(7, 0, 0, 1, 0, sp.duration.toLong, 0, 0) ++
+          u16(0, 0, 0, 0) ++ matrix ++
+          u32(sp.w.toLong << 16, sp.h.toLong << 16))
+    else
+      // version 1 (§8.3.2): u64 creation/modification/duration —
+      // width/height land at +96/+100 instead of +84/+88
+      box("tkhd",
+        Array[Byte](1, 0, 0, 7) ++ u64(stamp(sp), stamp(sp)) ++
+          u32(1, 0) ++ u64(sp.duration.toLong) ++ u32(0, 0) ++
+          u16(0, 0, 0, 0) ++ matrix ++
+          u32(sp.w.toLong << 16, sp.h.toLong << 16))
 
   /** Deterministic mdat body: byte i = (i·7 + doc_id·13) mod 256. */
   private def mdat(sp: Spec): Array[Byte] = box("mdat",
@@ -138,7 +177,7 @@ object Video {
        |SELECT vid_id AS doc_id, 'isom' AS brand,
        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
        |  CAST(ts AS BIGINT) AS timescale, CAST(dur AS BIGINT) AS duration,
-       |  CAST((1000 * dur) // ts AS BIGINT) AS duration_ms
+       |  CAST((1000 * CAST(dur AS BIGINT)) // ts AS BIGINT) AS duration_ms
        |FROM vids ORDER BY doc_id""".stripMargin
   }
 }

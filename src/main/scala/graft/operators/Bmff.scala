@@ -43,6 +43,16 @@ object Bmff {
   private def u16(p: Column, off: Column): Column =
     conv(hex(p.substr(off.cast("int"), lit(2))), 16, 10).cast("long")
 
+  /** big-endian u64 at 1-based byte offset `off` (as long; real
+    * durations sit far below 2^63, so the signed cast is safe).
+    */
+  private def u64(p: Column, off: Column): Column =
+    conv(hex(p.substr(off.cast("int"), lit(8))), 16, 10).cast("long")
+
+  /** FullBox version byte (0-based offset 8 inside the box). */
+  private def fullBoxVersion(p: Column, off: Column): Column =
+    conv(hex(p.substr((off + 8L).cast("int"), lit(1))), 16, 10).cast("long")
+
   /** 4-char box type of the box starting at 1-based offset `off`. */
   private def boxType(p: Column, off: Column): Column =
     p.substr((off + lit(4L)).cast("int"), lit(4)).cast("string")
@@ -96,18 +106,33 @@ object Bmff {
     out = out.withColumn("__trak_end", col("__trak") + u32(p, col("__trak")))
     out = withBox(out, p, col("__trak") + 8L, col("__trak_end"),
       "tkhd", "__tkhd")
-    val timescale = u32(p, col("__mvhd") + 20L)
-    val duration = u32(p, col("__mvhd") + 24L)
-    // integer-exact ms: u32 values, so 1000·duration < 2^42 — the
-    // double floor-div is exact far past any real duration
+    // mvhd/tkhd are FullBoxes: version 1 widens creation/modification
+    // (and duration) to 64-bit, shifting every later field by +12/+16.
+    // Reading v1 at v0 offsets yields plausible-looking WRONG facts —
+    // the one failure mode triage's contract forbids — so every fact
+    // read branches on the version byte; an unknown version (>1)
+    // degrades to NULL, never to a misread.
+    val mvhdVer = fullBoxVersion(p, col("__mvhd"))
+    val tkhdVer = fullBoxVersion(p, col("__tkhd"))
+    val timescale = when(mvhdVer === 0L, u32(p, col("__mvhd") + 20L))
+      .when(mvhdVer === 1L, u32(p, col("__mvhd") + 28L))
+    val duration = when(mvhdVer === 0L, u32(p, col("__mvhd") + 24L))
+      .when(mvhdVer === 1L, u64(p, col("__mvhd") + 32L))
+    // integer-exact ms: the fixture pins duration < 2^32, so
+    // 1000·duration < 2^42 — the double floor-div is exact far past
+    // any real duration (a 2^42-tick stream at 90 kHz is ~1.5 years)
     val durationMs =
       when(timescale > 0L, floor(lit(1000L) * duration / timescale).cast("long"))
+    val width = when(tkhdVer === 0L, u16(p, col("__tkhd") + 84L))
+      .when(tkhdVer === 1L, u16(p, col("__tkhd") + 96L))
+    val height = when(tkhdVer === 0L, u16(p, col("__tkhd") + 88L))
+      .when(tkhdVer === 1L, u16(p, col("__tkhd") + 100L))
     out.select(
       col(idCol),
       isBmff.as("is_bmff"),
       when(isBmff, p.substr(9, 4).cast("string")).as("brand"),
-      when(isBmff, u16(p, col("__tkhd") + 84L)).as("width"),
-      when(isBmff, u16(p, col("__tkhd") + 88L)).as("height"),
+      when(isBmff, width).as("width"),
+      when(isBmff, height).as("height"),
       when(isBmff, timescale).as("timescale"),
       when(isBmff, duration).as("duration"),
       when(isBmff, durationMs).as("duration_ms"))

@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Jpeg {
 
-  /** segments walked before SOF must appear; JFIF writers emit
-    * APP0 + 1-2 DQT (+ optional COM/APPn) before SOFn
+  /** walk steps before SOF must appear; JFIF writers emit APP0 +
+    * 1-2 DQT (+ optional COM/APPn) before SOFn, and each T.81 fill
+    * byte consumes one step too — 16 covers several pads per boundary
+    * while the named-column unroll keeps the plan linear in the bound
     */
-  val MaxSegments = 10
+  val MaxSegments = 16
 
   private def u8(p: Column, off: Column): Column =
     conv(hex(p.substr(off.cast("int"), lit(1))), 16, 10).cast("long")
@@ -58,8 +60,15 @@ object Jpeg {
       val prev = col(o(i))
       val mk = u8(p, prev + 1L)
       val len = u16(p, prev + 2L)
+      // ITU T.81 §B.1.1.2: any number of 0xFF fill bytes may pad the
+      // gap before a marker. mk == 0xFF means `prev` sits on a pad
+      // byte, not a segment — step forward ONE byte (consuming one
+      // pad per unroll step) instead of misreading the marker byte
+      // as half of a length and derailing the walk.
       out = out.withColumn(o(i + 1),
-        when(prev.isNotNull && u8(p, prev) === 0xFFL &&
+        when(prev.isNotNull && u8(p, prev) === 0xFFL && mk === 0xFFL,
+          prev + 1L)
+        .when(prev.isNotNull && u8(p, prev) === 0xFFL &&
           !mk.isin(SofMarkers: _*) && mk =!= 0xDAL && len >= 2L,
           prev + 2L + len))
     }

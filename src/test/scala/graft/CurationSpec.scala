@@ -154,11 +154,12 @@ class CurationSpec extends AnyFunSuite {
       spans.sliding(2).foreach {
         case Array((_, e1), (s2, _)) =>
           assert(s2 <= e1 + 1, s"gap at n=$n: $spans")
-          // overlap law: a full earlier chunk shares exactly 16
-          // tokens with its successor; only the final (possibly
-          // clipped) chunk may end at the doc boundary instead
-          assert(e1 - s2 + 1 == 16L || e1 == n.toLong,
-            s"overlap at n=$n: $spans")
+          // overlap law: EVERY sliding pair shares exactly 16 tokens.
+          // The earlier chunk of a pair always has a successor, hence
+          // is never the clipped final chunk: it is full (64 tokens),
+          // and with stride 48 the overlap is 64-48 = 16 — no
+          // boundary exemption exists, so none is asserted.
+          assert(e1 - s2 + 1 == 16L, s"overlap at n=$n: $spans")
         case _ =>
       }
       spans.map(_._1).sliding(2).foreach {

@@ -379,6 +379,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(202L).isNullAt(out(202L).fieldIndex("width")))
   }
 
+  test("Jpeg.triage: 0xFF fill bytes before markers are skipped (T.81 B.1.1.2)") {
+    // ITU T.81 allows any number of 0xFF pad bytes before a marker;
+    // some encoders emit them. Splice pads in front of every marker of
+    // a real encoder file: a walk that reads `len` at a pad boundary
+    // derails (0xFF + half the true length); skipping pads must still
+    // reach SOF and recover exact dims.
+    val base = graft.fixtures.Images.encodeJpeg(31, 17, 5)
+    def pad(bytes: Array[Byte], n: Int): Array[Byte] = {
+      // insert n fill bytes before each FF-marker boundary after SOI,
+      // stopping at SOS (pads inside entropy data would be data bytes)
+      val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      var i = 0
+      var done = false
+      while (i < bytes.length) {
+        if (!done && i >= 2 && (bytes(i) & 0xFF) == 0xFF && i + 1 < bytes.length
+            && (bytes(i + 1) & 0xFF) != 0xFF) {
+          out ++= Array.fill[Byte](n)(0xFF.toByte)
+          if ((bytes(i + 1) & 0xFF) == 0xDA) done = true
+        }
+        out += bytes(i)
+        i += 1
+      }
+      out.toArray
+    }
+    val padded = Seq((400L, pad(base, 1)), (401L, pad(base, 3)))
+      .toDF("doc_id", "payload")
+    val out = graft.operators.Jpeg.triage(padded).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, r) <- out) {
+      assert(r.getAs[Boolean]("is_jpeg"), s"doc $id lost signature")
+      assert(r.getAs[Long]("width") == 31L, s"doc $id width")
+      assert(r.getAs[Long]("height") == 17L, s"doc $id height")
+    }
+  }
+
   test("Bmff.triage: lying box lengths stall the walk safely (fuzz)") {
     // adversarial containers: a box claiming size 0 (walk would loop
     // in place without the >=8 step guard), a box claiming a size far
