@@ -1178,12 +1178,21 @@ object Similarity {
       centroidIds: Seq[Long], nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxCellRows: Long = 100000L,
-      broadcastMembers: Option[Boolean] = None): DataFrame = {
+      broadcastMembers: Option[Boolean] = None,
+      hierCoarseProbe: Option[Int] = None): DataFrame = {
     val reg = registered(emb)
     // n·nprobe rows, reused by both join sides and the guard —
-    // checkpointed so the n×K scoring pass runs once
-    val probes = ivfProbeAssignments(reg, centroidIds, nprobe,
-      idCol, vecCol).localCheckpoint(true)
+    // checkpointed so the n×K scoring pass runs once. The assignment
+    // strategy is a knob: flat (default, n×K scoring — exact argmax)
+    // or hierarchical ([[ivfProbeAssignmentsHier]], O(n·√K) — the
+    // ~sf30 path once K is corpus-scaled and the assignment pass,
+    // not the candidate join, dominates; coarseProbe = √K degrades
+    // bit-exactly to flat, the dial-exactness-back-in safety rail).
+    val probes = (hierCoarseProbe match {
+      case Some(cp) =>
+        ivfProbeAssignmentsHier(reg, centroidIds, nprobe, cp, idCol, vecCol)
+      case None => ivfProbeAssignments(reg, centroidIds, nprobe, idCol, vecCol)
+    }).localCheckpoint(true)
     val totalMembers = requireBoundedCells(probes, maxCellRows)
     val withNorm = reg.select(col(idCol), col(vecCol))
       .withColumn("n2", qnorm2(vecCol))
@@ -1265,10 +1274,17 @@ object Similarity {
       centroidIds: Seq[Long], nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxCellRows: Long = 100000L,
-      broadcastMembers: Option[Boolean] = None): DataFrame = {
+      broadcastMembers: Option[Boolean] = None,
+      hierCoarseProbe: Option[Int] = None): DataFrame = {
     val reg = registered(emb)
-    val probes = ivfProbeAssignments(reg, centroidIds, nprobe,
-      idCol, vecCol).localCheckpoint(true)
+    // same assignment-strategy knob as cellTopKNeighbors: flat n×K
+    // (default) or hierarchical O(n·√K) when the assignment pass is
+    // the bottleneck
+    val probes = (hierCoarseProbe match {
+      case Some(cp) =>
+        ivfProbeAssignmentsHier(reg, centroidIds, nprobe, cp, idCol, vecCol)
+      case None => ivfProbeAssignments(reg, centroidIds, nprobe, idCol, vecCol)
+    }).localCheckpoint(true)
     val totalMembers = requireBoundedCells(probes, maxCellRows)
     val withNorm = reg.select(col(idCol), col(vecCol))
       .withColumn("n2", qnorm2(vecCol))

@@ -11,6 +11,95 @@ import graft.sources.{Tables, Warehouse}
   */
 object SimilarityQueries {
 
+  /** d27 oracle, rebuilt for sf1 affordability (r16 verdict item 2).
+    * The r15 form replayed candidate cosines through interpreted
+    * list_transform lambdas and computed reachability as a full
+    * transitive-closure recursive CTE (O(Σ cluster²) rows) — 59.9 s
+    * at sf0.1 and "~minutes" at sf1, so the scale-path clustering
+    * operator was only verified where its oracle was affordable.
+    * Two changes, zero semantic drift:
+    *  - dot products via DuckDB's NATIVE list_dot_product over the
+    *    pre-quantized integer grid carried as DOUBLE — |vq| ≤ ~600,
+    *    so every product (≤ 3.6e5) and 64-term sum (≤ 2.3e7) is
+    *    integer-exact in a double, and the BIGINT cast reproduces
+    *    the lambda form bit-for-bit at ~50× the speed;
+    *  - min-label connected components as `rounds` UNROLLED
+    *    hook+shortcut iterations (m' = min(m, neighbor m, m(m)) —
+    *    the pointer-jumping law, distance covered doubles per round)
+    *    instead of the closure CTE: each round is LINEAR in |E|, and
+    *    2^rounds far exceeds any component's min-label eccentricity
+    *    at the SFs we run. Honesty of the bound: if a component ever
+    *    needed more rounds, the oracle would emit a non-converged
+    *    label and the hash gate would fail LOUDLY — under-unrolling
+    *    cannot silently pass.
+    */
+  private def d27OracleSql(rounds: Int = 20): String = {
+    val head =
+      """WITH nn AS (SELECT COUNT(*) AS n, GREATEST(8, COUNT(*) // 500) AS k FROM embeddings),
+        |cids AS (SELECT unnest(range(0, (SELECT k FROM nn))) * (SELECT n // k FROM nn) AS cid),
+        |eq AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) AS DOUBLE)) AS vq
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT e.vec_id AS cell_id, e.vq AS cv,
+        |    CAST(list_dot_product(e.vq, e.vq) AS BIGINT) AS cn2
+        |  FROM eq e JOIN cids ON e.vec_id = cids.cid
+        |), skeys AS (
+        |  SELECT vec_id, cell_id,
+        |    CASE WHEN qd >= 0 THEN (qd*qd*100) // cn2
+        |         ELSE -((qd*qd*100) // cn2) END AS skey
+        |  FROM (
+        |    SELECT eq.vec_id, cents.cell_id, cents.cn2,
+        |      CAST(list_dot_product(eq.vq, cents.cv) AS BIGINT) AS qd
+        |    FROM eq CROSS JOIN cents) t
+        |), pr AS (
+        |  SELECT vec_id, cell_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY skey DESC, cell_id) AS prk
+        |  FROM skeys
+        |), v AS (
+        |  SELECT vec_id, vq,
+        |    CAST(list_dot_product(vq, vq) AS BIGINT) AS n2
+        |  FROM eq
+        |), cp AS (
+        |  SELECT DISTINCT pa.vec_id AS a_id, pb.vec_id AS b_id
+        |  FROM (SELECT vec_id, cell_id FROM pr WHERE prk <= 4) pa
+        |  JOIN (SELECT vec_id, cell_id FROM pr WHERE prk <= 4) pb
+        |    ON pa.cell_id = pb.cell_id AND pa.vec_id < pb.vec_id
+        |), pairs AS (
+        |  SELECT cp.a_id, cp.b_id
+        |  FROM cp
+        |  JOIN v x ON x.vec_id = cp.a_id
+        |  JOIN v y ON y.vec_id = cp.b_id
+        |  WHERE CAST(floor(10000.0 * CAST(CAST(list_dot_product(x.vq, y.vq) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))) AS BIGINT) >= 3000
+        |), edges AS MATERIALIZED (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id, a_id FROM pairs
+        |), l0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node, src AS m FROM edges
+        |)""".stripMargin
+    // every round CTE references its predecessor TWICE (hook +
+    // shortcut), so without MATERIALIZED DuckDB's CTE inlining makes
+    // the plan — and the parquet open count — grow 2^rounds
+    val roundCtes = (1 to rounds).map { i =>
+      val p = s"l${i - 1}"
+      s""", l$i AS MATERIALIZED (
+         |  SELECT node, MIN(m) AS m FROM (
+         |    SELECT node, m FROM $p
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.m AS m FROM $p p JOIN edges e ON p.node = e.src
+         |    UNION ALL
+         |    SELECT p.node, q.m AS m FROM $p p JOIN $p q ON p.m = q.node
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }.mkString
+    head + roundCtes +
+      s"\nSELECT node AS vec_id, m AS cluster_id FROM l$rounds ORDER BY vec_id"
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- brute-force exact top-k (correctness baseline) ----
@@ -307,6 +396,103 @@ object SimilarityQueries {
         .orderBy("label")
     },
 
+    // ---- hierarchical-assignment top-k cells (the s17 ~sf30 path) ----
+    // Same operator as s17 but the probe ASSIGNMENT runs the two-level
+    // law (Similarity.ivfProbeAssignmentsHier): √K coarse reps
+    // partition the fine centroids into groups; each vector scores the
+    // reps plus the fine members of its top-(nG-1) groups — O(n·√K)
+    // instead of n×K, the path for the regime where K is corpus-scaled
+    // and the assignment pass, not the candidate join, dominates
+    // (~sf30+). coarseProbe = nG-1 prunes at EVERY sf (one group
+    // dropped per vector at the test scales), so this query exercises
+    // the pruned code path, not the flat-degenerate rail. Everything
+    // stays deterministic integer arithmetic, so the oracle replays
+    // the full two-level law: rep selection (stride over the stride),
+    // fine→group argmax, per-vector top-cp groups, within-groups probe
+    // ranking, then the same symmetric probe-intersect candidate +
+    // quantized-cosine + top-k tail as s17.
+    QueryDef("s19_ann_topk_cells_hier",
+      """WITH nn AS (SELECT COUNT(*) AS n, GREATEST(8, COUNT(*) // 500) AS k FROM embeddings),
+        |ng AS (SELECT CAST(round(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS g FROM nn),
+        |cids AS (SELECT unnest(range(0, (SELECT k FROM nn))) * (SELECT n // k FROM nn) AS cid),
+        |reps AS (SELECT ((unnest(range(0, (SELECT g FROM ng))) * (SELECT k FROM nn)) // (SELECT g FROM ng))
+        |                * ((SELECT n FROM nn) // (SELECT k FROM nn)) AS rid),
+        |eq AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) AS DOUBLE)) AS vq
+        |  FROM embeddings
+        |), repv AS (
+        |  SELECT r.rid, e.vq AS rv,
+        |    CAST(list_dot_product(e.vq, e.vq) AS BIGINT) AS rn2
+        |  FROM reps r JOIN eq e ON e.vec_id = r.rid
+        |), gsc AS (
+        |  SELECT c.cid, r.rid, r.rn2,
+        |    CAST(list_dot_product(ce.vq, r.rv) AS BIGINT) AS qd
+        |  FROM cids c JOIN eq ce ON ce.vec_id = c.cid CROSS JOIN repv r
+        |), grp AS (
+        |  SELECT cid, rid AS grp FROM (
+        |    SELECT cid, rid, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY
+        |      CASE WHEN qd >= 0 THEN (qd*qd*100) // rn2
+        |           ELSE -((qd*qd*100) // rn2) END DESC, rid) AS rk
+        |    FROM gsc) WHERE rk = 1
+        |), vsc AS (
+        |  SELECT e.vec_id, r.rid, r.rn2,
+        |    CAST(list_dot_product(e.vq, r.rv) AS BIGINT) AS qd
+        |  FROM eq e CROSS JOIN repv r
+        |), vg AS (
+        |  SELECT vec_id, rid AS grp FROM (
+        |    SELECT vec_id, rid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+        |      CASE WHEN qd >= 0 THEN (qd*qd*100) // rn2
+        |           ELSE -((qd*qd*100) // rn2) END DESC, rid) AS rk
+        |    FROM vsc) WHERE rk <= GREATEST(1, (SELECT g FROM ng) - 1)
+        |), cents AS (
+        |  SELECT c.cid AS cell_id, e.vq AS cv,
+        |    CAST(list_dot_product(e.vq, e.vq) AS BIGINT) AS cn2, g.grp
+        |  FROM cids c JOIN eq e ON e.vec_id = c.cid JOIN grp g ON g.cid = c.cid
+        |), fsc AS (
+        |  SELECT vg.vec_id, ct.cell_id, ct.cn2,
+        |    CAST(list_dot_product(e.vq, ct.cv) AS BIGINT) AS qd
+        |  FROM vg JOIN eq e ON e.vec_id = vg.vec_id
+        |  JOIN cents ct ON ct.grp = vg.grp
+        |), pr AS (
+        |  SELECT vec_id, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+        |    CASE WHEN qd >= 0 THEN (qd*qd*100) // cn2
+        |         ELSE -((qd*qd*100) // cn2) END DESC, cell_id) AS prk
+        |  FROM fsc
+        |), v AS (
+        |  SELECT vec_id, vq,
+        |    CAST(list_dot_product(vq, vq) AS BIGINT) AS n2
+        |  FROM eq
+        |), cp AS (
+        |  SELECT DISTINCT pa.vec_id AS a_id, pb.vec_id AS b_id
+        |  FROM (SELECT vec_id, cell_id FROM pr WHERE prk <= 4) pa
+        |  JOIN (SELECT vec_id, cell_id FROM pr WHERE prk <= 4) pb
+        |    ON pa.cell_id = pb.cell_id AND pa.vec_id <> pb.vec_id
+        |), cand AS (
+        |  SELECT cp.a_id, cp.b_id,
+        |    CAST(floor(10000.0 * CAST(CAST(list_dot_product(x.vq, y.vq) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))) AS BIGINT) AS cos_bp
+        |  FROM cp
+        |  JOIN v x ON x.vec_id = cp.a_id
+        |  JOIN v y ON y.vec_id = cp.b_id
+        |), r AS (
+        |  SELECT a_id, b_id, cos_bp,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id
+        |      ORDER BY cos_bp DESC, b_id) AS rk
+        |  FROM cand WHERE cos_bp >= 2000
+        |)
+        |SELECT a_id, CAST(rk AS BIGINT) AS rk, b_id, cos_bp
+        |FROM r WHERE rk <= 3 ORDER BY a_id, rk""".stripMargin) { (s, dir) =>
+      val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val kCells = math.max(8L, n / 500L).toInt
+      val cents = (0 until kCells).map(i => i * (n / kCells))
+      val nG = math.max(1, math.round(math.sqrt(kCells.toDouble)).toInt)
+      Similarity.cellTopKNeighbors(Tables.embeddings(s, dir),
+        k = 3, minCosBp = 2000, centroidIds = cents, nprobe = 4,
+        hierCoarseProbe = Some(math.max(1, nG - 1)))
+        .orderBy("a_id", "rk")
+    },
+
     // ---- IVF ANN: deterministic stride centroids, probe-all oracle ----
     // At nprobe = K the probed cells are exhaustive BY CONSTRUCTION, so
     // the result must equal the brute-force top-k exactly — the oracle
@@ -450,59 +636,7 @@ object SimilarityQueries {
     // threshold, then recursive-CTE reachability. Differs from d12
     // only on true edges straddling all four probe cells of both
     // endpoints (the measured 0.997-recall regime).
-    QueryDef("d27_cell_dup_clusters",
-      """WITH RECURSIVE nn AS (SELECT COUNT(*) AS n, GREATEST(8, COUNT(*) // 500) AS k FROM embeddings),
-        |cids AS (SELECT unnest(range(0, (SELECT k FROM nn))) * (SELECT n // k FROM nn) AS cid),
-        |eq AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vq
-        |  FROM embeddings
-        |), cents AS (
-        |  SELECT e.vec_id AS cell_id, e.vq AS cv,
-        |    CAST(list_sum(list_transform(e.vq, x -> x*x)) AS BIGINT) AS cn2
-        |  FROM eq e JOIN cids ON e.vec_id = cids.cid
-        |), skeys AS (
-        |  SELECT vec_id, cell_id,
-        |    CASE WHEN qd >= 0 THEN (qd*qd*100) // cn2
-        |         ELSE -((qd*qd*100) // cn2) END AS skey
-        |  FROM (
-        |    SELECT eq.vec_id, cents.cell_id, cents.cn2,
-        |      CAST(list_sum(list_transform(list_zip(eq.vq, cents.cv),
-        |        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS qd
-        |    FROM eq CROSS JOIN cents) t
-        |), pr AS (
-        |  SELECT vec_id, cell_id,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id
-        |      ORDER BY skey DESC, cell_id) AS prk
-        |  FROM skeys
-        |), v AS (
-        |  SELECT vec_id, vq,
-        |    CAST(list_sum(list_transform(vq, x -> x*x)) AS BIGINT) AS n2
-        |  FROM eq
-        |), cp AS (
-        |  SELECT DISTINCT pa.vec_id AS a_id, pb.vec_id AS b_id
-        |  FROM (SELECT vec_id, cell_id FROM pr WHERE prk <= 4) pa
-        |  JOIN (SELECT vec_id, cell_id FROM pr WHERE prk <= 4) pb
-        |    ON pa.cell_id = pb.cell_id AND pa.vec_id < pb.vec_id
-        |), pairs AS (
-        |  SELECT cp.a_id, cp.b_id
-        |  FROM cp
-        |  JOIN v x ON x.vec_id = cp.a_id
-        |  JOIN v y ON y.vec_id = cp.b_id
-        |  WHERE CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(x.vq, y.vq),
-        |      p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS DOUBLE)
-        |    / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))) AS BIGINT) >= 3000
-        |), edges AS (
-        |  SELECT a_id AS src, b_id AS dst FROM pairs
-        |  UNION
-        |  SELECT b_id, a_id FROM pairs
-        |), reach(src, dst) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
-        |)
-        |SELECT src AS vec_id, MIN(dst) AS cluster_id
-        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    QueryDef("d27_cell_dup_clusters", d27OracleSql()) { (s, dir) =>
       val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
       val kCells = math.max(8L, n / 500L).toInt
       val cents = (0 until kCells).map(i => i * (n / kCells))

@@ -422,6 +422,31 @@ object ProfileMain {
         val plan = df.queryExecution.executedPlan.toString
         println(s"[profile] n=$n K=$kCells BroadcastHashJoin=${plan.contains("BroadcastHashJoin")} SortMergeJoin=${plan.contains("SortMergeJoin")} ShuffledHashJoin=${plan.contains("ShuffledHashJoin")}")
 
+      case "s17hier" =>
+        // end-to-end s17 (cellTopKNeighbors) with the flat assignment
+        // vs the hierarchical knob at production coarseProbe=4 — the
+        // serving-path decade row for the ~sf30 assignment scale path
+        // (the `hier` case below isolates the assignment phase only)
+        import graft.operators.Similarity
+        val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+        val kCells = math.max(8L, n / 500L).toInt
+        val cents = (0 until kCells).map(i => i.toLong * (n / kCells))
+        val nG = math.max(1, math.round(math.sqrt(kCells.toDouble)).toInt)
+        val cp = math.min(4, nG)
+        val emb = Tables.embeddings(spark, dir).localCheckpoint(true)
+        println(s"[profile] n=$n K=$kCells nG=$nG coarseProbe=$cp")
+        for (pass <- 1 to 2) {
+          timed(s"pass$pass s17 flat (end-to-end)")(
+            Similarity.cellTopKNeighbors(emb, k = 3, minCosBp = 2000,
+              centroidIds = cents, nprobe = 4)
+              .write.format("noop").mode("overwrite").save())
+          timed(s"pass$pass s17 hier cp=$cp (end-to-end)")(
+            Similarity.cellTopKNeighbors(emb, k = 3, minCosBp = 2000,
+              centroidIds = cents, nprobe = 4,
+              hierCoarseProbe = Some(cp))
+              .write.format("noop").mode("overwrite").save())
+        }
+
       case "hier" =>
         // assignment-phase wall: flat n×K scoring vs hierarchical
         // √K-pruned scoring on the dir's embeddings (recall regime

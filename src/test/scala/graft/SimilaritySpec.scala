@@ -640,6 +640,33 @@ class SimilaritySpec extends AnyFunSuite {
       f"(K=$K, 4/$nG groups)")
   }
 
+  test("cellTopKNeighbors hier knob: full coarseProbe degrades bit-exactly to flat") {
+    // the serving-path version of the degeneracy law: the knob that
+    // selects ivfProbeAssignmentsHier inside cellTopKNeighbors must,
+    // at coarseProbe = nG, reproduce the flat operator's ENTIRE
+    // output (assignment → candidates → quantized cosine → top-k)
+    // bit-for-bit — the safety rail that lets a caller dial exactness
+    // back in without changing operators
+    import graft.operators.Similarity
+    val corpus = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val n = corpus.count()
+    val K = 64
+    val cents = (0 until K).map(i => i.toLong * (n / K))
+    val nG = math.round(math.sqrt(K.toDouble)).toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val flat = rows(Similarity.cellTopKNeighbors(corpus, k = 3,
+      minCosBp = 2000, centroidIds = cents, nprobe = 4))
+    val hier = rows(Similarity.cellTopKNeighbors(corpus, k = 3,
+      minCosBp = 2000, centroidIds = cents, nprobe = 4,
+      hierCoarseProbe = Some(nG)))
+    assert(hier == flat,
+      s"hier knob at coarseProbe=nG must equal flat: ${hier.size} vs ${flat.size} rows")
+  }
+
   test("hierarchical probe assignment: d=256 clustered regime (the claimed one)") {
     // bounded-cluster d=256 fixture (the X240 generation law): real
     // coarse structure exists, so stride-sampled reps land in blobs
