@@ -364,6 +364,93 @@ object Multimodal {
       .toDF()
   }
 
+  /** VIDEO frame-decode seam — the m3 stub made real: one multi-frame
+    * container payload in, one typed row PER FRAME out. Same 1:N
+    * batch discipline as [[WindowDecoder]] (typed flatMap inside the
+    * scan stage, zero shuffles, payloads never on the driver); the
+    * implementation below uses the one multi-frame container the JDK
+    * stdlib can actually step frame-by-frame (GIF via javax.imageio).
+    * A production build swaps in a real video codec behind this same
+    * trait — the trait, not a comment, is the swap point.
+    */
+  trait FrameDecoder extends Serializable {
+    def open(): Unit = ()
+    def decodeFrames(docId: Long, payload: Array[Byte]): Iterator[VideoFrame]
+  }
+
+  /** Frame row contract: exact integers only (dims, gray pixel sum) —
+    * hash-comparable across engines with no float in sight.
+    */
+  case class VideoFrame(doc_id: Long, frame_idx: Long, width: Long,
+      height: Long, pix_sum: Long)
+
+  /** REAL multi-frame decoder: steps an animated GIF frame by frame
+    * through the JDK codec (`ImageReader.getNumImages(true)` +
+    * per-index `read`) and emits each frame's dimensions and exact
+    * gray pixel sum (`getRGB & 0xFF` — the palette-resolved sample,
+    * not the palette index, so an identity-gray palette round-trips
+    * bit-exactly). Frames are read as stored; the m13 fixture writes
+    * full frames (no inter-frame disposal), which is what a
+    * frame-extraction pipeline wants from its container anyway.
+    */
+  object GifFrameDecoder extends FrameDecoder {
+    override def decodeFrames(docId: Long,
+        payload: Array[Byte]): Iterator[VideoFrame] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "GifFrameDecoder: payload is not a decodable image")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        val out = Vector.newBuilder[VideoFrame]
+        var f = 0
+        while (f < n) {
+          val img = reader.read(f)
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += (img.getRGB(x, y) & 0xFF).toLong
+              x += 1
+            }
+            y += 1
+          }
+          out += VideoFrame(docId, f.toLong, w.toLong, h.toLong, sum)
+          f += 1
+        }
+        out.result().iterator
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
+  }
+
+  /** Per-partition batch frame decode: binary payloads → frame rows
+    * via a typed flatMap (encoder-backed, Tungsten path). Zero
+    * shuffle — at 100 TB frame expansion must be a flatMap inside the
+    * scan stage, never an exchange.
+    */
+  def decodeVideoFrames(docsWithPayload: DataFrame,
+      decoder: FrameDecoder,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docsWithPayload.sparkSession
+    import spark.implicits._
+    docsWithPayload
+      .select(col(idCol).cast("long").as("doc_id"), col("payload"))
+      .as[PayloadIn]
+      .mapPartitions { batch =>
+        decoder.open()
+        batch.flatMap(p => decoder.decodeFrames(p.doc_id, p.payload))
+      }
+      .toDF()
+  }
+
   /** Payload-to-payload media transform (resize / re-encode class):
     * the second half of a real multimodal pipeline, where decode is
     * only the entry point and the product is new MEDIA, not features.

@@ -869,6 +869,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- m13: REAL multi-frame decode through the video seam ----
+    // m3's frame manifest sampled SYNTHETIC frames (byte arithmetic on
+    // text payloads) with the decode step a declared stub; this is the
+    // stub made real with the one multi-frame container the JDK can
+    // step natively: genuine GIF89a animations (encoded on executors
+    // over an identity 256-gray palette) frame-decoded by
+    // javax.imageio behind the typed FrameDecoder seam — decode once,
+    // one row per frame, a flatMap inside the scan stage, zero
+    // shuffles. The oracle knows nothing of GIF: it recomputes every
+    // frame's width/height/pixel-sum analytically from the generation
+    // params, so a dropped frame, a palette mis-map, or a single bad
+    // pixel breaks the hash. A production video codec swaps in behind
+    // the same trait (the honest remaining stub is now only
+    // codec-format breadth, not the pipeline shape).
+    QueryDef("m13_gif_frame_decode", graft.fixtures.Gif.oracleSql) {
+      (s, dir) =>
+        graft.operators.Multimodal.decodeVideoFrames(
+            graft.fixtures.Gif.gifPayloads(s),
+            graft.operators.Multimodal.GifFrameDecoder)
+          .orderBy("doc_id", "frame_idx")
+    },
+
     // ---- blocked edit-distance (Levenshtein) near-dup pairs ----
     // The character-level complement to token Jaccard (d6) and
     // hash sketches (d7/d8): catches small in-place edits that shift

@@ -414,6 +414,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("GifFrameDecoder: every fixture animation decodes frame-exact") {
+    // frame-by-frame agreement with the generation formula across all
+    // specs (frame counts 1..8, dims down to 1x1) proves the reader
+    // steps REAL container frames, resolves the palette (index -> gray),
+    // and never drops the tail frame
+    val out = graft.operators.Multimodal.decodeVideoFrames(
+        graft.fixtures.Gif.gifPayloads(spark),
+        graft.operators.Multimodal.GifFrameDecoder)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    for (sp <- graft.fixtures.Gif.specs) {
+      for (f <- 0 until sp.nFrames) {
+        val r = out((sp.doc_id, f.toLong))
+        assert(r.getLong(2) == sp.w.toLong, s"doc ${sp.doc_id} f$f width")
+        assert(r.getLong(3) == sp.h.toLong, s"doc ${sp.doc_id} f$f height")
+        val expect = (for (y <- 0 until sp.h; x <- 0 until sp.w)
+          yield graft.fixtures.Gif.pixel(x, y, f, sp.seed).toLong).sum
+        assert(r.getLong(4) == expect, s"doc ${sp.doc_id} f$f pix_sum")
+      }
+    }
+    // exactly the declared frames — no phantom rows
+    assert(out.size == graft.fixtures.Gif.specs.map(_.nFrames).sum)
+  }
+
+  test("GifFrameDecoder: non-media payloads fail loudly, not as garbage frames") {
+    val junk = Seq((500L, "not a gif at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.operators.Multimodal.decodeVideoFrames(junk,
+        graft.operators.Multimodal.GifFrameDecoder).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("Bmff.triage: lying box lengths stall the walk safely (fuzz)") {
     // adversarial containers: a box claiming size 0 (walk would loop
     // in place without the >=8 step guard), a box claiming a size far
