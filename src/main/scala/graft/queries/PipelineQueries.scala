@@ -47,7 +47,7 @@ object PipelineQueries {
        |)""".stripMargin
 
   /** Shared oracle prefix: corpus words (with stratum keys), weighted
-    * vocabulary, character-level state, 8 replayed training rounds,
+    * vocabulary, character-level state, 16 replayed training rounds,
     * and the final per-word subword count `enc(w, n_sub)`.
     */
   private val bpeOracleCtes: String =
@@ -62,9 +62,9 @@ object PipelineQueries {
       |    SELECT w, c, regexp_extract_all(w, '[a-z0-9]') AS cs FROM vocab) v,
       |    unnest(range(1, len(v.cs) + 1)) AS u(i)
       |)""".stripMargin +
-      (1 to 8).map(k => bpeSqlRound(if (k == 1) "s0" else s"s${k - 1}", k)).mkString +
+      (1 to 16).map(k => bpeSqlRound(if (k == 1) "s0" else s"s${k - 1}", k)).mkString +
       """, enc AS (
-        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub FROM s8 GROUP BY w, c
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub FROM s16 GROUP BY w, c
         |)""".stripMargin
 
   /** The trained BPE segmentation (w, n_sub), memoized per (session,
@@ -82,7 +82,7 @@ object PipelineQueries {
       val vocab = Tables.documents(s, dir)
         .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      graft.operators.Bpe.trainDriver(vocab, rounds = 8).vocabSeg
+      graft.operators.Bpe.trainDriver(vocab, rounds = 16).vocabSeg
         .select(col("w"), col("n_sub")).localCheckpoint()
     }
 

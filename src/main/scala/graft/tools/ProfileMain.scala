@@ -466,6 +466,35 @@ object ProfileMain {
               .write.format("noop").mode("overwrite").save())
         }
 
+      case "bpe" =>
+        // merge-round cost curve (r16 verdict item 6): wall + fertility
+        // trajectory for rounds far past the declared 8, on the dir's
+        // real vocabulary. trainDriver is the production shape (the
+        // inherently sequential merge loop over vocab-sized control-
+        // plane state); what this measures is where its cost actually
+        // grows — per-round pair counting is O(total positions), and
+        // positions SHRINK as merges consume pairs, so the honest
+        // question is whether wall grows linearly in rounds or slower.
+        val vocab = Tables.documents(spark, dir)
+          .select(explode(expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val nWords = vocab.count()
+        val nPos = vocab.agg(sum(length(col("w")))).collect()(0).getLong(0)
+        println(s"[bpe] vocab=$nWords words, $nPos char positions")
+        for (rounds <- Seq(8, 64, 256, 1024)) {
+          val t0 = System.nanoTime()
+          val trained = graft.operators.Bpe.trainDriver(vocab, rounds)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val row = trained.vocabSeg
+            .agg(sum(expr("c * n_sub")), sum("c"), sum("n_sub")).collect()(0)
+          val fert = row.getLong(0).toDouble / row.getLong(1)
+          println(f"[bpe] rounds=$rounds%-5d effective=${trained.merges.size}%-5d " +
+            f"wall=$wall%8.2f s fertility=$fert%.4f tok/word " +
+            f"vocabSubPos=${row.getLong(2)}")
+        }
+
       case "paircount" =>
         // output-volume growth check for the embedding pair family
         // (s4/d12/d17 super-linear wall-clock at sf10 — is it the
