@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Shared discipline for driver-controlled iterative operators
   * (PageRank, connected components, k-means): execution-scope tweaks
@@ -52,6 +53,44 @@ object Loops {
     }
   }
 
+  /** Storage level for every loop checkpoint, from the session conf
+    * `spark.graft.loop.checkpointLevel` (default `MEMORY_AND_DISK`,
+    * Spark's own localCheckpoint level — byte-identical behavior when
+    * unset).
+    *
+    * Why this knob exists — the r17 forced-spill matrix: the sort/agg
+    * query families degrade gracefully under a 5× memory cut (11+ GB
+    * spilled, wall unchanged), but the iterative graph family DIES
+    * instead of spilling, at any heap up to 12 GB at sf10. The
+    * mechanism is specific to loops: their invariant state (edge
+    * tables) lives as DESERIALIZED block-manager rows which (a) sit in
+    * the unified pool's storage region and (b) are READ-LOCKED by all
+    * concurrent tasks during every round's join — un-evictable exactly
+    * when execution memory is scarcest, so the round's aggregation
+    * hits UNABLE_TO_ACQUIRE_MEMORY (measured: even a 256 KB request
+    * fails at 8 GB while a 5× bigger non-loop query spills happily).
+    * Lowering spark.memory.storageFraction to 0.1 does NOT save it —
+    * the blocks are locked, not merely protected.
+    *
+    * A memory-constrained deploy sets `DISK_ONLY`: invariant state
+    * streams from local disk (tmpfs here) each round, pinning ~nothing,
+    * and the loop joins per-round cost one deserialization scan — the
+    * graceful trade every non-loop operator already makes when it
+    * spills. `MEMORY_AND_DISK_SER` is the halfway point (5-10× smaller
+    * blocks, still evictable pages). Measured A/B in BENCHNOTES r17.
+    */
+  def checkpointLevel(spark: SparkSession): StorageLevel =
+    StorageLevel.fromString(
+      spark.conf.get("spark.graft.loop.checkpointLevel", "MEMORY_AND_DISK"))
+
+  /** Plain eager localCheckpoint honoring [[checkpointLevel]] — for
+    * loop-adjacent materializations that do not need partitioning
+    * preserved (e.g. a distinct edge list consumed by a re-aggregating
+    * prepare step).
+    */
+  def checkpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, checkpointLevel(df.sparkSession))
+
   /** `localCheckpoint()` that PRESERVES the plan's hash partitioning
     * (and ordering) into the checkpointed LogicalRDD — the
     * materialization step for loop-invariant state whose partitioning
@@ -78,7 +117,7 @@ object Loops {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
-    try df.localCheckpoint() finally prev match {
+    try df.localCheckpoint(true, checkpointLevel(spark)) finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }

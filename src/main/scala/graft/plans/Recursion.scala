@@ -47,7 +47,7 @@ object Recursion {
       // on the common shallow (≤8-deep) hierarchy.
       val stepped = step(frontier)
       val next =
-        if (depth % checkpointInterval == 0) stepped.localCheckpoint(true)
+        if (depth % checkpointInterval == 0) Loops.checkpoint(stepped)
         else stepped
       if (next.isEmpty) done = true
       else {

@@ -40,7 +40,7 @@ object GraphQueries {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-        .localCheckpoint())
+        .transform(graft.plans.Loops.checkpoint))
 
   private def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val e0 = tradeEdgesDirected(s, dir)

@@ -519,4 +519,33 @@ class GraphSpec extends AnyFunSuite {
     assert(run(2) === run(8))
     assert(run(2) === Map(0L -> 0L, 1L -> 2L, 2L -> 4L))
   }
+
+  test("loop checkpoint level: DISK_ONLY honors the conf and is bit-identical") {
+    // The r17 spill matrix showed loop-invariant checkpoints pinning
+    // deserialized heap blocks that execution cannot evict (they are
+    // read-locked during every round's join), so constrained deploys
+    // set spark.graft.loop.checkpointLevel=DISK_ONLY. This pins the
+    // two things that must hold for that knob to be safe: the level
+    // actually reaches the checkpointed RDD, and ranks through a
+    // disk-backed loop are bit-identical to the default (the DECIMAL
+    // contribution sums are order-free, so not merely close).
+    val rnd = new scala.util.Random(17)
+    val e = (1 to 80).map(_ => (rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    def run() = Graph.pageRank(edges, iters = 6, checkpointEvery = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val dflt = run()
+    val key = "spark.graft.loop.checkpointLevel"
+    spark.conf.set(key, "DISK_ONLY")
+    try {
+      val ck = graft.plans.Loops.checkpoint(edges)
+      val level = ck.queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+        .rdd.getStorageLevel
+      assert(!level.useMemory && level.useDisk,
+        s"conf level must reach the checkpoint RDD, got $level")
+      assert(run() === dflt)
+    } finally spark.conf.unset(key)
+  }
 }
