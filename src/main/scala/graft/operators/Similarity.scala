@@ -50,6 +50,7 @@ object Similarity {
     graft.functions.QuantizedDot.register(df.sparkSession)
     graft.functions.QuantizedDotLong.register(df.sparkSession)
     graft.functions.SignBits.register(df.sparkSession)
+    graft.functions.Int8Vec.register(df.sparkSession)
     df
   }
 
@@ -1179,7 +1180,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxCellRows: Long = 100000L,
       broadcastMembers: Option[Boolean] = None,
-      hierCoarseProbe: Option[Int] = None): DataFrame = {
+      hierCoarseProbe: Option[Int] = None,
+      int8Members: Boolean = false): DataFrame = {
     val reg = registered(emb)
     // n·nprobe rows, reused by both join sides and the guard —
     // checkpointed so the n×K scoring pass runs once. The assignment
@@ -1194,8 +1196,23 @@ object Similarity {
       case None => ivfProbeAssignments(reg, centroidIds, nprobe, idCol, vecCol)
     }).localCheckpoint(true)
     val totalMembers = requireBoundedCells(probes, maxCellRows)
-    val withNorm = reg.select(col(idCol), col(vecCol))
-      .withColumn("n2", qnorm2(vecCol))
+    // int8Members: the broadcast-regime extension (r16 verdict stretch
+    // item). Memberships carry the s9 symmetric per-vector int8 pack
+    // as a d-BYTE binary instead of the d-FLOAT array — ~(80+d) vs
+    // (80+4d) bytes per row, which moves MaxBroadcastBlockBytes ~3-4×
+    // further out in corpus size before the 1.24×-slower shuffle-hash
+    // fallback regime begins. The per-vector scales cancel exactly in
+    // the cosine, so no scale column travels; what changes is the GRID
+    // — cos_bp becomes the int8-grid cosine, so rankings can shift
+    // within the quantization error. Declared queries stay on the
+    // float grid; this is the serving-layer compaction knob,
+    // recall-measured in SimilaritySpec/BENCHNOTES r17.
+    val withNorm =
+      if (int8Members)
+        reg.select(col(idCol), expr(s"int8pack($vecCol)").as(vecCol))
+          .withColumn("n2", expr(s"qdot8($vecCol, $vecCol)"))
+      else reg.select(col(idCol), col(vecCol))
+        .withColumn("n2", qnorm2(vecCol))
     // membership-with-vector table, materialized ONCE; both join
     // sides read it. The explicit repartition matters: the join
     // output fans out ~cell-size× per stream row, so the stream
@@ -1229,14 +1246,17 @@ object Similarity {
     // generation inside one codegen stage; past the budget the
     // cell-keyed shuffle join takes over automatically.
     val dim = reg.select(size(col(vecCol))).first().getInt(0)
-    val memBytes = totalMembers * (80L + 4L * dim)
+    // int8 rows carry d BYTES of vector, float rows 4d — the 4× vector
+    // shrink is what extends the broadcast regime
+    val memBytes = totalMembers * (80L + (if (int8Members) 1L else 4L) * dim)
     val doBroadcast = broadcastMembers.getOrElse(
       memBytes <= MaxBroadcastBlockBytes)
     val b = if (doBroadcast) broadcast(b0) else b0.hint("SHUFFLE_HASH")
     val topkF = graft.functions.TopKAgg.topK(k * nprobe)
     a.join(b, Seq("cell_id"))
       .where(col("a_id") =!= col("b_id"))
-      .withColumn("dot", qdot("a_vec", "b_vec"))
+      .withColumn("dot",
+        if (int8Members) expr("qdot8(a_vec, b_vec)") else qdot("a_vec", "b_vec"))
       .withColumn("cos_bp", expr(
         "CAST(floor(10000.0 * CAST(dot AS DOUBLE) / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(b_n2 AS DOUBLE)))) AS BIGINT)"))
       .where(col("cos_bp") >= minCosBp)

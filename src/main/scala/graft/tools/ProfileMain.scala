@@ -447,6 +447,47 @@ object ProfileMain {
               .write.format("noop").mode("overwrite").save())
         }
 
+      case "s17int8" =>
+        // int8-membership A/B (r16 verdict stretch item): same query,
+        // float vs int8-packed build side, both FORCED forms — the
+        // broadcast-regime extension is the point (the int8 pack cuts
+        // the counted build bytes ~(80+4d)/(80+d), pushing the 512 MB
+        // gate ~3-4× further out in corpus size), so measure both the
+        // broadcast wall AND the neighbor-set agreement vs the float
+        // grid at this sf.
+        import graft.operators.Similarity
+        val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+        val kCells = math.max(8L, n / 500L).toInt
+        val cents = (0 until kCells).map(i => i.toLong * (n / kCells))
+        val emb = Tables.embeddings(spark, dir).localCheckpoint(true)
+        val d = emb.select(size(col("embedding"))).first().getInt(0)
+        val members = n * 4L // nprobe rows per vector
+        println(s"[profile] n=$n K=$kCells d=$d est build bytes: " +
+          s"float=${members * (80L + 4L * d)} int8=${members * (80L + d)}")
+        for (pass <- 1 to 2) {
+          timed(s"pass$pass s17 float broadcast")(
+            Similarity.cellTopKNeighbors(emb, k = 3, minCosBp = 2000,
+              centroidIds = cents, nprobe = 4, broadcastMembers = Some(true))
+              .write.format("noop").mode("overwrite").save())
+          timed(s"pass$pass s17 int8 broadcast")(
+            Similarity.cellTopKNeighbors(emb, k = 3, minCosBp = 2000,
+              centroidIds = cents, nprobe = 4, broadcastMembers = Some(true),
+              int8Members = true)
+              .write.format("noop").mode("overwrite").save())
+        }
+        // neighbor-set agreement (rank-insensitive): fraction of
+        // (a_id, b_id) top-k edges preserved across the grid change
+        val f = Similarity.cellTopKNeighbors(emb, k = 3, minCosBp = 2000,
+          centroidIds = cents, nprobe = 4)
+          .select(col("a_id"), col("b_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val q8 = Similarity.cellTopKNeighbors(emb, k = 3, minCosBp = 2000,
+          centroidIds = cents, nprobe = 4, int8Members = true)
+          .select(col("a_id"), col("b_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"[profile] edge agreement: |float|=${f.size} |int8|=${q8.size} " +
+          f"jaccard=${(f & q8).size.toDouble / math.max(1, (f | q8).size)}%.4f")
+
       case "hier" =>
         // assignment-phase wall: flat n×K scoring vs hierarchical
         // √K-pruned scoring on the dir's embeddings (recall regime

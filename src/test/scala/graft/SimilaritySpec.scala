@@ -728,4 +728,54 @@ class SimilaritySpec extends AnyFunSuite {
       f"hier pair recall $rHier%.3f fell >4pp below flat $rFlat%.3f in its claimed regime")
     assert(rHier >= 0.93, f"hier pair recall $rHier%.3f below absolute floor")
   }
+  test("int8 membership: kernels replay the s9 law; grid change keeps neighbor agreement") {
+    // kernel reference semantics — int8pack must be EXACTLY s9's
+    // quantizer (scale = 127/max|x|, floor(x·scale + 0.5)) and qdot8
+    // the plain signed-byte dot, checked against an independent Scala
+    // replay on adversarial vectors (zeros, sign extremes, the value
+    // whose +0.5 rounding hits the +127 boundary).
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, -1.0f, 0.9999f)),
+      (4L, Array(-0.003f, 2.5f, -2.5f, 0.001f)))
+    def refPack(x: Array[Float]): Array[Byte] = {
+      val mx = x.map(v => math.abs(v.toDouble)).max
+      val scale = 127.0 / math.max(mx, 1e-30)
+      x.map(v => math.max(-128L, math.min(127L,
+        math.floor(v.toDouble * scale + 0.5).toLong)).toByte)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    graft.functions.Int8Vec.register(spark)
+    val packed = df.select(col("vec_id"), expr("int8pack(embedding)").as("p"),
+      expr("qdot8(int8pack(embedding), int8pack(embedding))").as("n2"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]]("p"), r.getLong(2))).toMap
+    for ((id, x) <- vecs) {
+      val rp = refPack(x)
+      assert(packed(id)._1.toSeq == rp.toSeq,
+        s"pack mismatch for $id: got ${packed(id)._1.toSeq} want ${rp.toSeq}")
+      assert(packed(id)._2 == rp.map(b => b.toLong * b.toLong).sum,
+        s"qdot8 self-dot mismatch for $id")
+    }
+    // operator agreement on the clustered fixture: the probe law is
+    // untouched (assignment runs on the float vectors), so int8 can
+    // only re-SCORE the same candidates — the top-k edge set must
+    // stay nearly identical across the grid change, and every int8
+    // edge must come from the shared candidate universe (b_id drawn
+    // from the float form's cells). Jaccard floor set from measured
+    // 0.98+ with margin.
+    val n = 600
+    val cdf = clusteredVecs(n, 64, 4242L, 4).toDF("vec_id", "embedding", "label")
+    val cents = (0L until 8L).map(_ * (n / 8))
+    def edges(int8: Boolean) = Similarity.cellTopKNeighbors(cdf, k = 3,
+      minCosBp = 2000, centroidIds = cents, nprobe = 4, int8Members = int8)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ef = edges(int8 = false)
+    val e8 = edges(int8 = true)
+    val j = (ef & e8).size.toDouble / math.max(1, (ef | e8).size)
+    println(f"[int8] edges float=${ef.size} int8=${e8.size} jaccard=$j%.4f")
+    assert(j >= 0.95, f"int8-grid top-k edge agreement $j%.4f below floor")
+  }
 }
