@@ -321,6 +321,86 @@ object SimilarityQueries {
         .orderBy("a_id", "rk")
     },
 
+    // ---- int8-membership cell top-k (X252 served — the s17 serving
+    // compaction as a declared query) ----
+    // Same probe law as s17 BIT-FOR-BIT (assignment/probe ranking on
+    // the float ×1000-floor grid — identical candidate sets); only
+    // pair-time scoring moves to the s9 symmetric int8 grid, the
+    // form whose sf10 row measures a 2.3× smaller broadcast build and
+    // a 1.8× faster warm wall (BENCHNOTES r17). The oracle replays
+    // the ENTIRE pipeline: the s17 assignment CTEs verbatim, then
+    // s9's quantizer per vector (scale = 127/max|x|, floor(+0.5),
+    // clamped — the same IEEE double expression order as the
+    // int8pack kernel, so the grids agree exactly) and the byte-grid
+    // cosine + top-k. Hash-green means the packed kernels compute
+    // precisely the declared law at every row, not merely close.
+    QueryDef("s20_ann_topk_int8",
+      """WITH nn AS (SELECT COUNT(*) AS n, GREATEST(8, COUNT(*) // 500) AS k FROM embeddings),
+        |cids AS (SELECT unnest(range(0, (SELECT k FROM nn))) * (SELECT n // k FROM nn) AS cid),
+        |eq AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vq
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT e.vec_id AS cell_id, e.vq AS cv,
+        |    CAST(list_sum(list_transform(e.vq, x -> x*x)) AS BIGINT) AS cn2
+        |  FROM eq e JOIN cids ON e.vec_id = cids.cid
+        |), skeys AS (
+        |  SELECT vec_id, cell_id,
+        |    CASE WHEN qd >= 0 THEN (qd*qd*100) // cn2
+        |         ELSE -((qd*qd*100) // cn2) END AS skey
+        |  FROM (
+        |    SELECT eq.vec_id, cents.cell_id, cents.cn2,
+        |      CAST(list_sum(list_transform(list_zip(eq.vq, cents.cv),
+        |        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS qd
+        |    FROM eq CROSS JOIN cents) t
+        |), pr AS (
+        |  SELECT vec_id, cell_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY skey DESC, cell_id) AS prk
+        |  FROM skeys
+        |), v8 AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(GREATEST(CAST(-128 AS DOUBLE), LEAST(CAST(127 AS DOUBLE),
+        |      floor(CAST(x AS DOUBLE) * scale + 0.5))) AS BIGINT)) AS q8
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      127.0 / GREATEST(list_max(list_transform(embedding,
+        |        y -> abs(CAST(y AS DOUBLE)))), CAST(1e-30 AS DOUBLE)) AS scale
+        |    FROM embeddings)
+        |), v AS (
+        |  SELECT vec_id, q8,
+        |    CAST(list_sum(list_transform(q8, x -> x*x)) AS BIGINT) AS n2
+        |  FROM v8
+        |), cp AS (
+        |  SELECT DISTINCT pa.vec_id AS a_id, pb.vec_id AS b_id
+        |  FROM (SELECT vec_id, cell_id FROM pr WHERE prk <= 4) pa
+        |  JOIN (SELECT vec_id, cell_id FROM pr WHERE prk <= 4) pb
+        |    ON pa.cell_id = pb.cell_id AND pa.vec_id <> pb.vec_id
+        |), cand AS (
+        |  SELECT cp.a_id, cp.b_id,
+        |    CAST(floor(10000.0 * CAST(CAST(list_sum(list_transform(list_zip(x.q8, y.q8),
+        |        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))) AS BIGINT) AS cos_bp
+        |  FROM cp
+        |  JOIN v x ON x.vec_id = cp.a_id
+        |  JOIN v y ON y.vec_id = cp.b_id
+        |), r AS (
+        |  SELECT a_id, b_id, cos_bp,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id
+        |      ORDER BY cos_bp DESC, b_id) AS rk
+        |  FROM cand WHERE cos_bp >= 2000
+        |)
+        |SELECT a_id, CAST(rk AS BIGINT) AS rk, b_id, cos_bp
+        |FROM r WHERE rk <= 3 ORDER BY a_id, rk""".stripMargin) { (s, dir) =>
+      val n = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val kCells = math.max(8L, n / 500L).toInt
+      val cents = (0 until kCells).map(i => i * (n / kCells))
+      Similarity.cellTopKNeighbors(Tables.embeddings(s, dir),
+        k = 3, minCosBp = 2000, centroidIds = cents, nprobe = 4,
+        int8Members = true)
+        .orderBy("a_id", "rk")
+    },
     // ---- matryoshka truncation audit (dim-budget ranking quality) ----
     // The production question behind MRL-style embeddings: how much of
     // the exact top-k ranking survives keeping only the first 16 of 64
