@@ -556,6 +556,64 @@ object ProfileMain {
           println(s"""[paircount] {"sf":"${sf.split('/').last}","vecs":$n,"pairs_2000bp":$pairs,"pairs_3000bp":$edges3k}""")
         }
 
+      case "jobs" =>
+        // Per-query JOB decomposition (optimization round: the sf0.1
+        // board is floor-dominated, and the floor is #jobs × per-job
+        // latency + driver gaps — this mode shows which). For each
+        // query in SPARK_GRAFT_BENCH_ONLY: one untimed warmup, then
+        // one instrumented run recording every job's wall span and
+        // the driver-only gaps between jobs (planning, collect()s,
+        // checkpoint bookkeeping). Printed per query:
+        //   wall        total noop-save wall
+        //   jobs        job count
+        //   jobWall     Σ per-job (end − start)
+        //   gap         wall − jobWall (driver planning/gaps)
+        //   taskSum     Σ task run time (executor compute)
+        val qnames = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq("g1_pagerank"))
+        val sf = dir
+        val jobSpans =
+          new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+        val taskNanos = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobSpans.put(j.jobId, (j.time, -1L))
+            override def onJobEnd(
+                j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+              val s = jobSpans.getOrDefault(j.jobId, (j.time, -1L))
+              jobSpans.put(j.jobId, (s._1, j.time))
+            }
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (t.taskMetrics != null)
+                taskNanos.addAndGet(t.taskMetrics.executorRunTime * 1000000L)
+          })
+        for (q <- qnames) {
+          graft.sources.SessionCache.clear()
+          graft.SparkEntry.queries(q)(spark, sf)
+            .write.format("noop").mode("overwrite").save() // warmup
+          Thread.sleep(300) // let the async bus drain
+          jobSpans.clear(); taskNanos.set(0)
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(q)(spark, sf)
+            .write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300)
+          import scala.jdk.CollectionConverters._
+          val spans = jobSpans.asScala.toSeq.sortBy(_._1)
+            .map { case (id, (s, e)) => (id, s, if (e < 0) s else e) }
+          val jobWall = spans.map { case (_, s, e) => (e - s) / 1e3 }.sum
+          val detail = spans.map { case (id, s, e) =>
+            f"j$id:${(e - s) / 1e3}%.2fs"
+          }.mkString(" ")
+          println(f"[jobs] $q%-34s wall ${wall}%7.3f  jobs ${spans.size}%3d  " +
+            f"jobWall ${jobWall}%7.3f  gap ${wall - jobWall}%7.3f  " +
+            f"taskSum ${taskNanos.get / 1e9}%8.3f   $detail")
+        }
+
       case "curve" =>
         // sf-scaling curve for selected queries: min-of-N per (query,
         // sf) — the minimum is the principled statistic on a host with
