@@ -37,6 +37,19 @@ object Sessions {
       // worst-case — the hash path stays safe. On a cluster this
       // scales with executor memory the same way.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
+      // Janino class cache (STATIC conf — bound at first-session
+      // creation). Spark's default of 100 compiled-class entries
+      // thrashes on this engine's 252-query board: one bench pass
+      // generates thousands of distinct codegen fragments, so by the
+      // time a query re-runs its classes are evicted and EVERY
+      // measured run re-pays Janino compilation (~0.3-1.5 s/query,
+      // r17 A/B: 42-query subset 89.8 s → 58.6 s, every query
+      // improving, zero result change — OPTIMIZATION_r17.md). The
+      // same applies to any long-running production driver serving a
+      // query mix. Cost is bounded: generated classes are tens of KB
+      // of metaspace each. Env hook kept for A/B re-measurement.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_CODEGEN_CACHE_ENTRIES", "4096"))
       // Workaround for a Catalyst constraint-rewrite NoSuchElementException
       // (UnionBase.rewriteConstraints) when unioning localCheckpoint'ed
       // levels whose projections alias one source attribute twice (the
