@@ -74,7 +74,12 @@ object ChunkedWindow {
     // checkpoint pins the result for its three consumers (tails,
     // output rows, head patch) — without it each branch re-runs the
     // window (the measured p24/d24 recompute trap).
-    val part = df
+    // LAZY checkpoint (r17 optimization round): the broadcast-gate
+    // group count below is the action that materializes it — one job
+    // where the eager form paid the window job plus the count job.
+    // (The count's distinct consumes every partition, satisfying the
+    // Loops fusion contract; the level knob now applies here too.)
+    val part = graft.plans.Loops.checkpointLazy(df
       .withColumn("gw_bucket", expr(s"$ordCol div ${bucketWidth}L"))
       .withColumn("gw_idx", row_number().over(wB))
       .withColumn("gw_cnt", count(lit(1)).over(
@@ -84,8 +89,7 @@ object ChunkedWindow {
         coalesce(sum(col(vCol).cast("long")).over(trail), lit(0L)))
       .withColumn("gw_s2w",
         coalesce(sum(col(vCol).cast("long") * col(vCol).cast("long"))
-          .over(trail), lit(0L)))
-      .localCheckpoint()
+          .over(trail), lit(0L))))
     // Last <=frame rows of each bucket, as an ord-ordered value array.
     val tails = part.where(col("gw_idx") > col("gw_cnt") - frame)
       .groupBy(col(seriesCol), col("gw_bucket"))

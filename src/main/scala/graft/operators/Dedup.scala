@@ -530,7 +530,12 @@ object Dedup {
         // extra comparison join per round
         val neighborMin = edges.join(labels, edges("dst") === labels("id"))
           .select(edges("src").as("id"), col("label"), lit(false).as("own"))
-        val next = graft.plans.Loops.checkpointPartitioned(
+        // LAZY checkpoint + count fusion (r17 optimization round): the
+        // changed-row count is the action that materializes the round's
+        // checkpoint — one job per round where the eager form paid a
+        // materialization job plus the count job (count touches every
+        // partition, so the fusion contract in Loops holds).
+        val next = graft.plans.Loops.checkpointPartitionedLazy(
           labels.withColumn("own", lit(true))
             .unionByName(neighborMin)
             .groupBy("id").agg(min("label").as("label"),
@@ -560,9 +565,14 @@ object Dedup {
     *
     * Each round is two groupBy-join passes over the canonical edge
     * set (both shuffles on the node id key), lineage cut per round;
-    * convergence = the small-star pass reproduces its input edge set
-    * (one tag-sum symmetric-difference job per round — control-flow
-    * actions only, never data to the driver).
+    * convergence = the small-star pass reproduces its input edge set.
+    * The check is count-short-circuited (r17 optimization round): each
+    * round's count rides the checkpoint-materializing job for free,
+    * and since both sets are distinct, unequal counts prove
+    * non-convergence without another pass — the exact tag-sum
+    * symmetric-difference job runs only when the counts match
+    * (typically just the final round). Control-flow actions only,
+    * never data to the driver; exactness decided by the exact diff.
     */
   def duplicateClustersLogN(pairs: DataFrame,
       aCol: String = "a_id", bCol: String = "b_id"): DataFrame =
@@ -575,14 +585,18 @@ object Dedup {
       aCol: String = "a_id", bCol: String = "b_id",
       maxRounds: Int = 64): (DataFrame, Int) = {
     // Canonical undirected edge set: (a, b) with a < b, distinct.
-    var edges = pairs
+    // LAZY checkpoint + count (r17 optimization round): the count both
+    // materializes the checkpoint and replaces the separate isEmpty
+    // job; the running edge-set cardinality then powers the per-round
+    // convergence short-circuit below.
+    var edges = graft.plans.Loops.checkpointLazy(pairs
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
+    var nEdges = edges.count()
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = nEdges == 0L
     // same loop discipline as the fixpoint variant: keep round-to-round
     // partition counts stable so the contraction passes stay aligned
     graft.plans.Loops.withStablePartitioning(pairs.sparkSession) {
@@ -606,26 +620,34 @@ object Dedup {
       // connect u and all (smaller) neighbors to their minimum.
       val dirMins = large.groupBy(col("b").as("u"))
         .agg(min(col("a")).as("m"))
-      val small = large.join(dirMins, large("b") === dirMins("u"))
-        .select(col("m").as("a"), large("a").as("b"))
-        .union(dirMins.select(col("m").as("a"), col("u").as("b")))
-        .where(col("a") =!= col("b"))
-        .distinct()
-        .localCheckpoint()
-      // Converged when the pass was a no-op on the edge set. Both
-      // sides are distinct, so tag-summing the union detects ANY
-      // asymmetry (1 = only small, 3 = only edges, 4 = both) in ONE
-      // job instead of count + count + anti-join.
-      converged = small.withColumn("s", lit(1L))
+      val small = graft.plans.Loops.checkpointLazy(
+        large.join(dirMins, large("b") === dirMins("u"))
+          .select(col("m").as("a"), large("a").as("b"))
+          .union(dirMins.select(col("m").as("a"), col("u").as("b")))
+          .where(col("a") =!= col("b"))
+          .distinct())
+      // Materialize the round's checkpoint through its count — the
+      // count doubles as the convergence SHORT-CIRCUIT: both edge sets
+      // are distinct, so different cardinalities prove the pass was
+      // not a no-op without touching the edges again. Only when the
+      // counts MATCH does the exact symmetric-difference job run
+      // (tag-summing the union detects ANY asymmetry: 1 = only small,
+      // 3 = only edges, 4 = both). Every non-final round thus skips a
+      // full 2×|edges| shuffle — at 100 TB that is one fewer pass over
+      // the loop state per round, exactness unchanged (set equality
+      // still decided by the exact diff, never by a count or a hash).
+      val nSmall = small.count()
+      converged = nSmall == nEdges && small.withColumn("s", lit(1L))
         .unionByName(edges.withColumn("s", lit(3L)))
         .groupBy("a", "b").agg(sum("s").as("t"))
         .where(col("t") =!= 4L)
         .isEmpty
-      // the convergence job was the old edge checkpoint's last reader
+      // this round's jobs were the old edge checkpoint's last readers
       // — free its generation (the contraction sequence would
       // otherwise hold every round's edge set simultaneously)
       graft.plans.Loops.releaseCheckpoint(edges)
       edges = small
+      nEdges = nSmall
       rounds += 1
     }
     } // withStablePartitioning

@@ -371,7 +371,10 @@ object Graph {
         val block = math.min(checkEvery, maxIters - done)
         var next = ranks
         for (_ <- 1 to block) next = step(p, next, damping)
-        next = ckpt(next) // lineage cut = the block boundary
+        // LAZY block cut (r17 optimization round): the delta job both
+        // materializes the block's checkpoint and returns the scalar —
+        // one job per block instead of checkpoint + delta
+        next = graft.plans.Loops.checkpointPartitionedLazy(next)
         done += block
         // one scalar control job per block: the max absolute movement
         val delta = next.withColumnRenamed("r", "r2")
@@ -475,7 +478,9 @@ object Graph {
               .select(col("node"), scaledAffine(damping).as("s"))
           }
       }
-      val next = ckpt(cur) // lineage cut = the block boundary
+      // LAZY block cut (r17 optimization round): the delta aggregate
+      // below materializes the checkpoint — one job per block
+      val next = graft.plans.Loops.checkpointPartitionedLazy(cur)
       done += block
       if (sCut == null) {
         // block 1: delta against the constant s⁰ ≡ 1, and (when not
@@ -591,8 +596,13 @@ object Graph {
   def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     withStablePartitioning(e.sparkSession) {
-      val eByDst = ckpt(e.repartition(col("dst")))
-      // src copy re-shuffles the MATERIALIZED rows, not the derivation
+      // LAZY dst copy + eager src copy (r17 optimization round): the
+      // src checkpoint's one materialization job computes the shared
+      // derivation once, persisting the dst copy's blocks en route —
+      // the src shuffle still re-shuffles materialized rows, and the
+      // two prep jobs become one.
+      val eByDst = graft.plans.Loops.checkpointPartitionedLazy(
+        e.repartition(col("dst")))
       val eBySrc = ckpt(eByDst.repartition(col("src")))
       var auth = eByDst.groupBy("dst").agg(count(lit(1)).cast("long").as("s"))
       var round = 1
@@ -725,13 +735,19 @@ object Graph {
     var visited = ckpt(frontier.withColumn("hop", lit(0)))
     var hop = 1
     while (hop <= maxHops) {
-      val next = ckpt(
+      // LAZY frontier + eager visited checkpoint (r17 optimization
+      // round): `grown`'s one materialization job computes the new
+      // frontier too (its blocks persist as they stream into the
+      // union), so each round pays one job instead of two. The old
+      // frontier stays referenced until that job has run — release
+      // moves below the eager checkpoint.
+      val next = graft.plans.Loops.checkpointPartitionedLazy(
         p.ewd.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node")).distinct()
           .join(visited.select("node"), Seq("node"), "left_anti"))
-      release(frontier) // `next` and `visited` are materialized — safe
-      frontier = next
       val grown = ckpt(visited.union(next.withColumn("hop", lit(hop))))
+      release(frontier) // `next` and `grown` are materialized — safe
+      frontier = next
       release(visited) // `grown` holds its own copy now
       visited = grown
       hop += 1
@@ -758,8 +774,9 @@ object Graph {
     * frontier the strict improvements — per-round state is O(reached),
     * and the loop exits early once no node improves (then rounds
     * `h..maxHops` are identities, so the bounded result is already
-    * final). Early exit checks `isEmpty` on the materialized frontier
-    * checkpoint — a metadata probe, not a recompute.
+    * final). Early exit reads the improved-row count that each
+    * generation's checkpoint-materializing job returns anyway — no
+    * separate probe job (r17 optimization round).
     */
   /** @param edgesPrepared caller-certified "edges is already a
     *   MATERIALIZED src-partitioned (src, dst, cost) table whose
@@ -791,13 +808,21 @@ object Graph {
     // checkpointed generation — one materialization + one metadata-ish
     // action (isEmpty over materialized blocks) per round, instead of
     // separate frontier/merged checkpoints.
-    var dist = ckpt(seeds.select(col("node").cast("long")).distinct()
-      .withColumn("dist", lit(0L)).withColumn("imp", lit(true)))
+    // LAZY checkpoint + improved-count fusion (r17 optimization
+    // round): the count that materializes each generation doubles as
+    // the early-exit signal the old code probed with a separate
+    // isEmpty job — one action per round instead of two, same rounds
+    // executed (count == 0 exactly when the frontier filter was
+    // empty).
+    var dist = graft.plans.Loops.checkpointPartitionedLazy(
+      seeds.select(col("node").cast("long")).distinct()
+        .withColumn("dist", lit(0L)).withColumn("imp", lit(true)))
+    var nImp = dist.where(col("imp")).count()
     var hop = 1
     var done = maxHops == 0
     while (!done) {
       val frontier = dist.where(col("imp")).select(col("node"), col("dist"))
-      if (frontier.isEmpty) done = true
+      if (nImp == 0L) done = true
       else {
         // BROADCAST the frontier: it is O(reached) — seed-scoped and
         // bounded-hop by contract — while the edge table is the big
@@ -811,7 +836,7 @@ object Graph {
           .select(col("dst").as("node"),
             (col("dist") + col("cost")).as("nd"))
           .groupBy("node").agg(min("nd").as("nd"))
-        val next = ckpt(
+        val next = graft.plans.Loops.checkpointPartitionedLazy(
           dist.select(col("node"), col("dist"))
             .join(cand, Seq("node"), "full_outer")
             .select(col("node"),
@@ -820,6 +845,7 @@ object Graph {
               (col("dist").isNull ||
                 (col("nd").isNotNull && col("nd") < col("dist"))).as("imp"))
             .withColumnRenamed("d2", "dist"))
+        nImp = next.where(col("imp")).count() // materializes `next` too
         release(dist)
         dist = next
         hop += 1

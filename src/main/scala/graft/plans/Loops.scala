@@ -91,6 +91,23 @@ object Loops {
   def checkpoint(df: DataFrame): DataFrame =
     df.localCheckpoint(true, checkpointLevel(df.sparkSession))
 
+  /** LAZY localCheckpoint honoring [[checkpointLevel]]: the RDD is
+    * compiled and marked for checkpointing now, but materializes on
+    * the caller's NEXT action over the returned frame. A loop that
+    * needs a control signal from each generation anyway (a count, a
+    * changed-row count) fuses "materialize the generation" and "read
+    * the signal" into ONE job instead of an eager-checkpoint job plus
+    * a follow-up action — at scale that is one fewer full pass over
+    * the loop state per round (r17 optimization round, measured on
+    * the CC loops). The caller MUST run an action that consumes every
+    * partition (count does; limit/isEmpty does NOT) before treating
+    * the frame as materialized — a partial action leaves later
+    * consumers recomputing nothing (blocks persist as computed) but
+    * forfeits the fusion.
+    */
+  def checkpointLazy(df: DataFrame): DataFrame =
+    df.localCheckpoint(false, checkpointLevel(df.sparkSession))
+
   /** `localCheckpoint()` that PRESERVES the plan's hash partitioning
     * (and ordering) into the checkpointed LogicalRDD — the
     * materialization step for loop-invariant state whose partitioning
@@ -112,12 +129,23 @@ object Loops {
     * conf's shuffle partitioning, which is exactly what the loop
     * wants to inherit.
     */
-  def checkpointPartitioned(df: DataFrame): DataFrame = {
+  def checkpointPartitioned(df: DataFrame): DataFrame =
+    checkpointPartitionedImpl(df, eager = true)
+
+  /** [[checkpointPartitioned]]'s lazy form — same partitioning capture
+    * (the physical plan is compiled under the AQE-off scope at CALL
+    * time either way; eagerness only controls when the blocks
+    * materialize), same fusion contract as [[checkpointLazy]].
+    */
+  def checkpointPartitionedLazy(df: DataFrame): DataFrame =
+    checkpointPartitionedImpl(df, eager = false)
+
+  private def checkpointPartitionedImpl(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
-    try df.localCheckpoint(true, checkpointLevel(spark)) finally prev match {
+    try df.localCheckpoint(eager, checkpointLevel(spark)) finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }

@@ -593,6 +593,13 @@ object ProfileMain {
           })
         for (q <- qnames) {
           graft.sources.SessionCache.clear()
+          // clear() drops the cached frames' strong refs but their
+          // checkpoint BLOCKS survive until a JVM GC lets the
+          // ContextCleaner collect them (the exact block-accumulation
+          // trap Bench's per-pass System.gc() documents) — without
+          // this, queries late in the list measure 2-5x their
+          // isolated cost under storage-memory pressure.
+          System.gc()
           graft.SparkEntry.queries(q)(spark, sf)
             .write.format("noop").mode("overwrite").save() // warmup
           Thread.sleep(300) // let the async bus drain
