@@ -509,10 +509,30 @@ object Dedup {
     // proportional work, never a wrong cluster. The distinct this
     // replaces was a full extra exchange+aggregate of the edge table
     // per invocation (the round-7 p6/d10 regression).
-    val edges = graft.plans.Loops.checkpointPartitioned(
+    val spark = pairs.sparkSession
+    val edges0 = graft.plans.Loops.checkpointPartitionedLazy(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .repartition(col("dst")))
+    // The count materializes the prep checkpoint (same one job the old
+    // eager form paid) AND sizes the loop: rounds run at a width
+    // derived from the measured edge cardinality instead of the
+    // session constant (r17 optimization round, guide §2 — tiny CC
+    // problems stop paying full-width per-task overhead every round;
+    // big ones keep the session width via the clamp). When narrowing,
+    // the edge table is re-partitioned once to keep the per-round
+    // label join aligned — one extra pass over state that is small by
+    // construction exactly when the branch fires.
+    val nE = edges0.count()
+    val nParts = graft.plans.Loops.adaptedPartitions(spark, nE)
+    val edges =
+      if (nParts < spark.sessionState.conf.numShufflePartitions) {
+        val e = graft.plans.Loops.checkpointPartitioned(
+          edges0.repartition(nParts, col("dst")))
+        graft.plans.Loops.releaseCheckpoint(edges0)
+        e
+      } else edges0
+    graft.plans.Loops.withShufflePartitions(spark, nParts) {
     graft.plans.Loops.withStablePartitioning(pairs.sparkSession) {
       // Node set = distinct dst of the ALREADY dst-partitioned edge
       // table: exchange-free, and left LAZY — round 1 fuses the init
@@ -550,6 +570,7 @@ object Dedup {
       }
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     }
+    } // withShufflePartitions
   }
 
   /** O(log n)-round connected components via alternating
@@ -598,7 +619,15 @@ object Dedup {
     var rounds = 0
     var converged = nEdges == 0L
     // same loop discipline as the fixpoint variant: keep round-to-round
-    // partition counts stable so the contraction passes stay aligned
+    // partition counts stable so the contraction passes stay aligned —
+    // at a width derived from the measured edge cardinality (r17
+    // optimization round, guide §2): contraction only shrinks the edge
+    // set, so the initial count bounds every round, and a small
+    // problem stops paying session-width per-task overhead for each of
+    // its ~log(n) rounds' shuffles. Clamped to the session width for
+    // big inputs.
+    graft.plans.Loops.withShufflePartitions(pairs.sparkSession,
+      graft.plans.Loops.adaptedPartitions(pairs.sparkSession, nEdges)) {
     graft.plans.Loops.withStablePartitioning(pairs.sparkSession) {
     while (!converged && rounds < maxRounds) {
       // LARGE-STAR: around each node u, connect every LARGER neighbor
@@ -651,6 +680,7 @@ object Dedup {
       rounds += 1
     }
     } // withStablePartitioning
+    } // withShufflePartitions
     // At the fixpoint every component is a star rooted at its min:
     // each edge (root, v) labels v; roots label themselves.
     val labels = edges.select(col("b").as("doc_id"), col("a").as("cluster_id"))

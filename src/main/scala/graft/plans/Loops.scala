@@ -53,6 +53,49 @@ object Loops {
     }
   }
 
+  /** Scale-adaptive partition count for a loop's round shuffles
+    * (r17 optimization round, guide §2: derive partitioning from input
+    * size, never a constant). Loops disable AQE coalescing for
+    * alignment (see [[withStablePartitioning]]), which also removes
+    * AQE's tiny-shuffle collapsing — so every round of a contracted
+    * loop (CC after a few rounds, a BFS frontier) otherwise runs at
+    * the session's full shuffle width in pure per-task overhead. The
+    * loop instead sizes its rounds ONCE from the measured state
+    * cardinality (the fusion count it already paid for):
+    * `ceil(rows·bytesPerRow / targetBytes)`, clamped to
+    * [1, session width]. `spark.graft.loop.targetPartitionBytes`
+    * (default 64 MB) parameterizes the target — guide §2.2's
+    * 100 MB–1 GB band, kept at the low end because loop state is
+    * deserialized row objects, fatter in memory than on the wire. At
+    * 100 TB the clamp leaves big loops at full width; only genuinely
+    * small state narrows.
+    */
+  def adaptedPartitions(spark: SparkSession, rows: Long,
+      bytesPerRow: Int = 32): Int = {
+    val target = spark.conf
+      .get("spark.graft.loop.targetPartitionBytes", (64L << 20).toString)
+      .toLong
+    val session = spark.sessionState.conf.numShufflePartitions
+    val want = (rows.max(0L) * bytesPerRow + target - 1) / target
+    math.max(1L, math.min(session.toLong, want)).toInt
+  }
+
+  /** Run `f` with `spark.sql.shuffle.partitions` scoped to `n`,
+    * restoring the caller's setting after. Same session-conf
+    * concurrency contract as [[withStablePartitioning]]. Like that
+    * scope, it binds EXECUTION — actions inside `f` — not lazy plans
+    * returned out of the scope.
+    */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Storage level for every loop checkpoint, from the session conf
     * `spark.graft.loop.checkpointLevel` (default `MEMORY_AND_DISK`,
     * Spark's own localCheckpoint level — byte-identical behavior when
