@@ -85,14 +85,39 @@ object Loops {
     * concurrency contract as [[withStablePartitioning]]. Like that
     * scope, it binds EXECUTION — actions inside `f` — not lazy plans
     * returned out of the scope.
+    *
+    * When `n` is NARROWER than the session width (the adapted-width
+    * signal that the loop's state is measured-small), the scope also
+    * disables AQE for the rounds: adaptive execution runs every
+    * shuffle stage as its own job with a driver re-optimization
+    * between stages — measured at 25-40 ms of driver gap per stage
+    * job, which dominates a contracted loop's rounds (d27 spent
+    * 1.7 s of its 3.4 s wall in inter-job gaps across 63 jobs, most
+    * of them AQE stage jobs over kilobyte states) — while the nets
+    * AQE buys (skew split, broadcast flip) have nothing to do on a
+    * state that just measured a few partitions' worth of bytes.
+    * Static execution runs each round's action as ONE job. At full
+    * width (big state, the 100 TB regime) AQE stays on and keeps its
+    * skew safety net — the rule is derived from the measured state,
+    * not the deployment.
     */
   def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val narrow = n < spark.sessionState.conf.numShufflePartitions
     val prev = spark.conf.getOption(key)
+    val prevAqe = spark.conf.getOption(aqeKey)
     spark.conf.set(key, n.toString)
-    try f finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    if (narrow) spark.conf.set(aqeKey, "false")
+    try f finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      if (narrow) prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
     }
   }
 

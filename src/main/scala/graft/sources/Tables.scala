@@ -62,10 +62,22 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name (expected one of ${all.mkString(", ")})")
-    if (name == "events") {
-      configureNanos(spark)
-      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    // Memoize the DataFrame HANDLE per (session, dir, table) — r17
+    // optimization round. Every bare `spark.read.parquet` call runs a
+    // footer/schema-inference job (~30-50 ms measured): a 5-table
+    // star-join query paid five of them, every query per pass, adding
+    // up to tens of seconds across the board. The cache holds only
+    // the lazy plan (schema + file index) — NO rows, NO results: every
+    // query still scans parquet at execution, exactly as a production
+    // driver that resolves tables through a catalog (schema known
+    // once) rather than re-inferring per query. Keyed by dir so
+    // multi-sf sessions (the curve harness) never cross-read.
+    SessionCache.getOrElseUpdate(spark, s"table:$dir/$name") {
+      if (name == "events") {
+        configureNanos(spark)
+        normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    }
   }
 
   /** Streaming source over an events parquet directory with the same

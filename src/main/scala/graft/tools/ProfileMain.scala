@@ -575,12 +575,21 @@ object ProfileMain {
         val sf = dir
         val jobSpans =
           new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+        // jobId -> call site (what ACTION spawned this job) so the
+        // per-query job inventory names the fixed costs, not just
+        // counts them
+        val jobSites =
+          new java.util.concurrent.ConcurrentHashMap[Int, String]()
         val taskNanos = new java.util.concurrent.atomic.AtomicLong
         spark.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
             override def onJobStart(
-                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
               jobSpans.put(j.jobId, (j.time, -1L))
+              jobSites.put(j.jobId,
+                j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
+                  .getOrElse("?"))
+            }
             override def onJobEnd(
                 j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
               val s = jobSpans.getOrDefault(j.jobId, (j.time, -1L))
@@ -614,7 +623,7 @@ object ProfileMain {
             .map { case (id, (s, e)) => (id, s, if (e < 0) s else e) }
           val jobWall = spans.map { case (_, s, e) => (e - s) / 1e3 }.sum
           val detail = spans.map { case (id, s, e) =>
-            f"j$id:${(e - s) / 1e3}%.2fs"
+            f"j$id:${(e - s) / 1e3}%.2fs@${jobSites.getOrDefault(id, "?")}"
           }.mkString(" ")
           println(f"[jobs] $q%-34s wall ${wall}%7.3f  jobs ${spans.size}%3d  " +
             f"jobWall ${jobWall}%7.3f  gap ${wall - jobWall}%7.3f  " +
