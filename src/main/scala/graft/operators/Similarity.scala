@@ -1110,11 +1110,27 @@ object Similarity {
     * Returns the TOTAL membership count (the same aggregate pays for
     * it), which the caller's broadcast gate sizes against.
     */
-  def requireBoundedCells(prim: DataFrame, maxCellRows: Long): Long = {
+  def requireBoundedCells(prim: DataFrame, maxCellRows: Long): Long =
+    requireBoundedCellsStats(prim, maxCellRows)._1
+
+  /** [[requireBoundedCells]] returning (total memberships, Σ cell²) —
+    * the same one aggregate also yields the candidate-PAIR volume the
+    * cell join will generate, which sizes the membership table's
+    * partitioning (r17 optimization round): the stream side's
+    * partition count must come from the pair volume, not the input
+    * bytes or the session constant (guide §2 — a task should hold a
+    * bounded slice of the quadratic-in-cell work at any corpus size).
+    * Doubles as the probes checkpoint's materializing action when the
+    * caller passes a LAZY checkpoint (the aggregate consumes every
+    * partition — the Loops fusion contract).
+    */
+  def requireBoundedCellsStats(prim: DataFrame,
+      maxCellRows: Long): (Long, Long) = {
     val row = prim.groupBy(col("cell_id"))
       .agg(count(lit(1)).as("n"))
       .agg(coalesce(max(col("n")), lit(0L)).cast("long"),
-        coalesce(sum(col("n")), lit(0L)).cast("long"))
+        coalesce(sum(col("n")), lit(0L)).cast("long"),
+        coalesce(sum(col("n") * col("n")), lit(0L)).cast("long"))
       .collect()(0)
     val worst = row.getLong(0)
     require(worst <= maxCellRows,
@@ -1123,7 +1139,26 @@ object Similarity {
         "quadratic in the cell, so scale K with the corpus " +
         "(corpus-scaled K, e.g. s17's max(8, n/500)) instead of " +
         "raising the budget.")
-    row.getLong(1) // total memberships, reused by the broadcast gate
+    (row.getLong(1), row.getLong(2))
+  }
+
+  /** Pair-volume-derived partition count for the cell join's stream
+    * side: one task holds ~`spark.graft.cell.pairsPerTask` candidate
+    * pairs (default 2M — a few hundred ms of qdot kernel work at
+    * d=64), floor 1, cap 16× the session width (the guards upstream
+    * already refuse degenerate pair volumes; the cap only bounds task
+    * bookkeeping). Unlike the session constant this EXCEEDS the width
+    * when the corpus demands it — at the sf10 decade the old
+    * width-bound layout concentrated 16× the per-task pair work that
+    * sf1 had, the measured source of s17's super-linear wall.
+    */
+  def pairVolumePartitions(spark: org.apache.spark.sql.SparkSession,
+      pairVolume: Long): Int = {
+    val perTask = spark.conf
+      .get("spark.graft.cell.pairsPerTask", "2000000").toLong
+    val width = spark.sessionState.conf.numShufflePartitions
+    val want = (pairVolume.max(0L) + perTask - 1) / perTask
+    math.max(1L, math.min(width.toLong * 16, want)).toInt
   }
 
   /** Per-vector capped top-k neighbors over corpus-scaled IVF cells —
@@ -1190,12 +1225,17 @@ object Similarity {
     // ~sf30 path once K is corpus-scaled and the assignment pass,
     // not the candidate join, dominates; coarseProbe = √K degrades
     // bit-exactly to flat, the dial-exactness-back-in safety rail).
+    // LAZY checkpoint (r17 optimization round): the bounded-cell
+    // guard's aggregate below materializes it — one job instead of an
+    // eager materialization pass plus the guard, i.e. one fewer full
+    // pass over the n×K scoring output
     val probes = (hierCoarseProbe match {
       case Some(cp) =>
         ivfProbeAssignmentsHier(reg, centroidIds, nprobe, cp, idCol, vecCol)
       case None => ivfProbeAssignments(reg, centroidIds, nprobe, idCol, vecCol)
-    }).localCheckpoint(true)
-    val totalMembers = requireBoundedCells(probes, maxCellRows)
+    }).localCheckpoint(false)
+    val (totalMembers, pairVolume) =
+      requireBoundedCellsStats(probes, maxCellRows)
     // int8Members: the broadcast-regime extension (r16 verdict stretch
     // item). Memberships carry the s9 symmetric per-vector int8 pack
     // as a d-BYTE binary instead of the d-FLOAT array — ~(80+d) vs
