@@ -182,10 +182,17 @@ object Bench {
     // [1.11, 5.55, 7.34] because the old absolute threshold was 5 s —
     // the 4.4 s gap slipped under it and a host stall became the
     // official number and the round's entire weak set.)
+    // The min is taken over the measured runs AND the (recorded but
+    // untimed) warmup: r17 shipped h11 at a 4.25 s median because all
+    // three measured passes were stalled and the old min-of-measured
+    // trigger had nothing fast to compare against — the warmup run is
+    // an in-process observation of the same plan and a stall can only
+    // ADD time, so a fast warmup is valid proof the median is noise.
+    // The reported median still comes from measured runs only.
     val suspects = names.filter { n =>
       val rs = firstRuns(n)
       rs.size >= 2 && {
-        val (mn, md) = (rs.min, medianOf(rs).get)
+        val (mn, md) = ((rs ++ warmup(n)).min, medianOf(rs).get)
         md > 3 * mn && md - mn > 1.0
       }
     }
@@ -250,9 +257,15 @@ object Bench {
       "\"" + n + "\":{\"shuffle_write\":" + sw +
         ",\"mem_spill\":" + ms + ",\"disk_spill\":" + ds + "}"
     }.mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core40":$core40Json,"queries":$qs,"errors":$errors,"sf":"$sfDir","runs":$allRuns,"warmup":$warmupJson,"bytes":$bytesJson}"""
+    Files.writeString(Paths.get("bench_out.json"), detailJson)
+    // Per-core-count copy (r17 verdict item 2): the driver's 8-core
+    // scaling leg runs after the 32-core leg and overwrote the only
+    // per-run record of the main measurement — keep both.
     Files.writeString(
-      Paths.get("bench_out.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core40":$core40Json,"queries":$qs,"errors":$errors,"sf":"$sfDir","runs":$allRuns,"warmup":$warmupJson,"bytes":$bytesJson}""")
+      Paths.get(s"bench_out_c${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}.json"),
+      detailJson)
     spark.stop()
   }
 }

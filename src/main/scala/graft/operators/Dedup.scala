@@ -524,6 +524,11 @@ object Dedup {
     // label join aligned — one extra pass over state that is small by
     // construction exactly when the branch fires.
     val nE = edges0.count()
+    // No mid-loop re-narrowing here (unlike the logN contraction,
+    // r18): every fixpoint round shuffles the FULL label set plus the
+    // edge-join output regardless of how few labels changed — the
+    // state that flows does not contract with `changed`, so a width
+    // sized from the invariant edge table is right for every round.
     val nParts = graft.plans.Loops.adaptedPartitions(spark, nE)
     val edges =
       if (nParts < spark.sessionState.conf.numShufflePartitions) {
@@ -625,7 +630,15 @@ object Dedup {
     // set, so the initial count bounds every round, and a small
     // problem stops paying session-width per-task overhead for each of
     // its ~log(n) rounds' shuffles. Clamped to the session width for
-    // big inputs.
+    // big inputs — and RE-narrowed as the contraction proceeds (r18,
+    // r17 verdict item 4): the per-round count is free (it rides the
+    // checkpoint-materializing job), so when the live edge set drops a
+    // decade below what sized the current width, the remaining rounds
+    // narrow with it instead of running ~log(n) tail rounds at a width
+    // sized for the peak. Width only ever shrinks; no realignment pass
+    // is needed because every round's contraction re-exchanges the
+    // live set through its own groupBy anyway.
+    var sizedFrom = nEdges
     graft.plans.Loops.withShufflePartitions(pairs.sparkSession,
       graft.plans.Loops.adaptedPartitions(pairs.sparkSession, nEdges)) {
     graft.plans.Loops.withStablePartitioning(pairs.sparkSession) {
@@ -678,6 +691,11 @@ object Dedup {
       edges = small
       nEdges = nSmall
       rounds += 1
+      if (!converged &&
+        nEdges <= sizedFrom / graft.plans.Loops.RenarrowFactor) {
+        graft.plans.Loops.renarrow(pairs.sparkSession, nEdges)
+        sizedFrom = nEdges
+      }
     }
     } // withStablePartitioning
     } // withShufflePartitions
@@ -874,10 +892,16 @@ object Dedup {
     //    over the inlined HOF expression re-evaluates it per OUTPUT
     //    row — 260k wordGrams evaluations instead of 5k (0.3 s → 5.5 s).
     // With both avoided the checkpoint itself is ~0.25 s.
+    // LAZY checkpoint (r18): hsorted's eager materialization below is
+    // the next action over `arrs` and consumes every partition (a full
+    // explode → groupBy), so it materializes these blocks en route —
+    // one job instead of an arrs-materialization job plus the hsorted
+    // build (the Loops fusion contract). Phase 2's broadcasts then
+    // read the already-persisted blocks.
     val arrs = docs
       .where(size(Curation.tokens(col(textCol))) >= gramN)
       .select(col(idCol), grams.as("arr"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // hash-sorted gram arrays: the global order AND the phase-1 verify
     // payload in one compact (8 B/elem) structure. Built by explode →
     // CODEGEN xxhash64 → groupBy-collect (the interpreted
@@ -905,6 +929,14 @@ object Dedup {
         expr(s"10000 * an >= $minJaccardBp * bn"))
       .where(expr(s"least(an - pa, bn - pb) + 1 >= " +
         s"($minJaccardBp * (an + bn) + ${10000 + minJaccardBp} - 1) div ${10000 + minJaccardBp}"))
+      // NOTE (r18, measured): PPJoin's INDEXING-prefix tightening
+      // (require the smaller side's match position within
+      // n − ⌈2t/(1+t)·n⌉ + 1, Xiao et al. '08) is mathematically
+      // SUBSUMED by the positional filter above — with an ≤ bn,
+      // least(...)+1 ≥ α = ⌈t(an+bn)/(1+t)⌉ ≥ ⌈2t/(1+t)·an⌉ forces
+      // pa ≤ an − ⌈2t/(1+t)·an⌉ + 1 already. Adding it explicitly was
+      // measured to cut ZERO of the 133k sf0.1 candidate matches
+      // (tools/ProfileMain "d24" replays the A/B) — do not re-add it.
       .select("a_id", "b_id")
     // Verify-side joins BROADCAST the per-doc array tables: at test
     // scale they are MBs; at warehouse scale the per-doc gram table

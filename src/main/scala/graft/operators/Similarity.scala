@@ -1145,12 +1145,17 @@ object Similarity {
   /** Pair-volume-derived partition count for the cell join's stream
     * side: one task holds ~`spark.graft.cell.pairsPerTask` candidate
     * pairs (default 2M — a few hundred ms of qdot kernel work at
-    * d=64), floor 1, cap 16× the session width (the guards upstream
-    * already refuse degenerate pair volumes; the cap only bounds task
-    * bookkeeping). Unlike the session constant this EXCEEDS the width
-    * when the corpus demands it — at the sf10 decade the old
-    * width-bound layout concentrated 16× the per-task pair work that
-    * sf1 had, the measured source of s17's super-linear wall.
+    * d=64), FLOOR = the session width, cap 16× it. The floor matters
+    * as much as the escape above it (measured r18: the first wiring
+    * let a small corpus NARROW the join to 4 partitions and s17/s19/
+    * d27 ran the 8M-pair kernel stage on 4 of 32 cores, +0.4–0.8 s —
+    * the membership table is byte-tiny but its join output fans out
+    * ~cell-size× per row, so full cluster width is always warranted).
+    * What the pair volume buys is the other direction: at the sf10
+    * decade the session-constant layout concentrated 16× the per-task
+    * pair work that sf1 had — the measured source of s17's
+    * super-linear wall — and this EXCEEDS the width exactly when the
+    * counted pair volume demands it.
     */
   def pairVolumePartitions(spark: org.apache.spark.sql.SparkSession,
       pairVolume: Long): Int = {
@@ -1158,7 +1163,7 @@ object Similarity {
       .get("spark.graft.cell.pairsPerTask", "2000000").toLong
     val width = spark.sessionState.conf.numShufflePartitions
     val want = (pairVolume.max(0L) + perTask - 1) / perTask
-    math.max(1L, math.min(width.toLong * 16, want)).toInt
+    math.max(width.toLong, math.min(width.toLong * 16, want)).toInt
   }
 
   /** Per-vector capped top-k neighbors over corpus-scaled IVF cells —
@@ -1256,8 +1261,11 @@ object Similarity {
     // membership-with-vector table, materialized ONCE; both join
     // sides read it. The explicit repartition matters: the join
     // output fans out ~cell-size× per stream row, so the stream
-    // side's partition count must come from the PAIR volume, not the
-    // input bytes — without it a small parquet input arrives as one
+    // side's partition count comes from the PAIR volume the guard
+    // just counted ([[pairVolumePartitions]], r18 — wired; r17 left
+    // it at the session constant, the measured source of s17's
+    // super-linear sf10 wall), not the input bytes — without an
+    // explicit repartition a small parquet input arrives as one
     // split, the checkpoint preserves it, and the whole candidate
     // join runs on one core (measured r15: 94 s vs 7 s at sf1).
     // round-robin repartition for balance, then SORT by cell within
@@ -1270,7 +1278,7 @@ object Similarity {
     // LLC.
     val mem = probes.select(col(idCol), col("cell_id"))
       .join(withNorm, Seq(idCol))
-      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
+      .repartition(pairVolumePartitions(emb.sparkSession, pairVolume))
       .sortWithinPartitions(col("cell_id"))
       .localCheckpoint(true)
     val a = mem.select(col("cell_id"), col(idCol).as("a_id"),
@@ -1340,20 +1348,25 @@ object Similarity {
     // same assignment-strategy knob as cellTopKNeighbors: flat n×K
     // (default) or hierarchical O(n·√K) when the assignment pass is
     // the bottleneck
+    // LAZY checkpoint, materialized by the bounded-cell guard's
+    // aggregate — one job instead of two, mirroring cellTopKNeighbors
+    // (r18; this site was left eager in r17)
     val probes = (hierCoarseProbe match {
       case Some(cp) =>
         ivfProbeAssignmentsHier(reg, centroidIds, nprobe, cp, idCol, vecCol)
       case None => ivfProbeAssignments(reg, centroidIds, nprobe, idCol, vecCol)
-    }).localCheckpoint(true)
-    val totalMembers = requireBoundedCells(probes, maxCellRows)
+    }).localCheckpoint(false)
+    val (totalMembers, pairVolume) =
+      requireBoundedCellsStats(probes, maxCellRows)
     val withNorm = reg.select(col(idCol), col(vecCol))
       .withColumn("n2", qnorm2(vecCol))
     // same materialize-once membership discipline as
-    // cellTopKNeighbors: pair-volume-derived partition count,
-    // cell-sorted for probe locality
+    // cellTopKNeighbors: pair-volume-derived partition count
+    // ([[pairVolumePartitions]], wired r18), cell-sorted for probe
+    // locality
     val mem = probes.select(col(idCol), col("cell_id"))
       .join(withNorm, Seq(idCol))
-      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
+      .repartition(pairVolumePartitions(emb.sparkSession, pairVolume))
       .sortWithinPartitions(col("cell_id"))
       .localCheckpoint(true)
     val a = mem.select(col("cell_id"), col(idCol).as("a_id"),

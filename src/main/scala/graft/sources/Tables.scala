@@ -72,6 +72,17 @@ object Tables {
     // driver that resolves tables through a catalog (schema known
     // once) rather than re-inferring per query. Keyed by dir so
     // multi-sf sessions (the curve harness) never cross-read.
+    //
+    // IMMUTABLE-TABLE ASSUMPTION (r17 advice): the memoized handle
+    // pins the file-index snapshot taken at first load, so files
+    // added to or rewritten under <dir>/<name>.parquet later in the
+    // SAME session are invisible (and deletions fail tasks) until
+    // SessionCache.clear(). That matches this engine's sources — the
+    // driver's test dirs are generated once and never mutated in
+    // place; every mutable-source pattern goes through the
+    // version-addressed readers (VersionedTable/ManifestTable), which
+    // stay unmemoized. A deploy over in-place-mutable directories
+    // must clear the session cache at its refresh boundaries.
     SessionCache.getOrElseUpdate(spark, s"table:$dir/$name") {
       if (name == "events") {
         configureNanos(spark)

@@ -556,6 +556,58 @@ object ProfileMain {
           println(s"""[paircount] {"sf":"${sf.split('/').last}","vecs":$n,"pairs_2000bp":$pairs,"pairs_3000bp":$edges3k}""")
         }
 
+      case "d24" =>
+        // Candidate-volume A/B for the PPJoin indexing-prefix filter
+        // (r18): replicate ppjoinPairs' candidate generation with and
+        // without the index-prefix predicate and count the pairs that
+        // reach phase-1 verification, plus the verified output of the
+        // real operator both ways (the oracle re-proves completeness
+        // on every run; this measures the cut).
+        import graft.operators.{Curation, Dedup}
+        val minBp = 6000L
+        val docs = Tables.documents(spark, dir)
+        val grams = array_distinct(
+          Curation.wordGrams(Curation.tokens(col("text")), 3))
+        val arrs = docs.where(size(Curation.tokens(col("text"))) >= 3)
+          .select(col("doc_id"), grams.as("arr"))
+        val hsorted = arrs
+          .select(col("doc_id"), explode(col("arr")).as("g0"))
+          .select(col("doc_id"), xxhash64(col("g0")).as("h"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("h"))).as("harr"),
+            count(lit(1)).cast("long").as("n"))
+          .localCheckpoint()
+        val prefix = hsorted.select(col("doc_id"), col("n"),
+            posexplode(slice(col("harr"), lit(1),
+              expr(s"CAST(n - ($minBp * n + 9999) div 10000 + 1 AS INT)"))))
+          .select(col("doc_id"), col("n"), col("col").as("g"),
+            (col("pos") + 1).as("p"))
+        val joined = prefix.select(col("doc_id").as("a_id"), col("n").as("an"),
+            col("g"), col("p").as("pa"))
+          .join(prefix.select(col("doc_id").as("b_id"), col("n").as("bn"),
+            col("g"), col("p").as("pb")), Seq("g"))
+          .where(col("a_id") < col("b_id"))
+          .where(expr(s"10000 * bn >= $minBp * an") &&
+            expr(s"10000 * an >= $minBp * bn"))
+          .where(expr(s"least(an - pa, bn - pb) + 1 >= " +
+            s"($minBp * (an + bn) + ${10000 + minBp} - 1) div ${10000 + minBp}"))
+        val idxFiltered = joined.where(expr(
+          s"CASE WHEN an <= bn THEN pa <= an - " +
+            s"(2 * $minBp * an + ${10000 + minBp} - 1) div ${10000 + minBp} + 1 " +
+            s"ELSE pb <= bn - " +
+            s"(2 * $minBp * bn + ${10000 + minBp} - 1) div ${10000 + minBp} + 1 END"))
+        val base = joined.select("a_id", "b_id")
+        val cut = idxFiltered.select("a_id", "b_id")
+        println(s"[d24] candidate MATCHES  without idx-prefix: ${base.count()}")
+        println(s"[d24] candidate MATCHES  with    idx-prefix: ${cut.count()}")
+        println(s"[d24] distinct candidates without idx-prefix: ${base.distinct().count()}")
+        println(s"[d24] distinct candidates with    idx-prefix: ${cut.distinct().count()}")
+        for (pass <- 1 to 3)
+          timed(s"pass$pass ppjoinPairs end-to-end")(
+            Dedup.ppjoinPairs(docs, minJaccardBp = 6000)
+              .orderBy("a_id", "b_id")
+              .write.format("noop").mode("overwrite").save())
+
       case "jobs" =>
         // Per-query JOB decomposition (optimization round: the sf0.1
         // board is floor-dominated, and the floor is #jobs × per-job

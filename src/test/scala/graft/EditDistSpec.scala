@@ -35,6 +35,42 @@ class EditDistSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // r18: banded() dispatches to bit-parallel Myers kernels (1-word for
+  // m ≤ 64, 2-word for m ≤ 128, DP above) after common prefix/suffix
+  // stripping — every regime and boundary must agree with the naive DP.
+  test("bit-parallel kernels equal the reference DP across all length regimes (property)") {
+    val longStr: Gen[String] = for {
+      len <- Gen.chooseNum(0, 160)
+      cs <- Gen.listOfN(len, Gen.oneOf(('a' to 'f') :+ ' '))
+    } yield cs.mkString
+    val prop = Prop.forAll(longStr, longStr, Gen.chooseNum(0, 60)) { (a, b, k) =>
+      val got = EditDist.banded(a.getBytes("UTF-8"), b.getBytes("UTF-8"), k)
+      val ed = naive(a, b)
+      if (ed <= k) got == ed else got == -1
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(800), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("near-dup shapes: shared prefixes/suffixes and word-boundary lengths") {
+    val rnd = new scala.util.Random(42)
+    def rs(n: Int) = (0 until n).map(_ => "abcdef 0123"(rnd.nextInt(11))).mkString
+    // word-boundary pattern lengths around the 1-word/2-word/DP splits
+    for (m <- Seq(1, 2, 63, 64, 65, 100, 127, 128, 129, 140);
+         dn <- Seq(0, 1, 7); k <- Seq(0, 3, 45, 120)) {
+      val a = rs(m)
+      val b0 = rs(m + dn)
+      // plus structured near-dups: an edit in the middle of a copy
+      val b1 = if (m > 2) a.updated(m / 2, 'z') else a
+      for (b <- Seq(b0, b1, a, "")) {
+        val got = EditDist.banded(a.getBytes("UTF-8"), b.getBytes("UTF-8"), k)
+        val ed = naive(a, b)
+        val want = if (ed <= k) ed else -1
+        assert(got == want, s"m=$m k=$k a='$a' b='$b': got $got want $want")
+      }
+    }
+  }
+
   test("bedit column selects exactly the builtin levenshtein rows (codegen path)") {
     val rnd = new scala.util.Random(7)
     def s() = (0 until (40 + rnd.nextInt(80)))

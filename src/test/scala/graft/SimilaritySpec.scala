@@ -16,6 +16,23 @@ class SimilaritySpec extends AnyFunSuite {
     (3L, Array(-1.0f, 0.0f, 0.0f), 1),
     (4L, Array(0.95f, 0.05f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
 
+  test("pairVolumePartitions: floor = session width, widens with pair volume, cap 16×") {
+    val width = spark.sessionState.conf.numShufflePartitions
+    val perTask = 2000000L // the conf default
+    // degenerate / small volumes never narrow below the session width
+    // (the r18 lesson: the cell join's output fans out ~cell-size× per
+    // stream row, so full width is always warranted)
+    assert(Similarity.pairVolumePartitions(spark, 0L) === width)
+    assert(Similarity.pairVolumePartitions(spark, perTask) === width)
+    // a counted pair volume demanding more tasks than the width gets
+    // them (the sf10 super-linear-wall fix) ...
+    val wantDouble = perTask * (width * 2L)
+    assert(Similarity.pairVolumePartitions(spark, wantDouble) === width * 2)
+    // ... up to the 16× bookkeeping cap
+    assert(Similarity.pairVolumePartitions(spark, perTask * width * 64L)
+      === width * 16)
+  }
+
   test("brute-force top-k ranks by quantized dot, ties by id") {
     val top = Similarity.bruteForceTopK(emb, 0L, 4).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score")))
