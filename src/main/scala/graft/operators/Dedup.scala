@@ -745,7 +745,11 @@ object Dedup {
     // persisted `bucketBy("g")` (ScaleSpec proves that layout); the
     // incremental batch would join against the bucketed corpus index
     // rather than rebuild it.
-    val kept = graft.plans.Loops.checkpointPartitioned(
+    // LAZY (r18): no standalone materialization job — the final
+    // query's first consuming stage computes the blocks (the three
+    // readers then hit the block-manager cache; concurrent stages
+    // serialize on the per-partition compute lock, never duplicate).
+    val kept = graft.plans.Loops.checkpointPartitionedLazy(
       sh.join(dfMap, Seq("g"), "left_semi"))
     val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val near = kept.where(col("is_new")).select(col(idCol).as("a_id"), col("g"))

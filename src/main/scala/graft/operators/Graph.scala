@@ -596,14 +596,18 @@ object Graph {
   def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     withStablePartitioning(e.sparkSession) {
-      // LAZY dst copy + eager src copy (r17 optimization round): the
-      // src checkpoint's one materialization job computes the shared
-      // derivation once, persisting the dst copy's blocks en route —
-      // the src shuffle still re-shuffles materialized rows, and the
-      // two prep jobs become one.
+      // BOTH copies LAZY (r18; r17 kept the src copy eager): the
+      // caller's single action over the returned plan materializes
+      // them — the dst copy's blocks persist when the src shuffle (or
+      // round 1's auth aggregate) first consumes them, the src copy's
+      // when round 2's join does; every consumer is a full-relation
+      // join/aggregate, so the Loops fusion contract holds and the
+      // standalone 0.5 s prep job (measured, g4 jobs decomposition)
+      // disappears into the query.
       val eByDst = graft.plans.Loops.checkpointPartitionedLazy(
         e.repartition(col("dst")))
-      val eBySrc = ckpt(eByDst.repartition(col("src")))
+      val eBySrc = graft.plans.Loops.checkpointPartitionedLazy(
+        eByDst.repartition(col("src")))
       var auth = eByDst.groupBy("dst").agg(count(lit(1)).cast("long").as("s"))
       var round = 1
       while (round < iters) {

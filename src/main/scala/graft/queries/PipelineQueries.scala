@@ -506,7 +506,16 @@ object PipelineQueries {
         .select(col("doc_id"),
           explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      // df DERIVED from tf (r18, guide §2.3 "aggregate before you
+      // shuffle"): tf already holds one row per (doc, token), so a
+      // plain count per token over tf equals countDistinct(doc_id)
+      // over the raw token stream — and the raw stream's second
+      // explode + two-phase distinct aggregate disappear. The tf
+      // subtree appears on both sides of the diamond; ReuseExchange
+      // dedups the scan+explode+partial-agg, so the corpus is exploded
+      // ONCE (taskSum was 19.8 s at sf0.1/32c, almost all in the twin
+      // explodes).
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(df, Seq("token"))
         .crossJoin(broadcast(nDocs))

@@ -122,11 +122,20 @@ object SqlQueries {
       // Anchor materialization (measured in EXPLAIN.md): Spark's
       // UnionLoop re-executes the recursion's child plan per level, so
       // the nodes_temp sub-CTE (scans + a NOT IN anti-join) would
-      // otherwise be re-evaluated every round. Checkpointing it once
-      // and recursing over the materialized view keeps the walk
-      // NATIVE WITH RECURSIVE while paying the anchor cost once. The
-      // oracle stays the single self-contained recursive statement.
-      s.sql(sparkNodesTempSql).localCheckpoint(true)
+      // otherwise be re-evaluated every round. r17 checkpointed it;
+      // r18 COLLECTS it to a LocalRelation instead (the PPR-seed
+      // discipline): the hierarchy dim is control-plane-sized BY
+      // CONTRACT (ROOT + regions + nations — fixed dims at any corpus
+      // scale), and a checkpointed LogicalRDD reports
+      // defaultSizeInBytes = Long.MaxValue, so every recursion level
+      // planned a full-width sort-merge join over ≤31 rows (measured:
+      // 23 jobs, jobWall 0.32 s, driver gap 0.83 s). A LocalRelation
+      // carries exact stats — each level is a broadcast hash join with
+      // no exchange. The walk stays NATIVE WITH RECURSIVE; the oracle
+      // stays the single self-contained recursive statement.
+      val anchor = s.sql(sparkNodesTempSql)
+      val rows = anchor.collect() // ≤ |regions|+|nations|+1 rows
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), anchor.schema)
         .createOrReplaceTempView("nodes_temp_m")
       s.sql(sparkWalkSql)
     },

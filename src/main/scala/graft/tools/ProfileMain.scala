@@ -608,6 +608,22 @@ object ProfileMain {
               .orderBy("a_id", "b_id")
               .write.format("noop").mode("overwrite").save())
 
+      case "m11" =>
+        // Driver-side decomposition of the Bmff walk's 1.3 s job gap:
+        // analysis (DataFrame build) vs optimization+physical planning
+        // vs execution. Three passes, warm JIT by pass 2.
+        for (pass <- 1 to 3) {
+          val df = timed(s"pass$pass build+analyze")(
+            graft.operators.Bmff.triage(graft.fixtures.Video.mp4Payloads(spark))
+              .where(col("is_bmff"))
+              .select("doc_id", "brand", "width", "height", "timescale",
+                "duration", "duration_ms")
+              .orderBy("doc_id"))
+          timed(s"pass$pass optimize+plan")(df.queryExecution.executedPlan)
+          timed(s"pass$pass save (noop)")(
+            df.write.format("noop").mode("overwrite").save())
+        }
+
       case "jobs" =>
         // Per-query JOB decomposition (optimization round: the sf0.1
         // board is floor-dominated, and the floor is #jobs × per-job
