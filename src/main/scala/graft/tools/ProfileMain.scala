@@ -341,8 +341,13 @@ object ProfileMain {
 
       case "s17" =>
         // phase decomposition of cellTopKNeighbors at the given dir:
-        // assignment cost, candidate volume, cell skew, join+heap cost
+        // assignment cost, candidate volume, cell skew, join+heap cost.
+        // SPARK_GRAFT_PAIRS_PER_TASK overrides the pair-volume
+        // partitioning knob for the r18 width A/B (a huge value forces
+        // the pre-r18 session-constant floor).
         import graft.operators.Similarity
+        sys.env.get("SPARK_GRAFT_PAIRS_PER_TASK").foreach(v =>
+          spark.conf.set("spark.graft.cell.pairsPerTask", v))
         val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
         val kCells = math.max(8L, n / 500L).toInt
         val cents = (0 until kCells).map(i => i.toLong * (n / kCells))
@@ -354,8 +359,10 @@ object ProfileMain {
               .localCheckpoint(true))
           val hist = timed("cell histogram")(
             probes.groupBy("cell_id").agg(count(lit(1)).as("m"))
-              .agg(sum(expr("m * (m - 1)")), max(col("m"))).collect()(0))
-          println(s"[profile] candPairs=${hist.getLong(0)} maxCellMembers=${hist.getLong(1)}")
+              .agg(sum(expr("m * (m - 1)")), max(col("m")), sum(expr("m * m"))).collect()(0))
+          println(s"[profile] candPairs=${hist.getLong(0)} maxCellMembers=${hist.getLong(1)} " +
+            s"pairVolume=${hist.getLong(2)} memPartitions=" +
+            Similarity.pairVolumePartitions(spark, hist.getLong(2)))
           timed("full s17 (noop write)")(
             Similarity.cellTopKNeighbors(emb, k = 3, minCosBp = 2000,
               centroidIds = cents, nprobe = 4)
