@@ -615,6 +615,47 @@ object ProfileMain {
               .orderBy("a_id", "b_id")
               .write.format("noop").mode("overwrite").save())
 
+      case "renarrow" =>
+        // Per-stage task-count trace of the logN CC loop on a
+        // large-then-contracting fixture (64 24-cliques chained: 17727
+        // edges -> ~1535 after round 1, a 12x drop — past the >=10x
+        // renarrow trigger), with the loop byte-target scaled down
+        // (4 KB = 128 rows/part) so the widths are visible at fixture
+        // scale: entry width = min(session, ceil(17727/128)) = 32 and
+        // the re-narrow drops the later rounds' stages to
+        // ceil(1535/128) = 12 tasks. Evidence for the r18 mid-loop
+        // re-narrowing (r17 verdict item 5).
+        import spark.implicits._
+        spark.conf.set("spark.graft.loop.targetPartitionBytes", "4096")
+        val trace = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+              trace.add((e.stageInfo.stageId, e.stageInfo.numTasks,
+                e.stageInfo.taskMetrics.executorRunTime))
+          })
+        val cliques = (0 until 64).flatMap { c =>
+          val base = c * 1000L
+          for (i <- 0 until 24; j <- (i + 1) until 24)
+            yield (base + i, base + j)
+        }
+        val chain = (0 until 63).map(c => (c * 1000L, (c + 1) * 1000L))
+        val pairs = (cliques ++ chain).toDF("a_id", "b_id")
+          .localCheckpoint(true)
+        trace.clear()
+        val (labels, rounds) =
+          graft.operators.Dedup.duplicateClustersLogNWithRounds(pairs)
+        labels.write.format("noop").mode("overwrite").save()
+        Thread.sleep(300)
+        import scala.jdk.CollectionConverters._
+        val rows = trace.asScala.toSeq.sortBy(_._1)
+        println(s"[renarrow] rounds=$rounds  stages (id:tasks:taskMs): " +
+          rows.map { case (id, n, ms) => s"$id:$n:$ms" }.mkString(" "))
+        println(s"[renarrow] task-count sequence: " +
+          rows.map(_._2).mkString(","))
+        spark.conf.unset("spark.graft.loop.targetPartitionBytes")
+
       case "m11" =>
         // Driver-side decomposition of the Bmff walk's 1.3 s job gap:
         // analysis (DataFrame build) vs optimization+physical planning

@@ -106,16 +106,19 @@ class LoopsSpec extends AnyFunSuite {
   test("logN CC re-narrows as the edge set contracts and stays exact (large-then-contracting fixture)") {
     import graft.operators.Dedup
     import spark.implicits._
-    // a fixture that CONTRACTS hard: 64 dense cliques of 12 nodes
-    // (each clique = 66 edges, collapsing to a 11-edge star after one
-    // contraction) chained into two long paths — 4224 initial edges,
-    // a few hundred after round 1
+    // a fixture that CONTRACTS hard ENOUGH to trigger the ≥10× renarrow
+    // (Loops.RenarrowFactor): 64 dense cliques of 24 nodes — each
+    // clique is 276 edges collapsing to a 23-edge star after round 1,
+    // a 12× drop (a 12-clique's 6× would NOT fire the trigger; the
+    // logN edge set converges to the n−1-edge star, never to zero, so
+    // only redundancy contracts) — chained into one long component:
+    // 17727 initial edges, ~1535 after round 1.
     val cliques = (0 until 64).flatMap { c =>
-      val base = c * 100L
-      for (i <- 0 until 12; j <- (i + 1) until 12)
+      val base = c * 1000L
+      for (i <- 0 until 24; j <- (i + 1) until 24)
         yield (base + i, base + j)
     }
-    val chain = (0 until 63).map(c => (c * 100L, (c + 1) * 100L))
+    val chain = (0 until 63).map(c => (c * 1000L, (c + 1) * 1000L))
     val pairs = (cliques ++ chain).toDF("a_id", "b_id")
     val key = "spark.graft.loop.targetPartitionBytes"
     // 32 B/row target of 1 KB -> 32 rows/partition: initial width
@@ -132,8 +135,8 @@ class LoopsSpec extends AnyFunSuite {
       val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // every clique node must label to the component min (node 0's
       // component spans the whole chain)
-      assert(got(6311L) === 0L) // last clique, high member
-      assert(got(4211L) === 0L) // mid-chain clique member
+      assert(got(63023L) === 0L) // last clique, high member
+      assert(got(42011L) === 0L) // mid-chain clique member
       assert(rounds <= 10, s"logN bound: $rounds rounds")
       widthsSeen += 1 // marker: reached without error
     } finally spark.conf.unset(key)
